@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Generate the labeled parity corpus: diverse synthetic texts labeled by
+the REFERENCE engine (/root/reference, --no-ner deterministic contract).
+
+Output: src/test/resources/parity_corpus.jsonl, one JSON object per line:
+  {"id": n, "text": ..., "contem_pii": bool,
+   "tipos": [...], "detalhes": [[tipo, valor, conf], ...],
+   "sinais": [[tipo, valor, conf], ...], "confianca": float}
+
+Deterministic (seed 42). Run from /root/repo:
+  PYTHONPATH=/root/reference python3 scripts/gen_parity_corpus.py
+"""
+import json
+import random
+import sys
+
+sys.path.insert(0, "/root/reference")
+from src.detector import PIIDetector  # noqa: E402
+
+rng = random.Random(42)
+
+FIRST = ["João", "Maria", "Ana", "Pedro", "Paula", "Carlos", "Júlia",
+         "Lucas", "Fernanda", "Rafael", "Beatriz", "Gustavo"]
+LAST = ["Silva", "Souza", "Oliveira", "Pereira", "Lima", "Costa",
+        "Ribeiro", "Alves", "Gomes", "Martins"]
+FILLER = [
+    "Solicito informações sobre o processo administrativo.",
+    "Gostaria de saber o andamento do meu pedido.",
+    "Qual o prazo para resposta desta solicitação?",
+    "A secretaria informou que o requerimento está em análise.",
+    "Peço acesso aos documentos públicos referentes à obra.",
+    "Aguardo retorno o mais breve possível.",
+    "O relatório anual ainda não foi publicado no portal.",
+    "Quantos servidores trabalham no órgão atualmente?",
+]
+
+
+def name():
+    return f"{rng.choice(FIRST)} {rng.choice(LAST)}"
+
+
+def cpf_fmt():
+    d = [rng.randint(0, 9) for _ in range(11)]
+    s = "".join(map(str, d))
+    return f"{s[0:3]}.{s[3:6]}.{s[6:9]}-{s[9:11]}"
+
+
+def cpf_num():
+    return "".join(str(rng.randint(0, 9)) for _ in range(11))
+
+
+def phone():
+    ddd = rng.randint(11, 99)
+    kind = rng.choice(["paren", "paren9", "intl", "ctx", "bare"])
+    n1 = rng.randint(1000, 9999)
+    n2 = rng.randint(1000, 9999)
+    if kind == "paren":
+        return f"({ddd}) {n1}-{n2}"
+    if kind == "paren9":
+        return f"({ddd}) 9{n1}-{n2}"
+    if kind == "intl":
+        return f"+55 {ddd} 9{n1}-{n2}"
+    if kind == "ctx":
+        return f"telefone: {ddd} 9{n1}-{n2}"
+    return f"{ddd} {n1}-{n2}"
+
+
+def email():
+    user = rng.choice(["joao", "maria.silva", "user123", "a.b+tag", "contato"])
+    dom = rng.choice(["email.com", "empresa.gov.br", "dominio456.net", "me.pe"])
+    return f"{user}@{dom}"
+
+
+def luhn_card():
+    digits = [rng.randint(0, 9) for _ in range(15)]
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 0:  # positions that get doubled once check digit appended
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    check = (10 - total % 10) % 10
+    s = "".join(map(str, digits)) + str(check)
+    return f"{s[0:4]} {s[4:8]} {s[8:12]} {s[12:16]}"
+
+
+def make_text(i):
+    kind = i % 17
+    f = rng.choice(FILLER)
+    if kind == 0:
+        return f"{f} Meu CPF é {cpf_fmt()}."
+    if kind == 1:
+        return f"CPF: {cpf_num()}, nome {name()} {rng.choice(LAST)}"
+    if kind == 2:
+        return f"Processo SEI {rng.randint(10000,99999)}-{cpf_num()[:8]}/2026-0{rng.randint(1,9)} em andamento. {f}"
+    if kind == 3:
+        return f"Contato: {email()} ou {phone()}. {f}"
+    if kind == 4:
+        return f"RG: {rng.randint(1000000,9999999)}-{rng.randint(0,9)} emitido pela SSP. {f}"
+    if kind == 5:
+        return f"requerente: {name()} {rng.choice(LAST)}, solicita vista do processo."
+    if kind == 6:
+        return f"A {rng.choice(['Secretaria de Estado', 'Controladoria Geral', 'Polícia Civil'])} informa que o pedido foi recebido."
+    if kind == 7:
+        return f"CDA n. {cpf_num()} inscrita em dívida ativa. {f}"
+    if kind == 8:
+        return f"Moro na Quadra {rng.randint(100,999)} {rng.choice(['Norte','Sul'])}, CEP: 7{rng.randint(1000,9999)}-{rng.randint(100,999)}."
+    if kind == 9:
+        return f"{f} {f}"
+    if kind == 10:
+        return f"meu nome é {name()} e meu CPF {cpf_fmt()}, favor remover."
+    if kind == 11:
+        c = cpf_fmt()
+        return f"CPFs: {c} e {c} repetidos. {f}"
+    if kind == 12:
+        return f"NUP {rng.randint(10000,99999)}-{cpf_num()[:8]}/2026-11 e CPF {cpf_fmt()} do interessado."
+    if kind == 13:
+        return f"Pagamento no cartão {luhn_card()} aprovado. {f}"
+    if kind == 14:
+        return f"WhatsApp: {phone()} e email {email()}. {f}"
+    if kind == 15:
+        return f"matrícula nº {cpf_num()} do servidor. {f}"
+    return f"O número {cpf_num()} é um código interno qualquer. {f}"
+
+
+def main():
+    det = PIIDetector(use_ner=False)
+    out = []
+    for i in range(400):
+        text = make_text(i)
+        r = det.detect(text)
+        out.append({
+            "id": i,
+            "text": text,
+            "contem_pii": r["contem_pii"],
+            "tipos": r["tipos_detectados"],
+            "detalhes": [[t, v, c] for t, v, c in r["detalhes"]],
+            "sinais": [[t, v, c] for t, v, c in r["sinais_contextuais"]],
+            "confianca": r["confianca"],
+        })
+    path = "src/test/resources/parity_corpus.jsonl"
+    with open(path, "w", encoding="utf-8") as fh:
+        for o in out:
+            fh.write(json.dumps(o, ensure_ascii=False) + "\n")
+    n_pii = sum(1 for o in out if o["contem_pii"])
+    print(f"wrote {len(out)} records ({n_pii} with PII) to {path}")
+
+
+if __name__ == "__main__":
+    main()

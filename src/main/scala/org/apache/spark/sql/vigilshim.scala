@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column↔Expression conversions
+  * (org.apache.spark.sql.classic.ExpressionUtils). Spark 4 made Column
+  * backend-agnostic; building a Column from a Catalyst Expression — the
+  * documented extension path for custom expressions — now goes through
+  * these helpers, which are package-private. This shim is the minimal,
+  * public-API-shaped escape hatch.
+  */
+object VigilShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,83 @@
+package vigil
+
+/** Institutional-name exclusion list for name detection.
+  *
+  * Data parity with the reference's normative term list
+  * (/root/reference/src/exclusions.py:17-189): GDF organs, DF administrative
+  * regions, formal titles, legal terms, universities, common systems. The
+  * decision rule (exclusions.py:195-226) is: a candidate name is
+  * institutional iff it equals a term (case-insensitive) OR *contains* one as
+  * a substring. Deliberately NOT the inverse — short real names ("Ana",
+  * "Gama") must survive even when they are substrings of terms.
+  */
+object Exclusions {
+  val InstitutionalNames: Seq[String] = Seq(
+    // Órgãos do Governo do Distrito Federal
+    "Distrito Federal", "Governo do Distrito Federal", "GDF",
+    "Controladoria Geral", "Controladoria-Geral", "CGDF",
+    "Secretaria de Estado", "Secretaria de Governo", "Secretaria de Fazenda",
+    "Secretaria de Saúde", "Secretaria de Educação", "Secretaria de Segurança",
+    "Polícia Civil", "PCDF", "Polícia Militar", "PMDF",
+    "Corpo de Bombeiros", "CBMDF", "Tribunal de Contas", "TCDF",
+    "Ministério Público", "MPDFT", "Defensoria Pública",
+    "Câmara Legislativa", "CLDF", "Detran", "DETRAN-DF",
+    "BRB", "Banco de Brasília", "CEB", "Caesb", "Novacap", "Terracap",
+    "Metrô-DF",
+    // Regiões administrativas do DF
+    "Plano Piloto", "Asa Norte", "Asa Sul", "Lago Norte", "Lago Sul",
+    "Sudoeste", "Octogonal", "Cruzeiro", "Candangolândia",
+    "Núcleo Bandeirante", "Riacho Fundo", "Park Way", "Águas Claras",
+    "Taguatinga", "Ceilândia", "Samambaia", "Gama", "Santa Maria",
+    "Recanto das Emas", "Sobradinho", "Planaltina", "Paranoá",
+    "São Sebastião", "Jardim Botânico", "Itapoã", "SIA", "SCIA",
+    "Estrutural", "Varjão", "Fercal", "Sol Nascente", "Pôr do Sol",
+    "Arniqueira", "Vicente Pires", "Brazlândia",
+    // Lugares e referências geográficas
+    "Planaltina de Goiás", "Formosa", "Valparaíso", "Novo Gama",
+    "Cidade Ocidental", "Luziânia", "Entorno do DF",
+    "Esplanada dos Ministérios", "Praça dos Três Poderes",
+    "Congresso Nacional", "Palácio do Planalto", "Palácio da Alvorada",
+    "Supremo Tribunal Federal", "STF", "Superior Tribunal de Justiça", "STJ",
+    // Títulos e tratamentos formais
+    "Vossa Senhoria", "Vossa Excelência", "Vossas Senhorias",
+    "Ilustríssimo", "Ilustríssima", "Excelentíssimo", "Excelentíssima",
+    "Meritíssimo", "Meritíssima", "Prezados Senhores", "Prezadas Senhoras",
+    "Senhor Secretário", "Senhora Secretária", "Senhor Governador",
+    "Senhora Governadora", "Senhor Presidente", "Senhora Presidente",
+    "Senhor Diretor", "Senhora Diretora", "Ilustres Servidores",
+    // Termos técnicos e jurídicos
+    "Constituição Federal", "Constituição da República", "Lei Orgânica",
+    "Lei de Acesso", "Lei de Acesso à Informação", "LAI",
+    "Lei Maria da Penha", "Lei Complementar", "Código Civil", "Código Penal",
+    "Código de Processo", "Programa de Integridade", "Gestão de Riscos",
+    "Controle Interno", "Ouvidoria Geral", "Corregedoria",
+    "Procuradoria Geral", "Advocacia Geral",
+    // Universidades e instituições de ensino
+    "Universidade de Brasília", "UnB", "Universidade Católica", "UCB",
+    "Centro Universitário", "UniCEUB", "IESB", "Instituto Federal", "IFB",
+    "Escola de Governo",
+    // Outros termos comuns
+    "Sistema Eletrônico", "SEI", "e-SIC", "Fala.BR",
+    "Portal da Transparência", "Diário Oficial", "DODF", "Nota Fiscal",
+    "Pregão Eletrônico", "Tomada de Preços", "Concorrência Pública"
+  )
+
+  /** Lowercased terms; small (~150 entries), lives once per executor JVM via
+    * classloading — no broadcast needed at cluster scale.
+    */
+  val Lower: Array[String] = InstitutionalNames.map(_.toLowerCase).toArray
+  private val LowerSet: Set[String] = Lower.toSet
+
+  /** True iff `name` is an institutional (non-PII) name. */
+  def isInstitutional(name: String): Boolean = {
+    if (name == null || name.isEmpty) return false
+    val n = name.toLowerCase.trim
+    if (LowerSet.contains(n)) return true
+    var i = 0
+    while (i < Lower.length) {
+      if (n.contains(Lower(i))) return true
+      i += 1
+    }
+    false
+  }
+}

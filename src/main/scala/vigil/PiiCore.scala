@@ -1,0 +1,255 @@
+package vigil
+
+import java.util.regex.Pattern
+import scala.collection.mutable
+
+/** The per-row PII analysis kernel: matchers with anti-false-positive
+  * context windows, conservative name extraction, north-rule extensions
+  * (Luhn cards / SSN / API keys), contextual signals, and the scrubber.
+  *
+  * Semantics reproduce /root/reference/src/patterns.py:125-317 and
+  * detector.py:223-321; scrub rules are the normative SURVEY.md §2.11
+  * definition. Pure function of the (cleaned) text — no shared state, so it
+  * is safe and deterministic inside a Catalyst expression evaluated on any
+  * executor.
+  *
+  * Performance: all patterns are compiled once per JVM (object init), which
+  * at cluster scale means once per executor via classloading. Per row the
+  * cost is a fixed set of linear regex scans over the turn text — no
+  * allocation-heavy intermediate collections beyond the result buffers.
+  */
+object PiiCore {
+
+  /** A span scheduled for scrubbing (may include occurrences that were
+    * dedup-suppressed in `detalhes` — duplicates are still scrubbed).
+    */
+  private final case class ScrubSpan(tipo: String, beg: Int, end: Int)
+
+  private def digitsOnly(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** SEI/NUP/processo context window: [pos-50, pos+30)
+    * (patterns.py:256-268).
+    */
+  private def isSeiContext(text: String, pos: Int): Boolean = {
+    val ctx = text.substring(math.max(0, pos - 50), math.min(text.length, pos + 30))
+    Patterns.SeiPatterns.exists(_.matcher(ctx).find())
+  }
+
+  /** not-CPF (CDA/CNH/NIS/...) window: [pos-30, pos+15) (patterns.py:270-282). */
+  private def isNotCpfContext(text: String, pos: Int): Boolean = {
+    val ctx = text.substring(math.max(0, pos - 30), math.min(text.length, pos + 15))
+    Patterns.NotCpfPatterns.exists(_.matcher(ctx).find())
+  }
+
+  /** Strip title prefixes from a candidate name (detector.py:270-285).
+    * Iterates the prefix list in order, stripping leading "Px " / "Px. "
+    * then leading/trailing '.'/' ' chars, exactly as the reference.
+    */
+  private[vigil] def cleanName(name0: String): String = {
+    var name = name0
+    if (name == null || name.isEmpty) return ""
+    Patterns.NamePrefixes.foreach { p =>
+      if (name.startsWith(p + " ") || name.startsWith(p + ". ")) {
+        name = name.substring(p.length)
+        // Python str.strip('. ') — strip leading+trailing '.' and ' '
+        var b = 0
+        var e = name.length
+        while (b < e && (name.charAt(b) == '.' || name.charAt(b) == ' ')) b += 1
+        while (e > b && (name.charAt(e - 1) == '.' || name.charAt(e - 1) == ' ')) e -= 1
+        name = name.substring(b, e)
+      }
+    }
+    name.trim
+  }
+
+  /** Validity filter: 2-6 words, not institutional (detector.py:287-321). */
+  private[vigil] def isValidPersonName(name: String): Boolean = {
+    if (name == null) return false
+    val n = name.trim
+    if (n.isEmpty) return false
+    val words = n.split(" ").count(_.nonEmpty)
+    words >= 2 && words <= 6 && !Exclusions.isInstitutional(n)
+  }
+
+  /** Full analysis of an already-cleaned text (see TextClean.clean). */
+  def analyze(text: String): Analysis = {
+    if (text == null || text.isEmpty) return Analysis("", Nil, Nil, "")
+    val details = mutable.ArrayBuffer.empty[Detection]
+    val scrub = mutable.ArrayBuffer.empty[ScrubSpan]
+
+    // --- R1/R2: CPF formatted + partial (shared digit-dedupe set;
+    //     formatted wins — patterns.py:158-187)
+    val seenCpf = mutable.HashSet.empty[String]
+    locally {
+      val m = Patterns.CpfFormatted.matcher(text)
+      while (m.find()) {
+        if (!isSeiContext(text, m.start)) {
+          scrub += ScrubSpan("cpf", m.start, m.end)
+          val key = digitsOnly(m.group)
+          if (seenCpf.add(key)) details += Detection("cpf", m.group, 0.95, m.start, m.end)
+        }
+      }
+      val mp = Patterns.CpfPartial.matcher(text)
+      while (mp.find()) {
+        if (!isSeiContext(text, mp.start)) {
+          scrub += ScrubSpan("cpf", mp.start, mp.end)
+          val key = digitsOnly(mp.group)
+          if (seenCpf.add(key)) details += Detection("cpf", mp.group, 0.90, mp.start, mp.end)
+        }
+      }
+    }
+
+    // --- R3: CPF numeric with explicit context; emits capture group 1
+    //     (digits only) — no dedupe vs R1/R2 in the reference
+    //     (patterns.py:189-201)
+    locally {
+      val m = Patterns.CpfNumericContext.matcher(text)
+      while (m.find()) {
+        if (!isNotCpfContext(text, m.start)) {
+          scrub += ScrubSpan("cpf", m.start(1), m.end(1))
+          details += Detection("cpf", m.group(1), 0.90, m.start(1), m.end(1))
+        }
+      }
+    }
+
+    // --- R4: email, no dedupe (patterns.py:203-208)
+    locally {
+      val m = Patterns.Email.matcher(text)
+      while (m.find()) {
+        scrub += ScrubSpan("email", m.start, m.end)
+        details += Detection("email", m.group, 0.95, m.start, m.end)
+      }
+    }
+
+    // --- R5: phone cascade — fixed variant order decides which surface
+    //     form/confidence wins; dedupe by digits, reject <10 digits
+    //     (patterns.py:210-247)
+    locally {
+      val seenPhone = mutable.HashSet.empty[String]
+      def phonePass(pat: Pattern, conf: Double): Unit = {
+        val m = pat.matcher(text)
+        while (m.find()) {
+          val norm = digitsOnly(m.group)
+          if (norm.length >= 10) {
+            scrub += ScrubSpan("telefone", m.start, m.end)
+            if (seenPhone.add(norm))
+              details += Detection("telefone", m.group, conf, m.start, m.end)
+          }
+        }
+      }
+      phonePass(Patterns.Phone, 0.95)
+      phonePass(Patterns.PhoneIntl, 0.95)
+      phonePass(Patterns.PhoneWithContext, 0.90)
+      phonePass(Patterns.PhoneNoParens, 0.80)
+    }
+
+    // --- R6: RG, no dedupe (patterns.py:249-254)
+    locally {
+      val m = Patterns.Rg.matcher(text)
+      while (m.find()) {
+        scrub += ScrubSpan("rg", m.start, m.end)
+        details += Detection("rg", m.group, 0.85, m.start, m.end)
+      }
+    }
+
+    // --- N2-N6: conservative name extraction (detector.py:243-268) —
+    //     per-pattern finditer in fixed order, clean + validate + dedupe by
+    //     lowercased name (first occurrence wins, conf 0.80)
+    locally {
+      val seenNames = mutable.HashSet.empty[String]
+      Patterns.StrongNameContexts.foreach { pat =>
+        val m = pat.matcher(text)
+        while (m.find()) {
+          val raw = m.group(1).trim
+          val name = cleanName(raw)
+          if (name.nonEmpty && isValidPersonName(name)) {
+            // span of the *cleaned* name inside the capture (cleaning only
+            // strips from the edges, so indexOf is exact)
+            val rel = m.group(1).indexOf(name)
+            val beg = if (rel >= 0) m.start(1) + rel else m.start(1)
+            val end = beg + name.length
+            scrub += ScrubSpan("nome", beg, end)
+            if (seenNames.add(name.toLowerCase))
+              details += Detection("nome", name, 0.80, beg, end)
+          }
+        }
+      }
+    }
+
+    // --- L5: credit card via Luhn (north rule, SURVEY §2.10). Skip
+    //     candidates overlapping an earlier span (e.g. a +55 phone whose 13
+    //     digits happen to pass mod-10).
+    locally {
+      val seenCard = mutable.HashSet.empty[String]
+      val m = Patterns.CardCandidate.matcher(text)
+      while (m.find()) {
+        val digits = digitsOnly(m.group)
+        val overlaps = scrub.exists(s => m.start < s.end && s.beg < m.end)
+        if (!overlaps && Patterns.luhnValid(digits)) {
+          scrub += ScrubSpan("card", m.start, m.end)
+          if (seenCard.add(digits))
+            details += Detection("card", m.group, 0.95, m.start, m.end)
+        }
+      }
+    }
+
+    // --- L6: SSN + API keys (north rule)
+    locally {
+      val m = Patterns.Ssn.matcher(text)
+      while (m.find()) {
+        val overlaps = scrub.exists(s => m.start < s.end && s.beg < m.end)
+        if (!overlaps) {
+          scrub += ScrubSpan("ssn", m.start, m.end)
+          details += Detection("ssn", m.group, 0.90, m.start, m.end)
+        }
+      }
+      val k = Patterns.ApiKey.matcher(text)
+      while (k.find()) {
+        scrub += ScrubSpan("api_key", k.start, k.end)
+        details += Detection("api_key", k.group, 0.90, k.start, k.end)
+      }
+    }
+
+    // --- R10: contextual signals — each family fires at most once
+    //     (patterns.py:284-317)
+    val sinais = mutable.ArrayBuffer.empty[Signal]
+    if (Patterns.FirstPerson.exists(_.matcher(text).find()))
+      sinais += Signal("contexto_1pessoa", "marcador_primeira_pessoa", 0.70)
+    if (Patterns.AddressMarkers.exists(_.matcher(text).find()))
+      sinais += Signal("endereco", "marcador_endereco", 0.60)
+    if (Patterns.ContactMarkers.exists(_.matcher(text).find()))
+      sinais += Signal("contato", "marcador_contato", 0.65)
+
+    Analysis(text, details.toSeq, sinais.toSeq, scrubText(text, scrub.toSeq))
+  }
+
+  /** Normative scrub (SURVEY.md §2.11): overlapping spans merged
+    * first-emitted-wins (R7 emission order), then replaced right-to-left by
+    * start offset so earlier offsets stay valid.
+    */
+  private def scrubText(text: String, spans: Seq[ScrubSpan]): String = {
+    if (spans.isEmpty) return text
+    val kept = mutable.ArrayBuffer.empty[ScrubSpan]
+    spans.foreach { s =>
+      if (!kept.exists(k => s.beg < k.end && k.beg < s.end)) kept += s
+    }
+    val ordered = kept.sortBy(-_.beg)
+    val sb = new java.lang.StringBuilder(text)
+    ordered.foreach { s =>
+      sb.replace(s.beg, s.end, PiiTypes.ScrubToken(s.tipo))
+    }
+    sb.toString
+  }
+
+  /** Convenience: clean + analyze raw text (the reference's detect()). */
+  def detect(raw: String): Analysis = analyze(TextClean.clean(raw))
+}

@@ -1,0 +1,134 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end per-turn scoring + conversation-level decisions.
+  *
+  * Shape (SURVEY.md §3 E1): everything per-turn is a narrow, pipelined
+  * projection — scan → clean+analyze (one expression) → column algebra —
+  * with shuffles ONLY at (i) the conversation aggregates and (ii) the join
+  * of conversation decisions back to turns. Both key on conv_id; AQE
+  * coalesces/splits the exchanges at runtime.
+  *
+  * Skew: conversation lengths are power-law at transcript scale. The
+  * conversation aggregates use an explicit two-level salted aggregation
+  * (conv_id × salt, then conv_id) so no reducer ever owns a whole
+  * mega-conversation, on top of hash-aggregate map-side partial combine.
+  */
+object Decide {
+
+  final case class Config(
+      targetLang: String = "en",
+      maxConvPiiDensity: Double = 0.5,
+      minMajorityFrac: Double = 0.5,
+      saltBuckets: Int = 16,
+      quality: Quality.Config = Quality.Default
+  )
+  val Default: Config = Config()
+
+  private val Real5 = PiiTypes.Real.toSeq.sorted
+
+  /** Per-turn scoring: adds clean/detalhes/sinais/scrubbed_text, reference
+    * keep-drop columns (contem_pii, tipos_detectados, confianca), langid +
+    * perplexity, quality metrics, toxicity and the per-turn keep verdict.
+    * Narrow (no shuffle).
+    */
+  def scoreTurns(turns: DataFrame, cfg: Config = Default): DataFrame = {
+    val withPii = turns.withColumn("pii", functions.pii_analyze(col("text")))
+    val reais = filter(col("pii.detalhes"), d => d.getField("tipo").isin(Real5: _*))
+    val base = withPii
+      .withColumn("clean", col("pii.clean"))
+      .withColumn("detalhes", col("pii.detalhes"))
+      .withColumn("scrubbed_text", col("pii.scrubbed"))
+      .withColumn("reais", reais)
+      // reference parity: contextual signals are surfaced only when real
+      // PII exists (detector.py:343-352 returns the empty result otherwise)
+      .withColumn("sinais",
+        when(size(col("reais")) > 0, col("pii.sinais"))
+          .otherwise(array().cast(
+            org.apache.spark.sql.types.ArrayType(PiiSchema.signalType, containsNull = false))))
+      // reference decision rule (detector.py:330-366): only the 5 real
+      // types flip contem_pii; contextual signals are metadata
+      .withColumn("contem_pii", size(col("reais")) > 0)
+      .withColumn("tipos_detectados",
+        array_distinct(transform(col("reais"), d => d.getField("tipo"))))
+      .withColumn("confianca",
+        when(col("contem_pii"),
+          round(array_max(transform(col("reais"), d => d.getField("confianca"))), 2))
+          .otherwise(lit(0.0)))
+      .withColumn("has_extended_pii",
+        exists(col("pii.detalhes"),
+          d => d.getField("tipo").isin(PiiTypes.Extended.toSeq: _*)))
+      .drop("reais")
+    val withLang = base.withColumn("ls", functions.lang_score(col("clean")))
+      .withColumn("lang", col("ls.lang"))
+      .withColumn("lang_conf", col("ls.lang_conf"))
+      .withColumn("perplexity", col("ls.perplexity"))
+      .drop("ls")
+    val withQuality = Quality.metrics(col("clean")).foldLeft(withLang) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    withQuality
+      .withColumn("quality_pass", Quality.passes(cfg.quality))
+      .withColumn("toxic", Toxicity.isToxic(col("clean")))
+      .withColumn("keep_turn", col("quality_pass") && !col("toxic"))
+  }
+
+  /** Conversation-level decisions over scored turns: majority language and
+    * PII density (north rule J4/A6). Two-level salted aggregation.
+    */
+  def convDecisions(scored: DataFrame, cfg: Config = Default): DataFrame = {
+    val salted = scored.select(
+      col("conv_id"),
+      pmod(hash(col("turn_idx")), lit(cfg.saltBuckets)).as("salt"),
+      col("lang"),
+      col("contem_pii").cast("int").as("pii"),
+      col("toxic").cast("int").as("tox")
+    )
+    // level 1: (conv, salt, lang) partials — no reducer sees a whole
+    // mega-conversation; level 2: merge salt buckets per (conv, lang);
+    // level 3: pick the majority lang + fold counters per conv.
+    val perLang = salted
+      .groupBy("conv_id", "salt", "lang")
+      .agg(count(lit(1)).as("cnt"), sum("pii").as("pii"), sum("tox").as("tox"))
+      .groupBy("conv_id", "lang")
+      .agg(sum("cnt").as("cnt"), sum("pii").as("pii"), sum("tox").as("tox"))
+    perLang
+      .groupBy("conv_id")
+      .agg(
+        // deterministic mode: max (count, lang) struct — ties break to the
+        // lexicographically largest lang
+        max(struct(col("cnt"), col("lang"))).as("m"),
+        sum("cnt").as("n_turns"),
+        sum("pii").as("n_pii_turns"),
+        sum("tox").as("n_toxic_turns")
+      )
+      .select(
+        col("conv_id"),
+        col("m.lang").as("majority_lang"),
+        (col("m.cnt").cast("double") / col("n_turns")).as("majority_frac"),
+        col("n_turns"),
+        (col("n_pii_turns").cast("double") / col("n_turns")).as("pii_density"),
+        col("n_toxic_turns")
+      )
+      .withColumn("drop_conversation",
+        (col("majority_lang") =!= lit(cfg.targetLang) &&
+          col("majority_frac") >= lit(cfg.minMajorityFrac)) ||
+          col("pii_density") > lit(cfg.maxConvPiiDensity))
+  }
+
+  /** Full decision: per-turn scoring + conversation decisions joined back.
+    * keep = keep_turn && !drop_conversation. The join keys on conv_id;
+    * conversation rows are ~|turns|/avg_len so at scale this is a
+    * sort-merge join with AQE skew splitting; at test scale AQE broadcasts.
+    */
+  def decide(turns: DataFrame, cfg: Config = Default): DataFrame = {
+    val scored = scoreTurns(turns, cfg)
+    val conv = convDecisions(scored, cfg)
+      .select("conv_id", "majority_lang", "pii_density", "drop_conversation")
+    scored
+      .join(conv, Seq("conv_id"))
+      .withColumn("keep", col("keep_turn") && !col("drop_conversation"))
+  }
+}

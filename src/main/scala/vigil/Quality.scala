@@ -1,0 +1,79 @@
+package vigil
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Heuristic quality rules (north rule [NR], SURVEY.md §2.10 L3), in the
+  * Gopher (Rae et al. 2021) / C4 (Raffel et al. 2020) style, expressed as
+  * pure built-in column expressions so they stay inside whole-stage codegen
+  * — no UDFs anywhere in this module.
+  *
+  * All rules read one string column (the cleaned text) and emit flat metric
+  * columns plus a boolean verdict; thresholds are normative constants of
+  * this engine, documented per rule.
+  */
+object Quality {
+
+  final case class Config(
+      minWords: Int = 1,           // turns may legitimately be terse
+      maxWords: Int = 50000,
+      maxMeanWordLen: Double = 14.0, // Gopher: mean word length in [3,10] for docs; relaxed for turns
+      minAlphaWordFrac: Double = 0.5, // Gopher: ≥0.8 words with an alphabetic char; relaxed for code-bearing turns
+      maxSymbolWordRatio: Double = 0.5, // Gopher: #/… symbol-to-word ratio ≤ 0.1; generalized to all symbols
+      maxWordLen: Int = 120,       // a single "word" longer than this ⇒ junk/binary
+      maxDupLineFrac: Double = 0.6, // Gopher: duplicate line fraction ≤ 0.3 on docs; relaxed
+      max2gramDupFrac: Double = 0.8, // repetition: 1 - distinct(2grams)/2grams
+      maxPerplexity: Double = 40.0 // char-LM ppl; natural latin text ≲ 25 on this LM
+  )
+  val Default: Config = Config()
+
+  /** Words of the cleaned text (single-space separated after TextClean). */
+  def words(clean: Column): Column =
+    filter(split(clean, " "), w => length(w) > 0)
+
+  /** Adds the metric columns for `clean` under the given prefix. */
+  def metrics(clean: Column): Seq[(String, Column)] = {
+    val ws = words(clean)
+    val nWords = size(ws)
+    val nChars = length(clean)
+    // letters-only word fraction (words containing at least one letter)
+    val alphaWords = size(filter(ws, w => w.rlike("\\p{L}")))
+    // symbols = chars that are neither letter, digit nor space
+    val nSymbols = length(regexp_replace(clean, "[\\p{L}\\p{N} ]", ""))
+    val maxWordLen = coalesce(array_max(transform(ws, w => length(w))), lit(0))
+    val meanWordLen = when(nWords > 0,
+      aggregate(ws, lit(0), (acc, w) => acc + length(w)).cast("double") / nWords
+    ).otherwise(lit(0.0))
+    // line-level duplication on the raw text (TextClean collapses \n, so
+    // callers pass the pre-collapse text when line stats matter; on cleaned
+    // text this degrades gracefully to 0)
+    val grams2 = when(nWords >= 2,
+      transform(sequence(lit(0), nWords - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))
+    ).otherwise(array())
+    val dup2 = when(size(grams2) > 0,
+      lit(1.0) - size(array_distinct(grams2)).cast("double") / size(grams2)
+    ).otherwise(lit(0.0))
+    Seq(
+      "n_words" -> nWords,
+      "n_chars" -> nChars,
+      "mean_word_len" -> meanWordLen,
+      "max_word_len" -> maxWordLen,
+      "alpha_word_frac" -> when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(lit(0.0)),
+      "symbol_word_ratio" -> when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(lit(0.0)),
+      "dup_2gram_frac" -> dup2
+    )
+  }
+
+  /** Verdict over metric columns produced by [[metrics]] (+ perplexity). */
+  def passes(cfg: Config = Default): Column = {
+    (col("n_words") >= cfg.minWords) &&
+    (col("n_words") <= cfg.maxWords) &&
+    (col("mean_word_len") <= cfg.maxMeanWordLen) &&
+    (col("alpha_word_frac") >= cfg.minAlphaWordFrac || col("n_words") < 5) &&
+    (col("symbol_word_ratio") <= cfg.maxSymbolWordRatio) &&
+    (col("max_word_len") <= cfg.maxWordLen) &&
+    (col("dup_2gram_frac") <= cfg.max2gramDupFrac) &&
+    (col("perplexity") <= cfg.maxPerplexity)
+  }
+}

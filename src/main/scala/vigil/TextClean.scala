@@ -1,0 +1,30 @@
+package vigil
+
+import java.text.Normalizer
+import java.util.regex.Pattern
+
+/** Text preprocessing P1-P4 (SURVEY.md §2.2).
+  *
+  * Reproduces /root/reference/src/preprocessor.py:39-80:
+  *   1. null → ""
+  *   2. Unicode NFKC normalization (① → 1, ﬁ → fi; accents preserved)
+  *   3. strip control chars [\x00-\x08\x0b\x0c\x0e-\x1f\x7f] (keeps \n, \t)
+  *   4. collapse \s+ to a single space, then trim
+  *
+  * Both Python's unicodedata.normalize and java.text.Normalizer implement
+  * UAX#15, so NFKC results are identical. UNICODE_CHARACTER_CLASS makes
+  * Java's \s match the same Unicode whitespace set as Python's re.
+  */
+object TextClean {
+  private val ControlChars =
+    Pattern.compile("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+  private val MultiSpace =
+    Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+
+  def clean(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    val nfkc = Normalizer.normalize(text, Normalizer.Form.NFKC)
+    val noCtl = ControlChars.matcher(nfkc).replaceAll("")
+    MultiSpace.matcher(noCtl).replaceAll(" ").strip()
+  }
+}

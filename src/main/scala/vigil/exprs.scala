@@ -1,0 +1,124 @@
+package vigil
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.VigilShim
+
+/** Catalyst expressions for the per-turn scoring hot path.
+  *
+  * Design (SURVEY.md §2.3 note M1): match offsets, anti-FP context windows
+  * and cross-pattern dedupe cannot be expressed with regexp_* built-ins, so
+  * ONE custom expression owns the whole per-row analysis and everything
+  * downstream is plain column algebra over its output struct. The expression
+  * is deterministic and uses CodegenFallback — it still runs pipelined
+  * inside whole-stage-codegen stages; only fusion of this operator is lost,
+  * which is irrelevant because java.util.regex dominates the per-row cost.
+  *
+  * All model/pattern state is JVM-static (object init) — at cluster scale
+  * that is once per executor via classloading, with no broadcast traffic.
+  */
+object PiiSchema {
+  val detectionType: StructType = StructType(Seq(
+    StructField("tipo", StringType, nullable = false),
+    StructField("valor", StringType, nullable = false),
+    StructField("confianca", DoubleType, nullable = false),
+    StructField("beg", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false)
+  ))
+  val signalType: StructType = StructType(Seq(
+    StructField("tipo", StringType, nullable = false),
+    StructField("valor", StringType, nullable = false),
+    StructField("confianca", DoubleType, nullable = false)
+  ))
+  val analysisType: StructType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("detalhes", ArrayType(detectionType, containsNull = false), nullable = false),
+    StructField("sinais", ArrayType(signalType, containsNull = false), nullable = false),
+    StructField("scrubbed", StringType, nullable = false)
+  ))
+}
+
+/** text → struct(clean, detalhes, sinais, scrubbed) in a single pass. */
+case class PiiAnalyzeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = PiiSchema.analysisType
+  override def nullable: Boolean = false
+  override def prettyName: String = "pii_analyze"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val raw = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val a = PiiCore.detect(raw)
+    val det = new GenericArrayData(a.detalhes.map { d =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
+        d.confianca, d.beg, d.end))
+    }.toArray[Any])
+    val sig = new GenericArrayData(a.sinais.map { s =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
+        s.confianca))
+    }.toArray[Any])
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(a.clean), det, sig,
+      UTF8String.fromString(a.scrubbed)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): PiiAnalyzeExpr =
+    copy(child = c)
+}
+
+/** text → NFKC + control-strip + whitespace-collapse + trim (P1-P4). */
+case class CleanTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "clean_text"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val raw = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(TextClean.clean(raw))
+  }
+  override protected def withNewChildInternal(c: Expression): CleanTextExpr =
+    copy(child = c)
+}
+
+/** text → struct(lang, lang_conf, perplexity): language ID and n-gram LM
+  * perplexity share one character-trigram extraction pass (the profiled
+  * hot path of the north rule).
+  */
+case class LangScoreExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LangScoreExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "lang_score"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val (lang, conf, ppl) = LangModel.scoreBoth(text)
+    new GenericInternalRow(Array[Any](UTF8String.fromString(lang), conf, ppl))
+  }
+  override protected def withNewChildInternal(c: Expression): LangScoreExpr =
+    copy(child = c)
+}
+object LangScoreExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("lang_conf", DoubleType, nullable = false),
+    StructField("perplexity", DoubleType, nullable = false)
+  ))
+}
+
+/** Column-level API over the expressions. */
+object functions {
+  private def expr(c: Column) = VigilShim.expression(c)
+  def pii_analyze(c: Column): Column = VigilShim.column(PiiAnalyzeExpr(expr(c)))
+  def clean_text(c: Column): Column = VigilShim.column(CleanTextExpr(expr(c)))
+  def lang_score(c: Column): Column = VigilShim.column(LangScoreExpr(expr(c)))
+}

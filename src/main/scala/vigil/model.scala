@@ -1,0 +1,71 @@
+package vigil
+
+/** Core data model for the vigil Spark engine.
+  *
+  * Shapes derive from the reference's detection-result contract
+  * (/root/reference/src/detector.py:360-376) re-hosted on the north-rule
+  * transcript schema (conv_id, turn_idx, role, text, tool, ts).
+  */
+
+/** One turn of a multi-turn conversation transcript (north-rule input). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp
+)
+
+/** One detected PII span.
+  *
+  * Mirrors the reference's (tipo, valor, confianca) detail tuples
+  * (/root/reference/src/detector.py:363) extended with [beg, end) character
+  * offsets into the *cleaned* text so the scrubber can splice replacements.
+  */
+final case class Detection(
+    tipo: String,
+    valor: String,
+    confianca: Double,
+    beg: Int,
+    end: Int
+)
+
+/** A contextual signal (metadata only; never flips the keep/drop decision —
+  * /root/reference/src/detector.py:327-328, tested test_detector.py:176-196).
+  */
+final case class Signal(tipo: String, valor: String, confianca: Double)
+
+/** Full per-turn analysis: cleaned text, deduped detail spans, contextual
+  * signals, and the scrubbed text (normative scrub rules: SURVEY.md §2.11).
+  */
+final case class Analysis(
+    clean: String,
+    detalhes: Seq[Detection],
+    sinais: Seq[Signal],
+    scrubbed: String
+)
+
+object PiiTypes {
+  /** PII types that flip contem_pii=true (reference: detector.py:325) plus
+    * the north-rule extensions (card/ssn/api_key are scrub-grade PII too).
+    */
+  val Real: Set[String] =
+    Set("cpf", "email", "telefone", "rg", "nome")
+  /** North-rule-only scrub-grade types (not part of the reference's 5). */
+  val Extended: Set[String] = Set("card", "ssn", "api_key")
+  /** Contextual signal types (metadata only; detector.py:328). */
+  val Contextual: Set[String] = Set("contexto_1pessoa", "endereco", "contato")
+
+  /** Scrub replacement token per type (SURVEY.md §2.11). */
+  val ScrubToken: Map[String, String] = Map(
+    "cpf" -> "<CPF>",
+    "email" -> "<EMAIL>",
+    "telefone" -> "<TELEFONE>",
+    "rg" -> "<RG>",
+    "nome" -> "<NOME>",
+    "card" -> "<CARD>",
+    "ssn" -> "<SSN>",
+    "api_key" -> "<KEY>"
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.PiiCore
+
+/** Differential parity against the reference engine's labels.
+  *
+  * src/test/resources/parity_corpus.jsonl holds 400 synthetic texts labeled
+  * by running the REFERENCE implementation (no-NER deterministic contract)
+  * offline — see scripts/gen_parity_corpus.py. The north-rule gate is
+  * F1 ≥ 0.99 on keep/drop; this spec additionally requires exact equality
+  * of detail tuples (tipo, valor, confianca), signal tuples, and the folded
+  * confidence — strictly stronger than the F1 gate.
+  */
+class ParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def corpusPath: String = {
+    val url = getClass.getClassLoader.getResource("parity_corpus.jsonl")
+    assert(url != null, "parity_corpus.jsonl missing from test resources")
+    url.getPath
+  }
+
+  test("exact agreement with reference labels on the 400-text corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.json(corpusPath)
+      .select("id", "text", "contem_pii", "tipos", "detalhes", "sinais", "confianca")
+      .collect()
+    assert(rows.length == 400)
+
+    var mismatches = List.empty[String]
+    var tp = 0; var fp = 0; var fn = 0; var tn = 0
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val text = r.getString(1)
+      val expPii = r.getBoolean(2)
+      val expTipos = r.getSeq[String](3)
+      // JSON holds heterogeneous [tipo, valor, conf] triples — Spark
+      // infers array<array<string>>, so parse conf back to Double
+      val expDet = r.getSeq[scala.collection.Seq[String]](4)
+        .map(d => (d(0), d(1), d(2).toDouble))
+      val expSig = r.getSeq[scala.collection.Seq[String]](5)
+        .map(d => (d(0), d(1), d(2).toDouble))
+      val expConf = r.getDouble(6)
+
+      val a = PiiCore.detect(text)
+      val reais = a.detalhes.filter(d => vigil.PiiTypes.Real.contains(d.tipo))
+      val gotPii = reais.nonEmpty
+      val gotTipos = reais.map(_.tipo).distinct
+      val gotDet = reais.map(d => (d.tipo, d.valor, d.confianca))
+      // reference parity: contextual signals are dropped entirely when no
+      // real PII exists (detector.py:351-352 returns the empty result)
+      val gotSig =
+        if (reais.isEmpty) Nil
+        else a.sinais.map(s => (s.tipo, s.valor, s.confianca))
+      val gotConf =
+        if (reais.isEmpty) 0.0
+        else math.round(reais.map(_.confianca).max * 100.0) / 100.0
+
+      (expPii, gotPii) match {
+        case (true, true) => tp += 1
+        case (false, true) => fp += 1
+        case (true, false) => fn += 1
+        case (false, false) => tn += 1
+      }
+      if (gotPii != expPii || gotTipos != expTipos || gotDet != expDet ||
+          gotSig != expSig || math.abs(gotConf - expConf) > 1e-9) {
+        mismatches ::= s"id=$id text=$text\n  exp: pii=$expPii det=$expDet sig=$expSig conf=$expConf\n  got: pii=$gotPii det=$gotDet sig=$gotSig conf=$gotConf"
+      }
+    }
+    val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    val recall = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    val f1 = if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+    info(f"keep/drop confusion: tp=$tp fp=$fp fn=$fn tn=$tn F1=$f1%.4f")
+    assert(f1 >= 0.99, f"F1 $f1%.4f below the 0.99 north-rule gate")
+    assert(mismatches.isEmpty,
+      s"${mismatches.size} detail mismatches:\n${mismatches.take(5).mkString("\n")}")
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Decide
+
+/** Spark-level tests of the scoring pipeline + conversation decisions. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def turnsDf(rows: Seq[(String, Int, String)]) = {
+    import spark.implicits._
+    rows.map { case (c, i, t) =>
+      vigil.Turn(c, i, "user", t, "", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }.toDF()
+  }
+
+  test("per-turn scoring columns match reference semantics") {
+    val df = turnsDf(Seq(
+      ("c1", 0, "Meu CPF é 123.456.789-00 e email a@b.com"),
+      ("c1", 1, "Solicito informações sobre o processo."),
+      ("c2", 0, "Processo SEI 00015-12345678/2026-01")
+    ))
+    val scored = Decide.scoreTurns(df).orderBy("conv_id", "turn_idx").collect()
+    val r0 = scored(0)
+    assert(r0.getAs[Boolean]("contem_pii"))
+    assert(r0.getAs[scala.collection.Seq[String]]("tipos_detectados").toSeq ==
+      Seq("cpf", "email"))
+    assert(r0.getAs[Double]("confianca") == 0.95)
+    assert(r0.getAs[String]("scrubbed_text") == "Meu CPF é <CPF> e email <EMAIL>")
+    assert(!scored(1).getAs[Boolean]("contem_pii"))
+    assert(!scored(2).getAs[Boolean]("contem_pii"))
+    assert(scored(2).getAs[String]("scrubbed_text") ==
+      "Processo SEI 00015-12345678/2026-01")
+  }
+
+  test("conversation decisions: majority lang + pii density") {
+    val en = "please send me the report about the process and the work"
+    val pt = "solicito informações sobre o processo administrativo e os documentos"
+    val df = turnsDf(Seq(
+      ("en-conv", 0, en), ("en-conv", 1, en + " thank you for your help"),
+      ("pt-conv", 0, pt), ("pt-conv", 1, pt + " agradeço desde já"),
+      ("pii-conv", 0, "Meu CPF é 123.456.789-00, " + en),
+      ("pii-conv", 1, "RG: 1234567, " + en)
+    ))
+    val out = Decide.decide(df)
+    val conv = out.select("conv_id", "majority_lang", "pii_density", "drop_conversation")
+      .distinct().collect().map(r => r.getString(0) -> r).toMap
+    assert(conv("en-conv").getAs[String]("majority_lang") == "en")
+    assert(!conv("en-conv").getAs[Boolean]("drop_conversation"))
+    assert(conv("pt-conv").getAs[String]("majority_lang") == "pt")
+    assert(conv("pt-conv").getAs[Boolean]("drop_conversation"),
+      "majority-non-target-language conversation must drop")
+    assert(conv("pii-conv").getAs[Double]("pii_density") == 1.0)
+    assert(conv("pii-conv").getAs[Boolean]("drop_conversation"),
+      "high-PII-density conversation must drop")
+    // keep = keep_turn && !drop_conversation
+    val keeps = out.filter(col("conv_id") === "en-conv").select("keep")
+      .collect().map(_.getBoolean(0))
+    assert(keeps.forall(identity))
+  }
+
+  test("quality rules and toxicity flag junk turns") {
+    val df = turnsDf(Seq(
+      ("q", 0, "a normal sentence with reasonable words and structure here"),
+      ("q", 1, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx" * 3),
+      ("q", 2, "$$$ %% ### !!! @@@ ^^^ &&& *** ((( ))) $$$ %% ###"),
+      ("q", 3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      ("q", 4, "you are a complete idiot and I hate this")
+    ))
+    val rows = Decide.scoreTurns(df).orderBy("turn_idx")
+      .select("quality_pass", "toxic").collect()
+    assert(rows(0).getBoolean(0) && !rows(0).getBoolean(1))
+    assert(!rows(1).getBoolean(0), "overlong single word must fail quality")
+    assert(!rows(2).getBoolean(0), "symbol soup must fail quality")
+    assert(!rows(3).getBoolean(0), "pure repetition must fail quality")
+    assert(rows(4).getBoolean(1), "lexicon hit must flag toxic")
+  }
+
+  test("langid separates the five model languages") {
+    val samples = Map(
+      "en" -> "the quick brown fox jumps over the lazy dog near the river",
+      "pt" -> "gostaria de saber quais são os prazos e onde devo enviar os documentos",
+      "es" -> "me gustaría saber cuáles son los plazos y dónde debo enviar los documentos",
+      "fr" -> "je voudrais savoir quels sont les délais et où je dois envoyer les documents",
+      "de" -> "ich möchte wissen welche fristen gelten und wohin ich die unterlagen schicken soll"
+    )
+    samples.foreach { case (lang, text) =>
+      val (got, conf, ppl) = vigil.LangModel.scoreBoth(text)
+      assert(got == lang, s"expected $lang got $got (conf=$conf) for: $text")
+      assert(ppl > 1.0 && ppl < 40.0, s"ppl out of natural range: $ppl")
+    }
+    val (und, _, _) = vigil.LangModel.scoreBoth("42 17 ???")
+    assert(und == "und")
+    val (_, _, junkPpl) = vigil.LangModel.scoreBoth("qz xj wq vk jx zq kv qx jz wv" * 3)
+    assert(junkPpl > 40.0, s"gibberish ppl should exceed threshold: $junkPpl")
+  }
+
+  test("driver entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
