@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Label the parity corpus texts with the REFERENCE HumanReviewAnalyzer.
+
+Reads src/test/resources/parity_corpus.jsonl (texts), runs the reference
+detector + review analyzer, writes review_corpus.jsonl with one line per
+text: {"id": n, "items": [{prioridade, tipo_pii, valor_detectado, score,
+motivo, texto_trecho, explicacao}, ...]}.
+
+Run from /root/repo: python3 scripts/gen_review_corpus.py
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/reference")
+from src.detector import PIIDetector  # noqa: E402
+from src.human_review import HumanReviewAnalyzer  # noqa: E402
+
+
+def main():
+    det = PIIDetector(use_ner=False)
+    ana = HumanReviewAnalyzer()
+    out = []
+    with open("src/test/resources/parity_corpus.jsonl", encoding="utf-8") as fh:
+        for line in fh:
+            rec = json.loads(line)
+            r = det.detect(rec["text"])
+            items = ana.analyze(str(rec["id"]), rec["text"], r)
+            out.append({
+                "id": rec["id"],
+                "items": [{
+                    "prioridade": it.prioridade.value,
+                    "tipo_pii": it.tipo_pii,
+                    "valor_detectado": it.valor_detectado,
+                    "score": it.score,
+                    "motivo": it.motivo.value,
+                    "texto_trecho": it.texto_trecho,
+                    "explicacao": it.contexto_adicional,
+                } for it in items],
+            })
+    path = "src/test/resources/review_corpus.jsonl"
+    with open(path, "w", encoding="utf-8") as fh:
+        for o in out:
+            fh.write(json.dumps(o, ensure_ascii=False) + "\n")
+    n = sum(len(o["items"]) for o in out)
+    print(f"wrote {len(out)} records, {n} review items to {path}")
+
+
+if __name__ == "__main__":
+    main()

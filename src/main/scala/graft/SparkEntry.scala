@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import vigil.{Decide, Quality, Toxicity}
+import vigil.{Decide, Quality, Review, Synth, Toxicity}
 import vigil.{functions => vf}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,6 +20,16 @@ object SparkEntry {
     spark.read.parquet(s"$dir/documents.parquet")
   private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
+
+  /** Deterministic transcript corpus sized by the scale-factor dir name
+    * (sf0.01 → 2,000 conversations; sf0.1 → 20,000; ...).
+    */
+  private def transcripts(spark: SparkSession, dir: String): DataFrame = {
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(dir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
+    Synth.corpusDF(spark, nConvs = math.max(200, (sf * 200000).toInt))
+  }
+  private val PtCfg = Decide.Default.copy(targetLang = "pt")
 
   /** Flagship: full per-turn PII keep/drop + scrub over the documents table
     * (doc_id hosted as a single-turn conversation). Driver smoke-checks
@@ -141,6 +151,19 @@ object SparkEntry {
         .select(col("doc_id"), col("ls.lang").as("lang_pred"),
           col("ls.perplexity").as("perplexity"))
         .orderBy("doc_id")
+    }),
+    // --- the flagship transcript pipeline (engine-native, rows-only):
+    //     clean → analyze → keep/drop → scrub → conversation decisions ----
+    "pipeline_transcripts" -> ((s, dir) => {
+      Decide.decide(transcripts(s, dir), PtCfg)
+        .select("conv_id", "turn_idx", "contem_pii", "confianca",
+          "scrubbed_text", "lang", "perplexity", "quality_pass", "toxic",
+          "majority_lang", "pii_density", "drop_conversation", "keep")
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // --- H1-H6 review triage over the transcript corpus ------------------
+    "q_review_triage" -> ((s, dir) => {
+      Review.reviewTable(Decide.scoreTurns(transcripts(s, dir), PtCfg))
     }),
     // --- L4 toxicity lexicon ---------------------------------------------
     "q_toxicity" -> ((s, dir) => {

@@ -89,8 +89,12 @@ object Patterns {
   // --- North-rule scrub-grade extensions (SURVEY.md §2.10 L5-L6) ---------
   /** Credit-card candidate: 13-19 digits with optional space/dash
     * separators; confirmed by Luhn mod-10 before it becomes a detection.
+    * Lookarounds reject candidates glued to more digit groups via ./- or /
+    * (process numbers like "42199-37595215/2026-03" otherwise pass Luhn
+    * ~10% of the time — found by the fixture fuzz corpus).
     */
-  val CardCandidate: Pattern = p("""\b\d(?:[ -]?\d){12,18}\b""")
+  val CardCandidate: Pattern =
+    p("""(?<![\d./-])\b\d(?:[ -]?\d){12,18}\b(?![./-]?\d)""")
   /** US SSN shape. */
   val Ssn: Pattern = p("""\b\d{3}-\d{2}-\d{4}\b""")
   /** API-key shapes: OpenAI-style sk-, AWS AKIA, GitHub ghp_, generic hex. */

@@ -1,0 +1,251 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Human-review triage (SURVEY.md §2.12; reference
+  * /root/reference/src/human_review.py).
+  *
+  * Derives, from the scored turns, one review row per (turn, detected
+  * value) that merits human attention: confidence banding (H1) plus six
+  * context families for names (H2), consolidated per (turn, value) keeping
+  * the most-prioritary reason (W1), priority-sorted (W2).
+  *
+  * Spark shape: context families are whole-text existence checks → one
+  * rlike mega-alternation per family, evaluated once per turn (not per
+  * detail); detail-level work happens after posexplode; consolidation is a
+  * row_number window over (conv_id, turn_idx, lower(valor)). The window
+  * shuffles on the turn key — fine at scale because cardinality is
+  * per-detail, and AQE coalesces.
+  */
+object Review {
+
+  // Context-family patterns (data parity: human_review.py:89-161).
+  // Java inline flags (?iU) = CASE_INSENSITIVE + UNICODE_CHARACTER_CLASS
+  // (which implies UNICODE_CASE) — matching Python's re.IGNORECASE.
+  private def family(patterns: Seq[String]): String =
+    "(?iU)" + patterns.map(p => s"(?:$p)").mkString("|")
+
+  val ArtisticRe: String = family(Seq(
+    """\b(vitral|vitrais|mosaico|mosaicos|escultura|esculturas|afresco|afrescos)\b""",
+    """\b(painéis?)\s+(artístico|de\s+arte|decorativo|azulejo)""",
+    """\bpainéis\s+(?:de\s+)?[A-Z][a-záàâãéêíóôõúç]+""",
+    """\b(obra|obras)\s+de\s+arte\b""",
+    """\b(artista|artistas|pintor|pintores|escultor|escultores)\b""",
+    """\bpatrimônio\s+(cultural|histórico|artístico|tombado)\b""",
+    """\b(tombado|tombamento)\b""",
+    """\bmuseu\s+(?:de\s+)?(?:arte|belas\s+artes)\b""",
+    """\bgaleria\s+(?:de\s+)?arte\b""",
+    """\b(lustre|lustres|luminária|luminárias)\s+(?:antiga|antigo|históric)"""
+  ))
+  val AcademicRe: String = family(Seq(
+    """\b(pesquisador|pesquisadora|orientador|orientadora)\b""",
+    """\b(prof\.|profa\.|professor|professora)\s+[A-Z]""",
+    """\bDr\.?\s+[A-Z]""",
+    """\bDoutora?\.?\s+[A-Z]""",
+    """\b(mestrado|doutorado|tese|dissertação|pós-graduação)\b""",
+    """\buniversidade\s+(?:de|do|da|federal|estadual|católica)\b""",
+    """\bfaculdade\s+(?:de|do|da)\b""",
+    """\binstituto\s+(?:brasileiro\s+de\s+)?(?:ensino|pesquisa|educação)\b""",
+    """\b(artigo|publicação|pesquisa)\s+(?:científica|acadêmica)\b""",
+    """\bprojeto\s+(?:de\s+)?(?:pesquisa|tcc|final)\b"""
+  ))
+  val JournalisticRe: String = family(Seq(
+    """\b(segundo|conforme|de\s+acordo\s+com)\s+(?:a\s+)?(?:reportagem|matéria|notícia)\b""",
+    """\b(publicado|publicada)\s+(?:no|na|em)\s+(?:jornal|revista|site)\b""",
+    """\bfonte[:\s]+[A-Z]""",
+    """\b(jornalista|repórter|colunista)\s+[A-Z]"""
+  ))
+  val PublicOfficialRe: String = family(Seq(
+    """\b(governador|governadora)\s+[A-Z]""",
+    """\b(secretário|secretária)\s+(?:de\s+estado\s+)?[A-Z]""",
+    """\b(ministro|ministra)\s+[A-Z]""",
+    """\b(prefeito|prefeita)\s+[A-Z]""",
+    """\b(deputado|deputada|senador|senadora)\s+[A-Z]""",
+    """\b(presidente|vice-presidente)\s+[A-Z]""",
+    """\bex-(?:governador|prefeito|ministro|presidente)\b"""
+  ))
+  val LegalRe: String = family(Seq(
+    """\bOAB[/\s]?[A-Z]{2}[:\s]*\d+""",
+    """\badvogado\s+[A-Z]""",
+    """\badvogada\s+[A-Z]""",
+    """\bprocurador\s+[A-Z]""",
+    """\bdefensor\s+[A-Z]""",
+    """\bjuiz\s+[A-Z]""",
+    """\bjuíza\s+[A-Z]""",
+    """\bdesembargador\s+[A-Z]"""
+  ))
+  val AuthorshipRe: String = family(Seq(
+    """\b(?:autor|autora|escrito\s+por)\s+[A-Z]""",
+    """\bsegundo\s+[A-Z][a-záàâãéêíóôõúç]+\s+\(\d{4}\)""",
+    """\b[A-Z][A-Z]+,\s+[A-Z][a-z]+\.\s+\(\d{4}\)""",
+    """\bapud\s+[A-Z]""",
+    """\bin:\s+[A-Z]"""
+  ))
+
+  /** Known-artist list (human_review.py:164-174); matched bidirectionally
+    * by substring (human_review.py:380-386).
+    */
+  val KnownArtists: Seq[String] = Seq(
+    "athos bulcão", "athos bulsão", "burle marx", "roberto burle marx",
+    "oscar niemeyer", "cândido portinari", "portinari", "di cavalcanti",
+    "tarsila do amaral", "alfredo volpi", "marianne peretti", "gugon"
+  )
+
+  /** Reason-consolidation rank (human_review.py:262-273). */
+  val ReasonRank: Map[String, Int] = Map(
+    "contexto_artistico" -> 1, "contexto_academico" -> 2,
+    "contexto_juridico" -> 3, "contexto_cargo_publico" -> 4,
+    "score_medio" -> 5, "score_baixo" -> 6,
+    "contexto_jornalistico" -> 7, "contexto_autoria" -> 8,
+    "nome_unico" -> 9, "ambiguidade_institucional" -> 10
+  )
+  /** Export priority order (human_review.py:491-495). */
+  val PriorityRank: Map[String, Int] = Map("alta" -> 0, "media" -> 1, "baixa" -> 2)
+
+  /** Legal-rationale explanation per reason (human_review.py:412-456). */
+  val Explanations: Map[String, String] = Map(
+    "score_baixo" -> ("Score de confiança do modelo abaixo do threshold. " +
+      "Maior chance de falso positivo."),
+    "score_medio" -> ("Score de confiança moderado. Provavelmente correto, " +
+      "mas vale verificar."),
+    "contexto_artistico" -> ("Texto contém referências a arte/patrimônio. " +
+      "Nome pode ser de artista, não dado pessoal do solicitante."),
+    "contexto_academico" -> ("Texto contém contexto acadêmico. " +
+      "Nome pode ser dado manifestamente público (LGPD Art. 7º, § 4º)."),
+    "contexto_jornalistico" -> ("Texto contém contexto jornalístico. " +
+      "LGPD não se aplica a fins jornalísticos (Art. 4º, II, a)."),
+    "contexto_cargo_publico" -> ("Nome de autoridade/cargo público detectado. " +
+      "Dados de agentes públicos são públicos por natureza."),
+    "contexto_juridico" -> ("Contexto jurídico detectado (OAB, advogado, juiz). " +
+      "Dados profissionais públicos, não dados pessoais sensíveis."),
+    "contexto_autoria" -> ("Contexto de autoria/referência bibliográfica. " +
+      "Nome pode ser de autor citado, não do solicitante."),
+    "nome_unico" -> ("Apenas primeiro nome detectado, sem sobrenome. " +
+      "Pode não permitir identificação direta."),
+    "ambiguidade_institucional" -> ("Nome pode ser institucional ou de pessoa física. " +
+      "Requer análise do contexto.")
+  )
+
+  final case class Config(
+      highConfidenceThreshold: Double = 0.95,
+      lowConfidenceThreshold: Double = 0.80,
+      contextWindow: Int = 100
+  )
+  val Default: Config = Config()
+
+  private def reasonStruct(motivo: Column, prioridade: Column): Column =
+    struct(motivo.as("motivo"), prioridade.as("prioridade"))
+
+  /** From a Decide.scoreTurns frame, produce the consolidated review table:
+    * (conv_id, turn_idx, prioridade, tipo_pii, valor_detectado, score,
+    * motivo, texto_trecho, explicacao), sorted alta→media→baixa, stable.
+    */
+  def reviewTable(scored: DataFrame, cfg: Config = Default): DataFrame = {
+    // H3 gate + per-turn context-family booleans (evaluated once per turn)
+    val gated = scored
+      .filter(col("contem_pii"))
+      .withColumn("f_artistic", col("clean").rlike(ArtisticRe))
+      .withColumn("f_academic", col("clean").rlike(AcademicRe))
+      .withColumn("f_journalistic", col("clean").rlike(JournalisticRe))
+      .withColumn("f_public", col("clean").rlike(PublicOfficialRe))
+      .withColumn("f_legal", col("clean").rlike(LegalRe))
+      .withColumn("f_authorship", col("clean").rlike(AuthorshipRe))
+
+    // explode details (all scrub-grade types; the reference reviews its 5
+    // real types — extended card/ssn/api_key join them under this engine)
+    val det = gated.select(
+      col("conv_id"), col("turn_idx"), col("clean"),
+      col("f_artistic"), col("f_academic"), col("f_journalistic"),
+      col("f_public"), col("f_legal"), col("f_authorship"),
+      posexplode(col("detalhes")).as(Seq("det_idx", "d")))
+      .select(col("*"),
+        col("d.tipo").as("tipo_pii"),
+        col("d.valor").as("valor_detectado"),
+        col("d.confianca").as("score"))
+      .drop("d")
+
+    val isName = col("tipo_pii") === "nome"
+    val lowerValor = lower(col("valor_detectado"))
+    // bidirectional substring match against the known-artist list
+    val knownArtist = KnownArtists
+      .map(a => lowerValor.contains(a) || lit(a).contains(lowerValor))
+      .reduce(_ || _)
+
+    // reasons in reference emission order (human_review.py:305-343):
+    // score band first, then artistic (context + known artist), academic,
+    // journalistic, public-official, legal, authorship
+    val reasons = array(
+      when(col("score") < cfg.lowConfidenceThreshold,
+        reasonStruct(lit("score_baixo"), lit("alta"))),
+      when(col("score") >= cfg.lowConfidenceThreshold &&
+        col("score") < cfg.highConfidenceThreshold,
+        reasonStruct(lit("score_medio"), lit("baixa"))),
+      when(isName && col("f_artistic"),
+        reasonStruct(lit("contexto_artistico"), lit("alta"))),
+      when(isName && knownArtist,
+        reasonStruct(lit("contexto_artistico"), lit("alta"))),
+      when(isName && col("f_academic"),
+        reasonStruct(lit("contexto_academico"), lit("media"))),
+      when(isName && col("f_journalistic"),
+        reasonStruct(lit("contexto_jornalistico"), lit("media"))),
+      when(isName && col("f_public"),
+        reasonStruct(lit("contexto_cargo_publico"), lit("baixa"))),
+      when(isName && col("f_legal"),
+        reasonStruct(lit("contexto_juridico"), lit("baixa"))),
+      when(isName && col("f_authorship"),
+        reasonStruct(lit("contexto_autoria"), lit("baixa")))
+    )
+
+    val items = det
+      .withColumn("reasons", filter(reasons, r => r.isNotNull))
+      .select(col("*"), posexplode(col("reasons")).as(Seq("reason_idx", "r")))
+      .withColumn("motivo", col("r.motivo"))
+      .withColumn("prioridade", col("r.prioridade"))
+      .withColumn("arrival", col("det_idx") * 16 + col("reason_idx"))
+      .drop("reasons", "r")
+
+    // W1 consolidation: per (turn, lower(valor)) keep the item whose motivo
+    // has the smallest rank; strict '<' ⇒ first-seen wins ties
+    val rankMap = typedLit(ReasonRank)
+    val prioMap = typedLit(PriorityRank)
+    val w = Window
+      .partitionBy(col("conv_id"), col("turn_idx"), lowerValor)
+      .orderBy(coalesce(element_at(rankMap, col("motivo")), lit(99)).asc,
+        col("arrival").asc)
+    val consolidated = items
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+    // H4 snippet: ±window chars around first case-insensitive occurrence
+    val win = cfg.contextWindow
+    val p = instr(lower(col("clean")), lowerValor) // 1-based; 0 = not found
+    val textLen = length(col("clean"))
+    val valLen = length(col("valor_detectado"))
+    val startIdx = greatest(p - 1 - win, lit(0)) // 0-based
+    val endIdx = least(p - 1 + valLen + win, textLen)
+    val found = concat(
+      when(startIdx > 0, lit("...")).otherwise(lit("")),
+      substring(col("clean"), (startIdx + 1).cast("int"), (endIdx - startIdx).cast("int")),
+      when(endIdx < textLen, lit("...")).otherwise(lit("")))
+    val notFound = concat(
+      substring(col("clean"), 1, win * 2),
+      when(textLen > win * 2, lit("...")).otherwise(lit("")))
+    val trecho = when(p > 0, found).otherwise(notFound)
+
+    consolidated
+      .withColumn("texto_trecho", regexp_replace(trecho, "\n", " "))
+      .withColumn("explicacao",
+        coalesce(element_at(typedLit(Explanations), col("motivo")),
+          lit("Verificação manual recomendada.")))
+      .select("conv_id", "turn_idx", "prioridade", "tipo_pii",
+        "valor_detectado", "score", "motivo", "texto_trecho", "explicacao",
+        "arrival")
+      // W2 export sort: alta → media → baixa, stable by arrival within turn
+      .orderBy(coalesce(element_at(prioMap, col("prioridade")), lit(9)).asc,
+        col("conv_id").asc, col("turn_idx").asc, col("arrival").asc)
+      .drop("arrival")
+  }
+}

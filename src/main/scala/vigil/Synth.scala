@@ -1,0 +1,343 @@
+package vigil
+
+import scala.util.Random
+
+/** Deterministic transcript-corpus synthesizer (FIXTURES.md).
+  *
+  * Generates multi-turn conversations on the north-rule schema with golden
+  * expectations attached at construction time: each turn template *knows*
+  * what it embeds (which PII spans, which language, whether it is junk or
+  * toxic), so the expected keep/drop flags and the byte-exact scrubbed text
+  * are produced by the generator itself — construction-time truth, not a
+  * re-run of the engine's rules (and not a port of the reference).
+  *
+  * Determinism: pure function of (seed, conversation index, turn index) —
+  * no wall clock, no global state. The same generator scales from the
+  * ~500-conversation test corpus to the multi-million-turn bench corpus,
+  * with power-law conversation lengths to exercise skew handling.
+  */
+object Synth {
+
+  final case class GoldenTurn(
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      text: String,
+      tool: String,
+      ts: java.sql.Timestamp,
+      family: String,
+      exp_contem_pii: Boolean,
+      exp_tipos: Seq[String],
+      exp_scrubbed: String,
+      exp_lang: String, // "" when the template makes no language promise
+      exp_toxic: Boolean,
+      exp_quality_fail: Boolean
+  )
+
+  private val First = Vector("João", "Maria", "Ana", "Pedro", "Paula",
+    "Carlos", "Júlia", "Lucas", "Fernanda", "Rafael", "Beatriz", "Gustavo")
+  private val Last = Vector("Silva", "Souza", "Oliveira", "Pereira", "Lima",
+    "Costa", "Ribeiro", "Alves", "Gomes", "Martins")
+
+  /** Per-language sentence pools. Verified (SynthSpec) to classify to
+    * their language under LangModel, so conversation-level goldens hold.
+    */
+  val LangPool: Map[String, Vector[String]] = Map(
+    "pt" -> Vector(
+      "Solicito informações sobre o processo administrativo em andamento.",
+      "Gostaria de saber o prazo para resposta desta solicitação.",
+      "A secretaria informou que o requerimento está em análise.",
+      "Peço acesso aos documentos públicos referentes à obra.",
+      "Aguardo retorno sobre o pedido o mais breve possível.",
+      "O relatório anual ainda não foi publicado no portal oficial.",
+      "Quantos servidores trabalham atualmente no órgão responsável?",
+      "Agradeço desde já a atenção dispensada ao meu pedido."),
+    "en" -> Vector(
+      "Please send me the report about the process when you have time.",
+      "I would like to know which documents are required for the request.",
+      "The weather today is cold and the streets are very quiet.",
+      "Thank you for your help with this request and the quick answer.",
+      "There is nothing more important than clear communication between people.",
+      "We are asking for information about the results of the work.",
+      "Could you explain how the approval process works for new requests?",
+      "The team finished the project and shared the final summary."),
+    "es" -> Vector(
+      "Solicito información sobre el proceso administrativo en curso.",
+      "Me gustaría saber cuáles son los plazos para la respuesta.",
+      "Agradezco de antemano la atención prestada a mi petición.",
+      "El informe anual todavía no fue publicado en el portal oficial.",
+      "Espero una respuesta lo más pronto posible sobre el caso.",
+      "¿Cuántos funcionarios trabajan actualmente en la oficina?"),
+    "fr" -> Vector(
+      "Je demande des informations sur la procédure administrative en cours.",
+      "Je voudrais savoir quels sont les délais pour la réponse.",
+      "Je vous remercie d'avance pour votre attention à ma demande.",
+      "Le rapport annuel n'a pas encore été publié sur le portail officiel.",
+      "J'attends une réponse dès que possible concernant le dossier.",
+      "Veuillez envoyer le rapport quand vous aurez le temps."),
+    "de" -> Vector(
+      "Ich bitte um informationen über das laufende verwaltungsverfahren.",
+      "Ich möchte wissen welche fristen für die antwort gelten.",
+      "Vielen dank im voraus für ihre aufmerksamkeit für meinen antrag.",
+      "Der jahresbericht wurde noch nicht auf dem offiziellen portal veröffentlicht.",
+      "Ich warte auf eine antwort so bald wie möglich zu dem fall.",
+      "Bitte senden sie den bericht wenn sie zeit haben.")
+  )
+
+  private def digits(rng: Random, n: Int): String =
+    (1 to n).map(_ => rng.nextInt(10)).mkString
+
+  private def cpfFmt(rng: Random): String = {
+    val d = digits(rng, 11)
+    s"${d.substring(0, 3)}.${d.substring(3, 6)}.${d.substring(6, 9)}-${d.substring(9)}"
+  }
+
+  private def luhnCard(rng: Random): String = {
+    val d15 = (1 to 15).map(_ => rng.nextInt(10))
+    var sum = 0
+    d15.reverse.zipWithIndex.foreach { case (x, i) =>
+      var v = x
+      if (i % 2 == 0) { v *= 2; if (v > 9) v -= 9 }
+      sum += v
+    }
+    val check = (10 - sum % 10) % 10
+    val s = d15.mkString + check
+    s"${s.substring(0, 4)} ${s.substring(4, 8)} ${s.substring(8, 12)} ${s.substring(12)}"
+  }
+
+  private def name2(rng: Random): String =
+    s"${First(rng.nextInt(First.size))} ${Last(rng.nextInt(Last.size))}"
+
+  /** A turn template: text plus everything the generator promises about it. */
+  private final case class T(
+      family: String, text: String, pii: Boolean, tipos: Seq[String],
+      scrubbed: String, lang: String = "", toxic: Boolean = false,
+      qualityFail: Boolean = false)
+
+  private def ptFiller(rng: Random): String =
+    LangPool("pt")(rng.nextInt(LangPool("pt").size))
+
+  /** PII-bearing templates (pt-language by construction). */
+  private def piiTemplate(rng: Random): T = {
+    val f = ptFiller(rng)
+    rng.nextInt(7) match {
+      case 0 =>
+        val c = cpfFmt(rng)
+        T("cpf_formatted", s"$f Meu CPF é $c.", pii = true, Seq("cpf"),
+          s"$f Meu CPF é <CPF>.", lang = "pt")
+      case 1 =>
+        val c = digits(rng, 11)
+        T("cpf_numeric", s"$f CPF: $c informado.", pii = true, Seq("cpf"),
+          s"$f CPF: <CPF> informado.", lang = "pt")
+      case 2 =>
+        // email local parts must stay ASCII — the matcher charset is
+        // [a-zA-Z0-9._%+-] (reference parity), so strip diacritics
+        val ascii = java.text.Normalizer
+          .normalize(First(rng.nextInt(First.size)).toLowerCase, java.text.Normalizer.Form.NFD)
+          .replaceAll("\\p{M}", "")
+        val e = s"$ascii.${rng.nextInt(99)}@exemplo.gov.br"
+        T("email", s"$f Contato: $e", pii = true, Seq("email"),
+          s"$f Contato: <EMAIL>", lang = "pt")
+      case 3 =>
+        val p = s"(${11 + rng.nextInt(88)}) 9${digits(rng, 4)}-${digits(rng, 4)}"
+        T("phone", s"$f Telefone: $p", pii = true, Seq("telefone"),
+          s"$f Telefone: <TELEFONE>", lang = "pt")
+      case 4 =>
+        // the RG matcher's span includes the "RG: " prefix (patterns.py:62)
+        val r = digits(rng, 7)
+        T("rg", s"$f RG: $r emitido.", pii = true, Seq("rg"),
+          s"$f <RG> emitido.", lang = "pt")
+      case 5 =>
+        // two fillers: enough pt trigram mass that a random name cannot
+        // tilt the language call
+        val f2 = ptFiller(rng)
+        val n = name2(rng)
+        T("name_ctx", s"$f $f2 requerente: $n", pii = true, Seq("nome"),
+          s"$f $f2 requerente: <NOME>", lang = "pt")
+      case _ =>
+        val c = cpfFmt(rng); val r = digits(rng, 7)
+        val e = s"u${rng.nextInt(99)}@mail.com"
+        // tipos order follows the matcher cascade (cpf→email→…→rg,
+        // patterns.py:125-156), not the textual order
+        T("multi_pii",
+          s"$f CPF $c, RG: $r, email $e.",
+          pii = true, Seq("cpf", "email", "rg"),
+          s"$f CPF <CPF>, <RG>, email <EMAIL>.", lang = "pt")
+    }
+  }
+
+  /** Non-PII templates (keep-side, pt). */
+  private def cleanTemplate(rng: Random): T = {
+    val f = ptFiller(rng)
+    rng.nextInt(5) match {
+      case 0 => T("filler", f, pii = false, Nil, f, lang = "pt")
+      case 1 =>
+        val sei = s"Processo SEI ${digits(rng, 5)}-${digits(rng, 8)}/2026-0${1 + rng.nextInt(8)}"
+        T("sei_suppression", s"$sei em andamento. $f", pii = false, Nil,
+          s"$sei em andamento. $f", lang = "pt")
+      case 2 =>
+        val t = s"CDA n. ${digits(rng, 11)} inscrita em dívida ativa. $f"
+        T("not_cpf", t, pii = false, Nil, t, lang = "pt")
+      case 3 =>
+        val t = s"A Secretaria de Estado informa: $f"
+        T("institutional", t, pii = false, Nil, t, lang = "pt")
+      case _ =>
+        val t = s"Moro na Quadra ${100 + rng.nextInt(900)} Norte. $f"
+        T("contextual_only", t, pii = false, Nil, t, lang = "pt")
+    }
+  }
+
+  /** North-rule extension templates: scrub-grade but not reference-PII. */
+  private def extendedTemplate(rng: Random): T = {
+    val f = ptFiller(rng)
+    rng.nextInt(3) match {
+      case 0 =>
+        val c = luhnCard(rng)
+        T("card_luhn", s"$f Pagamento no cartão $c aprovado.",
+          pii = false, Nil, s"$f Pagamento no cartão <CARD> aprovado.", lang = "pt")
+      case 1 =>
+        val s = s"123-${10 + rng.nextInt(89)}-${digits(rng, 4)}"
+        T("ssn", s"$f SSN $s on file.", pii = false, Nil,
+          s"$f SSN <SSN> on file.", lang = "pt")
+      case _ =>
+        val chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        val k = "sk-" + (1 to 24).map(_ => chars(rng.nextInt(chars.length))).mkString
+        val f2 = ptFiller(rng)
+        T("api_key", s"$f $f2 token $k usado.", pii = false, Nil,
+          s"$f $f2 token <KEY> usado.", lang = "pt")
+    }
+  }
+
+  /** Junk/toxic templates (turn-level drop by quality or lexicon). */
+  private def junkTemplate(rng: Random): T = {
+    rng.nextInt(3) match {
+      case 0 =>
+        val t = "x" * (150 + rng.nextInt(100))
+        T("quality_longword", t, pii = false, Nil, t, qualityFail = true)
+      case 1 =>
+        val w = ptFiller(rng).split(" ").head.toLowerCase
+        val t = (w + " ") * 30 + w
+        T("quality_repetition", t, pii = false, Nil, t, qualityFail = true)
+      case _ =>
+        val t = "você é um idiota completo e eu odeio este processo lixo"
+        T("toxic", t, pii = false, Nil, t, lang = "pt", toxic = true)
+    }
+  }
+
+  private def langTemplate(rng: Random, lang: String): T = {
+    val pool = LangPool(lang)
+    val t = pool(rng.nextInt(pool.size))
+    T(s"lang_$lang", t, pii = false, Nil, t, lang = lang)
+  }
+
+  /** Conversation profiles; weights sum to 100. */
+  private val Profiles: Vector[(String, Int)] = Vector(
+    "pt_clean" -> 30, "pt_some_pii" -> 20, "pt_pii_heavy" -> 10,
+    "en" -> 12, "es" -> 6, "fr" -> 6, "de" -> 6,
+    "junk" -> 5, "extended" -> 5)
+
+  private def pickProfile(x: Int): String = {
+    var acc = 0
+    Profiles.foreach { case (p, w) =>
+      acc += w
+      if (x % 100 < acc) return p
+    }
+    Profiles.last._1
+  }
+
+  /** Turn count: power-law-ish tail so a few conversations are huge.
+    * maxLen caps the tail (tests use small caps; bench uses big ones).
+    */
+  private def convLen(rng: Random, maxLen: Int): Int = {
+    val u = rng.nextDouble()
+    val len = (2 * math.pow(1.0 / (1.0 - u), 0.7)).toInt // pareto alpha~1.43
+    math.max(2, math.min(len, maxLen))
+  }
+
+  private def turn(convIdx: Int, turnIdx: Int, profile: String, rng: Random): T =
+    profile match {
+      case "pt_clean" => cleanTemplate(rng)
+      case "pt_some_pii" =>
+        if (rng.nextInt(100) < 30) piiTemplate(rng) else cleanTemplate(rng)
+      case "pt_pii_heavy" =>
+        if (rng.nextInt(100) < 80) piiTemplate(rng) else cleanTemplate(rng)
+      case "junk" =>
+        if (rng.nextInt(100) < 60) junkTemplate(rng) else cleanTemplate(rng)
+      case "extended" =>
+        if (rng.nextInt(100) < 50) extendedTemplate(rng) else cleanTemplate(rng)
+      case lang => langTemplate(rng, lang)
+    }
+
+  /** Generate the corpus. Pure function of (seed, nConvs, maxLen). */
+  def corpus(nConvs: Int, seed: Long = 42L, maxLen: Int = 40): IndexedSeq[GoldenTurn] = {
+    (0 until nConvs).flatMap { ci =>
+      val rng = new Random(seed * 1000003L + ci)
+      val profile = pickProfile(ci)
+      val n = convLen(rng, maxLen)
+      val convId = f"conv-$ci%06d"
+      (0 until n).map { ti =>
+        val t = turn(ci, ti, profile, rng)
+        GoldenTurn(
+          conv_id = convId,
+          turn_idx = ti,
+          role = if (ti % 2 == 0) "user" else "assistant",
+          text = t.text,
+          tool = "",
+          ts = new java.sql.Timestamp(1767225600000L + ci * 3600000L + ti * 60000L),
+          family = t.family,
+          exp_contem_pii = t.pii,
+          exp_tipos = t.tipos,
+          exp_scrubbed = t.scrubbed,
+          exp_lang = t.lang,
+          exp_toxic = t.toxic,
+          exp_quality_fail = t.qualityFail
+        )
+      }
+    }
+  }
+
+  /** Distributed corpus generation: one task per conversation range, so
+    * multi-million-turn bench corpora never materialize on the driver.
+    * Identical output to [[corpus]] for the same (seed, nConvs, maxLen).
+    */
+  def corpusDF(spark: org.apache.spark.sql.SparkSession, nConvs: Int,
+      seed: Long = 42L, maxLen: Int = 40): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, nConvs.toLong, 1)
+      .mapPartitions { it =>
+        it.flatMap { ci =>
+          val rng = new Random(seed * 1000003L + ci)
+          val profile = pickProfile(ci.toInt)
+          val n = convLen(rng, maxLen)
+          val convId = f"conv-$ci%06d"
+          (0 until n).iterator.map { ti =>
+            val t = turn(ci.toInt, ti, profile, rng)
+            Turn(convId, ti, if (ti % 2 == 0) "user" else "assistant",
+              t.text, "", new java.sql.Timestamp(1767225600000L + ci * 3600000L + ti * 60000L))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Conversation-level goldens derived from the per-turn construction
+    * promises (majority over promised langs; density over promised flags).
+    * Only conversations where EVERY turn makes a language promise are
+    * included — junk turns ("" lang) carry no language golden, so their
+    * conversations are validated at turn level instead.
+    */
+  def convGolden(turns: Seq[GoldenTurn], targetLang: String,
+      maxPiiDensity: Double, minMajorityFrac: Double): Map[String, (String, Double, Boolean)] = {
+    turns.groupBy(_.conv_id)
+      .filter { case (_, ts) => ts.forall(_.exp_lang.nonEmpty) }
+      .map { case (cid, ts) =>
+        val n = ts.size
+        val langCounts = ts.groupBy(_.exp_lang).view.mapValues(_.size).toMap
+        val (mLang, mCnt) = langCounts.maxBy { case (l, c) => (c, l) }
+        val density = ts.count(_.exp_contem_pii).toDouble / n
+        val drop = (mLang != targetLang && mCnt.toDouble / n >= minMajorityFrac) ||
+          density > maxPiiDensity
+        cid -> (mLang, density, drop)
+      }
+  }
+}

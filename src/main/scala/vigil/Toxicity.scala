@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
 object Toxicity {
   val Lexicon: Seq[String] = Seq(
     // en (mild placeholder entries)
-    "idiot", "stupid", "moron", "dumbass", "jerk", "scum", "trash",
-    "hateful", "bastard", "crap", "damn", "hell", "shut",
-    "kill", "die", "hate",
+    // NOTE: entries must not collide with common words of the supported
+    // languages ("die"/"hell" are ordinary German words — excluded)
+    "idiot", "stupid", "moron", "dumbass", "jerk", "scum",
+    "hateful", "bastard", "crap", "damn",
+    "kill", "hate",
     // pt
     "idiota", "burro", "imbecil", "estúpido", "lixo", "nojento",
     "maldito", "inferno", "odeio", "morra", "desgraçado"

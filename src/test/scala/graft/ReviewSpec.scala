@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.{Decide, Review}
+
+/** Differential parity of the human-review triage against the reference
+  * HumanReviewAnalyzer: review_corpus.jsonl holds the reference's review
+  * items for every parity-corpus text (scripts/gen_review_corpus.py).
+  */
+class ReviewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def res(name: String): String = {
+    val url = getClass.getClassLoader.getResource(name)
+    assert(url != null, s"$name missing from test resources")
+    url.getPath
+  }
+
+  test("review items match the reference analyzer on the parity corpus") {
+    import spark.implicits._
+    val texts = spark.read.json(res("parity_corpus.jsonl"))
+      .select(col("id").cast("string").as("conv_id"), lit(0).as("turn_idx"),
+        lit("user").as("role"), col("text"), lit("").as("tool"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
+    val got = Review.reviewTable(Decide.scoreTurns(texts))
+      .select("conv_id", "prioridade", "tipo_pii", "valor_detectado",
+        "score", "motivo", "texto_trecho", "explicacao")
+      .collect()
+      .map(r => (r.getString(0), Seq(r.getString(1), r.getString(2), r.getString(3),
+        r.getDouble(4).toString, r.getString(5), r.getString(6), r.getString(7))
+        .mkString("|")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+
+    val expRows = spark.read.json(res("review_corpus.jsonl"))
+      .select(col("id").cast("string").as("conv_id"), explode(col("items")).as("it"))
+      .select(col("conv_id"), col("it.prioridade"), col("it.tipo_pii"),
+        col("it.valor_detectado"), col("it.score"), col("it.motivo"),
+        col("it.texto_trecho"), col("it.explicacao"))
+      .collect()
+      .map(r => (r.getString(0), Seq(r.getString(1), r.getString(2), r.getString(3),
+        r.getDouble(4).toString, r.getString(5), r.getString(6), r.getString(7))
+        .mkString("|")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+
+    val allIds = got.keySet ++ expRows.keySet
+    var bad = List.empty[String]
+    allIds.foreach { id =>
+      val g = got.getOrElse(id, Seq.empty[String])
+      val e = expRows.getOrElse(id, Seq.empty[String])
+      if (g != e)
+        bad ::= s"id=$id\n  exp=${e.mkString("; ")}\n  got=${g.mkString("; ")}"
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} records mismatch:\n${bad.take(4).mkString("\n")}")
+    val total = expRows.values.map(_.size).sum
+    info(s"matched $total review items across ${expRows.size} records")
+    assert(total > 200)
+  }
+
+  test("pinned reference review cases") {
+    import spark.implicits._
+    def review(text: String) = {
+      val df = Seq(
+        vigil.Turn("t", 0, "user", text, "", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      ).toDF()
+      Review.reviewTable(Decide.scoreTurns(df))
+        .select("tipo_pii", "valor_detectado", "motivo", "prioridade").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    }
+    // artistic context (corpus ID 15 family): name near vitrais/painéis
+    val art = review(
+      "No referido imóvel há inúmeros vitrais e painéis. requerente: Athos Bulcão Mendes")
+    assert(art.exists(i => i._3 == "contexto_artistico" && i._4 == "alta"), art.mkString)
+    // academic (ID 52 family)
+    val acad = review(
+      "Pesquisadora do Instituto de pesquisa. requerente: Carolina Guimarães Neves")
+    assert(acad.exists(i => i._3 == "contexto_academico" && i._4 == "media"), acad.mkString)
+    // legal/OAB (ID 17 family)
+    val leg = review(
+      "advogado inscrito na OAB/SP nº 14.123, requerente: Jorge Luiz Pereira")
+    assert(leg.exists(i => i._3 == "contexto_juridico" && i._4 == "baixa"), leg.mkString)
+    // negative: dashboard "painel de controle" is not artistic
+    val neg = review(
+      "Acesse o painel de controle para ver os dados. requerente: João Silva Prado")
+    assert(!neg.exists(_._3 == "contexto_artistico"), neg.mkString)
+    // consolidation: one row per (turn, valor) with the highest-rank reason
+    val cons = review(
+      "vitrais e painéis do imóvel. requerente: Athos Bulcão Mendes, mestrado em artes")
+    assert(cons.count(_._2 == "Athos Bulcão Mendes") == 1)
+    assert(cons.find(_._2 == "Athos Bulcão Mendes").get._3 == "contexto_artistico")
+  }
+}
