@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import vigil.{Decide, Quality, Review, Synth, Toxicity}
+import vigil.{Decide, Eval, Quality, Review, Synth, TextStats, Toxicity}
+import vigil.ann.Ann
+import vigil.dedup.Dedup
+import vigil.media.Media
 import vigil.{functions => vf}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,6 +23,8 @@ object SparkEntry {
     spark.read.parquet(s"$dir/documents.parquet")
   private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** Deterministic transcript corpus sized by the scale-factor dir name
     * (sf0.01 → 2,000 conversations; sf0.1 → 20,000; ...).
@@ -173,6 +178,117 @@ object SparkEntry {
           filter(split(lower(col("text")), " "), w => length(w) > 0),
           lit(Toxicity.Lexicon.toArray)).as("toxic"))
         .orderBy("doc_id")
+    }),
+    // --- J1 eval join: left equi-join + per-key count --------------------
+    "q_eval_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    // --- W4 stable turn ordering (window row_number over events) ---------
+    "q_window_turns" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("turn_idx"))
+        .orderBy("user_id", "turn_idx")
+    }),
+    // --- W1 consolidation shape: keep min-ranked row per key -------------
+    "q_consolidate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rank = when(col("event_type") === "error", 1)
+        .when(col("event_type") === "click", 2)
+        .when(col("event_type") === "view", 3)
+        .otherwise(99)
+      val w = Window.partitionBy("user_id").orderBy(rank.asc, col("event_id").asc)
+      events(s, dir).select(col("user_id"), col("event_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("user_id")
+    }),
+    // --- A5 fixed-bin half-open histogram --------------------------------
+    "q_value_hist" -> ((s, dir) => {
+      Eval.histogram(events(s, dir), "value", Seq(0, 50, 100, 200, 500))
+        .withColumn("bin", col("bin").cast("long"))
+    }),
+    // --- S3 JSON-shape source: extract from a JSON string column ---------
+    "q_props_json" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+    // --- lenient boolean normalization (utils.py:13-29) ------------------
+    "q_lenient_bool" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        Eval.lenientBool(
+          element_at(array(lit("Sim"), lit("no"), lit("1"), lit("TRUE"),
+            lit("0"), lit("verdadeiro"), lit("nope"), lit("y")),
+            (pmod(col("event_id"), lit(8)) + 1).cast("int"))).as("b"))
+        .orderBy("event_id")
+    }),
+    // --- n-gram Jaccard near-dup pairs (exact, blocked by source) --------
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(docs(s, dir), "text", "doc_id", "source", 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+    // --- MinHash-LSH near-dup pairs (engine-native, rows-only) -----------
+    "q_minhash_dedup" -> ((s, dir) => {
+      Dedup.minhashLsh(docs(s, dir), "text", "doc_id", minEst = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    // --- SimHash near-dup pairs (engine-native, rows-only) ---------------
+    "q_simhash_dedup" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // --- winnowing fingerprints (engine-native, rows-only) ---------------
+    "q_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextStats.winnowFingerprints(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          array_min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")
+    }),
+    // --- brute-force cosine top-k (exact ANN baseline, rows-only) --------
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // --- LSH-bucketed ANN (the scale path, rows-only) --------------------
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // --- embedding-cosine near-dup pairs (rows-only) ---------------------
+    "q_cosine_neardup" -> ((s, dir) => {
+      Ann.cosineNearDupPairs(embeddings(s, dir), "vec_id", "embedding",
+        minCos = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+    // --- multimodal plumbing (stubbed codec, real batching, rows-only) ---
+    "q_media_features" -> ((s, dir) => {
+      Media.extractFeatures(s, Media.synthesize(docs(s, dir), "doc_id", "text"))
+        .orderBy("media_id")
+    }),
+    // --- composite quality score over metric columns (rows-only) ---------
+    "q_quality_score" -> ((s, dir) => {
+      val base = docs(s, dir).withColumn("clean", vf.clean_text(col("text")))
+      val withMetrics = Quality.metrics(col("clean")).foldLeft(base) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      withMetrics.select(col("doc_id"), TextStats.qualityScore().as("score"))
+        .orderBy("doc_id")
     })
   )
 
@@ -229,6 +345,52 @@ object SparkEntry {
            w -> len(w) > 0), [""" +
         Toxicity.Lexicon.map(w => s"'$w'").mkString(", ") +
         """])) > 0 AS toxic
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id"""),
+    "q_eval_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_window_turns" ->
+      """SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS turn_idx
+         FROM events ORDER BY user_id, turn_idx""",
+    "q_consolidate" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY
+               (CASE event_type WHEN 'error' THEN 1 WHEN 'click' THEN 2
+                 WHEN 'view' THEN 3 ELSE 99 END) ASC, event_id ASC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q_value_hist" ->
+      """SELECT CAST(bin AS BIGINT) AS bin, count(*) AS cnt FROM (
+           SELECT (CASE
+             WHEN value >= 0 AND value < 50 THEN 0
+             WHEN value >= 50 AND value < 100 THEN 1
+             WHEN value >= 100 AND value < 200 THEN 2
+             WHEN value >= 200 AND value < 500 THEN 3
+             ELSE -1 END) AS bin
+           FROM events) WHERE bin >= 0
+         GROUP BY bin ORDER BY bin""",
+    "q_props_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "q_lenient_bool" ->
+      """SELECT event_id,
+         lower(trim(['Sim','no','1','TRUE','0','verdadeiro','nope','y']
+           [CAST(event_id % 8 AS INT) + 1]))
+           IN ('true','1','1.0','sim','yes','s','y','verdadeiro') AS b
+         FROM events ORDER BY event_id""",
+    "q_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, source,
+           list_distinct(list_filter(string_split(lower(text), ' '),
+             w -> len(w) > 0)) AS toks FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+         FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+         ORDER BY id_a, id_b"""
   )
 }

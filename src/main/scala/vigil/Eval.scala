@@ -1,0 +1,79 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluation operators (SURVEY.md §2.5 J1-J3, §2.6 A1-A5;
+  * reference scripts/evaluate.py + src/utils.py).
+  */
+object Eval {
+
+  /** Lenient boolean parsing (utils.py:13-29): lowercase+trim membership. */
+  val TruthyValues: Seq[String] =
+    Seq("true", "1", "1.0", "sim", "yes", "s", "y", "verdadeiro")
+
+  def lenientBool(c: Column): Column =
+    lower(trim(c.cast("string"))).isin(TruthyValues: _*)
+
+  final case class Metrics(
+      tp: Long, fp: Long, fn: Long, tn: Long) {
+    def accuracy: Double = {
+      val t = tp + fp + fn + tn
+      if (t == 0) 0.0 else (tp + tn).toDouble / t
+    }
+    def precision: Double = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    def recall: Double = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    def f1: Double = {
+      val p = precision; val r = recall
+      if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+    }
+  }
+
+  /** J1 + A2: inner-join predictions × truth on the id columns, fold the
+    * confusion matrix in ONE aggregation pass (four conditional counts;
+    * divide-by-zero guards → 0 as in evaluate.py:69-103).
+    */
+  def confusion(
+      pred: DataFrame, truth: DataFrame,
+      idCols: Seq[String], predCol: String, truthCol: String): Metrics = {
+    val joined = pred.select(idCols.map(col) :+ col(predCol).as("__p"): _*)
+      .join(truth.select(idCols.map(col) :+ col(truthCol).as("__t"): _*), idCols)
+    val r = joined.agg(
+      sum(when(col("__t") && col("__p"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("__t") && col("__p"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("__t") && !col("__p"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("__t") && !col("__p"), 1L).otherwise(0L)).as("tn")
+    ).collect()(0)
+    def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    Metrics(g(0), g(1), g(2), g(3))
+  }
+
+  /** A3: false-negative / false-positive id lists (display-limited). */
+  def errorIds(
+      pred: DataFrame, truth: DataFrame, idCols: Seq[String],
+      predCol: String, truthCol: String, limitN: Int = 10): (Seq[String], Seq[String]) = {
+    val joined = pred.select(idCols.map(col) :+ col(predCol).as("__p"): _*)
+      .join(truth.select(idCols.map(col) :+ col(truthCol).as("__t"): _*), idCols)
+    def ids(f: Column) = joined.filter(f)
+      .select(concat_ws("/", idCols.map(col): _*))
+      .orderBy(idCols.map(col): _*).limit(limitN)
+      .collect().map(_.getString(0)).toSeq
+    (ids(col("__t") && !col("__p")), ids(!col("__t") && col("__p")))
+  }
+
+  /** A5: fixed-bin half-open histogram [lo, hi) — the top bin excludes its
+    * upper edge exactly as the reference (analyze_errors.py:99-116).
+    */
+  def histogram(df: DataFrame, valueCol: String,
+      bins: Seq[Double] = Seq(0, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)): DataFrame = {
+    val v = col(valueCol)
+    val bucket = bins.sliding(2).zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (Seq(lo, hi), i)) =>
+        when(v >= lo && v < hi, lit(i)).otherwise(acc)
+    }
+    df.select(bucket.as("bin"))
+      .filter(col("bin") >= 0)
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .orderBy("bin")
+  }
+}

@@ -1,0 +1,92 @@
+package vigil
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-granular table IO with per-partition lineage and
+  * checkpoint-resume (north rule S11; SURVEY.md §2.1).
+  *
+  * No Iceberg runtime jar exists in this environment (verified against
+  * /opt/spark/jars), so the layout is Iceberg-shaped Parquet behind this
+  * narrow interface: data partitioned by a stable hash bucket of conv_id
+  * (`bucket=N/` directories — the same physical layout Iceberg's
+  * bucket(conv_id) transform produces), plus a `_lineage` sidecar table
+  * with one row per (bucket, run): input snapshot id, rule-version hash,
+  * keep/drop/scrub counters, written_at. Resume = left-anti join of the
+  * planned buckets against `_lineage` — only unfinished buckets are
+  * recomputed, which is exactly Iceberg's overwrite-by-partition recovery
+  * story. A real catalog can slot in behind these methods unchanged.
+  */
+object TableIO {
+
+  /** Rule-version hash: any change to the normative pattern set or scrub
+    * rules changes this value, invalidating lineage rows for resume.
+    */
+  lazy val ruleVersionHash: String = {
+    val normative =
+      Patterns.CpfFormatted.pattern + Patterns.Email.pattern +
+        Patterns.Rg.pattern + PiiTypes.ScrubToken.toSeq.sorted.mkString +
+        Exclusions.Lower.mkString("|") + Toxicity.Lexicon.sorted.mkString("|")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(normative.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  def bucketOf(nBuckets: Int) = pmod(hash(col("conv_id")), lit(nBuckets))
+
+  /** Write scored turns partitioned by conv_id bucket, appending one
+    * lineage row per bucket. Buckets already present in `_lineage` for
+    * this (snapshotId, ruleVersionHash) are skipped — checkpoint-resume.
+    *
+    * Returns the number of buckets actually processed this call.
+    */
+  def writeScored(
+      spark: SparkSession,
+      scored: DataFrame,
+      path: String,
+      snapshotId: String,
+      nBuckets: Int = 64): Long = {
+    val withBucket = scored.withColumn("bucket", bucketOf(nBuckets))
+
+    val done: Set[Int] = lineage(spark, path) match {
+      case Some(l) =>
+        l.filter(col("input_snapshot_id") === snapshotId &&
+            col("rule_version_hash") === ruleVersionHash)
+          .select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+      case None => Set.empty
+    }
+
+    val pending = withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+    if (done.nonEmpty && pending.isEmpty) return 0L
+
+    pending.write
+      .mode(SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(s"$path/data")
+
+    // lineage counters per bucket — a single partial-aggregated pass
+    val lin = pending
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("keep").cast("long")).as("kept"),
+        sum((!col("keep")).cast("long")).as("dropped"),
+        sum((col("scrubbed_text") =!= col("clean")).cast("long")).as("scrubbed")
+      )
+      .withColumn("input_snapshot_id", lit(snapshotId))
+      .withColumn("rule_version_hash", lit(ruleVersionHash))
+      .withColumn("written_at", lit(snapshotId)) // deterministic: snapshot-scoped
+    lin.write.mode(SaveMode.Append).parquet(s"$path/_lineage")
+    lin.count()
+  }
+
+  def lineage(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_lineage")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/_lineage")) else None
+  }
+
+  def readScored(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/data")
+}

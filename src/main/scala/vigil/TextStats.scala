@@ -1,0 +1,64 @@
+package vigil
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * document fingerprinting (winnowing), quality scoring composites.
+  * All pure built-in column algebra — codegen'd end to end.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => length(w) > 0)).cast("long")
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation — the usual byte-pair pre-segmentation shape.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Winnowing document fingerprint (Schleimer et al. 2003, as in MOSS):
+    * hash every k-word shingle, then keep the minimum hash of every
+    * sliding window of `w` consecutive shingle hashes; the distinct mins
+    * are the fingerprint. Guarantees any shared run of ≥ w+k-1 words
+    * produces at least one shared fingerprint.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val words = filter(split(lower(text), " "), x => length(x) > 0)
+    val n = size(words)
+    val grams = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => xxhash64(concat_ws(" ",
+          (0 until k).map(j => element_at(words, i + j + 1)): _*))))
+      .otherwise(array(xxhash64(concat_ws(" ", words))))
+    val m = size(grams)
+    when(m >= w,
+      array_distinct(transform(sequence(lit(0), m - w),
+        i => array_min(slice(grams, i + 1, lit(w))))))
+      .otherwise(array_distinct(array(array_min(grams))))
+  }
+
+  /** Fingerprint-overlap similarity (|∩| / |∪|) between two fingerprint
+    * arrays — the cheap containment check over winnowed docs.
+    */
+  def fingerprintSim(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)))
+
+  /** Composite 0..1 quality score from the Quality metric columns —
+    * a weighted product of rule satisfactions (soft version of
+    * Quality.passes for ranking rather than gating).
+    */
+  def qualityScore(): Column = {
+    def clamp01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))
+    val lenScore = clamp01(least(col("n_words").cast("double") / 5.0, lit(1.0)))
+    val alphaScore = clamp01(col("alpha_word_frac"))
+    val symScore = clamp01(lit(1.0) - col("symbol_word_ratio"))
+    val repScore = clamp01(lit(1.0) - col("dup_2gram_frac"))
+    round(lenScore * alphaScore * symScore * repScore, 4)
+  }
+}

@@ -1,0 +1,137 @@
+package vigil.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k, the correctness baseline.
+  *    The dot product is pure built-in column algebra (zip_with +
+  *    aggregate) — no UDF, stays codegen'd. Cost O(|queries|·|corpus|):
+  *    fine for a bounded query set, wrong as the corpus path at scale.
+  *  - [[lshTopK]]: random-hyperplane (sign) LSH — each vector gets a
+  *    b-bit signature; candidates are corpus vectors sharing a signature
+  *    band with the query, re-ranked exactly. One shuffle on the band
+  *    key instead of a cross join: the 100 TB path.
+  */
+object Ann {
+
+  /** Cosine similarity of two float-array columns via built-ins. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self-match by
+    * id). Queries should be a small bounded set — it is broadcast.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim sign matrix. */
+  private[ann] def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH signature per vector, split into `bands` band keys. */
+  private def withBands(df: DataFrame, vecCol: String, nBits: Int,
+      bands: Int, dim: Int, seed: Long, out: String): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val sigUdf = udf((v: Seq[Float]) => {
+      var sig = 0L
+      var b = 0
+      while (b < planes.length) {
+        var dot = 0.0
+        val p = planes(b)
+        var i = 0
+        val n = math.min(p.length, v.size)
+        while (i < n) { dot += p(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    })
+    val width = nBits / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__sig"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
+    }
+    df.withColumn("__sig", sigUdf(col(vecCol)))
+      .withColumn(out, explode(array(bandCols: _*)))
+      .drop("__sig")
+  }
+
+  /** LSH-bucketed top-k: candidates share ≥1 signature band, re-ranked by
+    * exact cosine. Recall < 1 by construction; raise bands for recall,
+    * bits-per-band for precision.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nBits: Int = 16, bands: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val c = withBands(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
+      "nn_vec", nBits, bands, dim, seed, "cb")
+      .select(col("cb.band").as("band"), col("cb.bkey").as("bkey"),
+        col("nn_id"), col("nn_vec"))
+    val q = withBands(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "q_vec", nBits, bands, dim, seed, "qb")
+      .select(col("qb.band").as("band"), col("qb.bkey").as("bkey"),
+        col("query_id"), col("q_vec"))
+    val cands = c.join(q, Seq("band", "bkey"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select("query_id", "q_vec", "nn_id", "nn_vec")
+      .dropDuplicates("query_id", "nn_id")
+      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (corpus×corpus) via the same
+    * band trick: pairs sharing a band, kept when cosine ≥ minCos.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, nBits: Int = 16, bands: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val c = withBands(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "vec", nBits, bands, dim, seed, "cb")
+      .select(col("cb.band").as("band"), col("cb.bkey").as("bkey"),
+        col("id"), col("vec"))
+    val a = c.as("a"); val b = c.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,260 @@
+package vigil.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design notes (the point of each algorithm is to avoid the O(n²)
+  * all-pairs comparison at 100 TB):
+  *  - exact: one hash-groupBy shuffle, map-side combined.
+  *  - MinHash+LSH: per-doc signature (narrow) → explode to b band rows →
+  *    ONE shuffle on (band, band_hash) → pairs only within buckets.
+  *    Bucket sizes are bounded by collision probability, so the join
+  *    stays local; skewed buckets (degenerate texts) are capped.
+  *  - SimHash: 64-bit fingerprint; Hamming-≤k candidates must share one of
+  *    (k+1) fingerprint blocks (pigeonhole) → groupBy on block value.
+  *  - n-gram Jaccard: the exact verifier applied to candidate pairs (or
+  *    brute-force at test scale for the DuckDB oracle).
+  */
+object Dedup {
+
+  // ---------- exact -------------------------------------------------------
+
+  /** First occurrence (smallest idCol) wins; others are flagged dup. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("is_dup", row_number().over(w) > 1)
+  }
+
+  // ---------- MinHash -----------------------------------------------------
+
+  /** Per-row MinHash kernel: word-shingle the text, hash each shingle, and
+    * keep, for each of `numHashes` universal-hash permutations
+    * h_i(x) = (a_i·x + b_i) mod p, the minimum over the shingles.
+    * Deterministic (seeded a/b), pure function of the text.
+    */
+  object MinHash {
+    val Prime: Long = (1L << 61) - 1
+
+    def coeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(numHashes)(
+        (math.abs(rng.nextLong()) % (Prime - 1) + 1, math.abs(rng.nextLong()) % Prime))
+    }
+
+    def shingles(text: String, k: Int): Set[Long] = {
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (words.length < k) {
+        if (words.isEmpty) Set.empty
+        else Set(scala.util.hashing.MurmurHash3.stringHash(words.mkString(" ")).toLong)
+      } else
+        words.sliding(k).map(s =>
+          scala.util.hashing.MurmurHash3.stringHash(s.mkString(" ")).toLong).toSet
+    }
+
+    def signature(text: String, numHashes: Int, k: Int, seed: Long): Array[Long] = {
+      val cs = coeffs(numHashes, seed)
+      val sh = shingles(text, k)
+      if (sh.isEmpty) return Array.fill(numHashes)(Long.MaxValue)
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { x =>
+        val xp = java.lang.Long.remainderUnsigned(x, Prime)
+        var i = 0
+        while (i < numHashes) {
+          // (a*x + b) mod p with p = 2^61-1 via Math.multiplyHigh-free
+          // route: split multiply into 32-bit halves to stay exact
+          val a = cs(i)._1; val b = cs(i)._2
+          val hi = Math.multiplyHigh(a, xp)
+          val lo = a * xp
+          // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod p
+          val h = Dedup.mod61(hi, lo) + b
+          val v = if (h >= Prime) h - Prime else h
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+
+    def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+      var same = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
+      same.toDouble / a.length
+    }
+  }
+
+  /** (hi·2^64 + lo) mod (2^61 - 1). */
+  private[dedup] def mod61(hi: Long, lo: Long): Long = {
+    val p = MinHash.Prime
+    // 2^64 mod p = 8, since 2^64 = 2^3 * 2^61 ≡ 8·1 (as 2^61 ≡ 1 mod p)
+    val loMod = java.lang.Long.remainderUnsigned(lo, p)
+    val hiMod = java.lang.Long.remainderUnsigned(hi, p)
+    val r = (hiMod * 8) % p + loMod
+    if (r >= p) r - p else r
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * numHashes = bands · rowsPerBand. A pair whose Jaccard ≥ t collides in
+    * ≥1 band with probability 1-(1-t^r)^b (the S-curve). Default 16×8
+    * targets t ≈ 0.8.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ minEst.
+    */
+  def minhashLsh(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 8, shingleK: Int = 3,
+      seed: Long = 42L, minEst: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigUdf = udf((t: String) =>
+      MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed))
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+
+    // explode signature into band rows: (band_idx, hash(slice), id, sig)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+          .as("bh"))
+    }
+    val exploded = sigs
+      .withColumn("bandrow", explode(array(bandCols: _*)))
+      .select(col("bandrow.band").as("band"), col("bandrow.bh").as("bh"),
+        col("id"), col("sig"))
+
+    // candidate pairs within each (band, bucket); cap degenerate buckets
+    val grouped = exploded
+      .groupBy("band", "bh")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))), 1, maxBucketSize)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+
+    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < members.size) {
+        var j = i + 1
+        val (idA, sigA) = (members(i).getLong(0), members(i).getSeq[Long](1).toArray)
+        while (j < members.size) {
+          val est = MinHash.estJaccard(sigA, members(j).getSeq[Long](1).toArray)
+          out += ((idA, members(j).getLong(0), est))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+
+    grouped
+      .select(explode(pairUdf(col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  // ---------- SimHash -----------------------------------------------------
+
+  object SimHash {
+    /** 64-bit simhash over word 2-shingles (Charikar 2002). */
+    def fingerprint(text: String): Long = {
+      val words = (if (text == null) "" else text).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val feats =
+        if (words.length < 2) words.iterator
+        else words.sliding(2).map(_.mkString(" "))
+      val acc = new Array[Int](64)
+      feats.foreach { f =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(f).toLong & 0xffffffffL |
+          (scala.util.hashing.MurmurHash3.stringHash(f.reverse).toLong << 32)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+      fp
+    }
+
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Pigeonhole
+    * blocking: split the 64-bit fingerprint into (maxDist+1) blocks; a
+    * qualifying pair must agree on at least one block → shuffle on
+    * (block_idx, block_value) only.
+    */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    val fpUdf = udf((t: String) => SimHash.fingerprint(t))
+    val fps = df.select(col(idCol).as("id"), fpUdf(col(textCol)).as("fp"))
+
+    val blockCols = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("fp"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val exploded = fps
+      .withColumn("br", explode(array(blockCols: _*)))
+      .select(col("br.blk").as("blk"), col("br.bv").as("bv"), col("id"), col("fp"))
+
+    val grouped = exploded.groupBy("blk", "bv")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("fp")))), 1, maxBucketSize)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+
+    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row], maxD: Int) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      var i = 0
+      while (i < members.size) {
+        var j = i + 1
+        while (j < members.size) {
+          val d = SimHash.hamming(members(i).getLong(1), members(j).getLong(1))
+          if (d <= maxD) out += ((members(i).getLong(0), members(j).getLong(0), d))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+
+    grouped
+      .select(explode(pairUdf(col("members"), lit(maxDist))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        col("p._3").as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ---------- exact n-gram Jaccard (verifier / oracle-pairable) ----------
+
+  /** Brute-force word-set Jaccard pairs within a blocking column — the
+    * exact verifier. Pure built-in columns so it is DuckDB-oracle-pairable
+    * (integer intersect/union sizes divide to identical doubles).
+    */
+  def jaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, minJaccard: Double): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(filter(split(lower(col(textCol)), " "), w => length(w) > 0))
+        .as("toks"))
+    val a = toks.as("a")
+    val b = toks.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

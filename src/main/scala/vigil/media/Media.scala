@@ -1,0 +1,101 @@
+package vigil.media
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video as opaque binary columns
+  * with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side machinery here is real and tested — schema, partition
+  * strategy, batch shape, and the map over binary payloads. The actual
+  * codec work is STUBBED (this container has no image/audio libraries):
+  * [[StubCodec]] derives deterministic fake dimensions/durations from the
+  * payload bytes. Swapping in a real decoder is a one-object change; at
+  * cluster scale the same mapPartitions shape is how a JNI/FFI decoder
+  * would be amortized (one codec init per partition, not per row).
+  */
+object Media {
+
+  /** media table schema: (media_id long, kind string, payload binary,
+    * meta struct<source:string, declared_len:long>)
+    */
+  final case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      source: String, declared_len: Long)
+
+  /** Deterministic fake codec — STUB. Every value is a pure function of
+    * the payload bytes so tests are stable. A real implementation would
+    * parse container headers / decode frames here.
+    */
+  object StubCodec {
+    def imageDims(payload: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      (320 + math.abs(h % 1600), 240 + math.abs((h >> 8) % 900))
+    }
+    def audioDurationMs(payload: Array[Byte]): Long =
+      1000L + (math.abs(java.util.Arrays.hashCode(payload).toLong) % 600000L)
+    def videoFrameCount(payload: Array[Byte]): Int =
+      24 + math.abs(java.util.Arrays.hashCode(payload) % 24000)
+    /** "Resize": deterministic payload transform preserving a checksum
+      * relationship (stand-in for a real resampler).
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](math.min(payload.length, math.max(16, (w * h) % 4096)))
+      var i = 0
+      while (i < out.length) { out(i) = (payload(i % payload.length) ^ (w + h)).toByte; i += 1 }
+      out
+    }
+    /** Frame sampling: take every `stride`-th 16-byte block as a "frame". */
+    def sampleFrames(payload: Array[Byte], stride: Int): Seq[Array[Byte]] =
+      payload.grouped(16).zipWithIndex.collect {
+        case (b, i) if i % stride == 0 => b
+      }.toSeq
+  }
+
+  /** Synthesize a deterministic media table from a text table (payload =
+    * UTF-8 bytes). Stand-in for reading real binary columns from parquet.
+    */
+  def synthesize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      col(textCol).cast("binary").as("payload"),
+      struct(lit("synth").as("source"),
+        length(col(textCol)).cast("long").as("declared_len")).as("meta"))
+
+  /** Feature extraction over the binary column. mapPartitions so a real
+    * codec initializes once per partition; output is a flat typed frame.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: init codec context here, once per partition
+        it.map { case (id, kind, payload) =>
+          kind match {
+            case "image" =>
+              val (w, h) = StubCodec.imageDims(payload)
+              (id, kind, w, h, 0L, 0, payload.length.toLong)
+            case "audio" =>
+              (id, kind, 0, 0, StubCodec.audioDurationMs(payload), 0, payload.length.toLong)
+            case _ =>
+              (id, kind, 0, 0, 0L, StubCodec.videoFrameCount(payload), payload.length.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "kind", "width", "height", "duration_ms", "n_frames",
+        "n_bytes")
+  }
+
+  /** Batched resize of image payloads (partition-local, codec-amortized). */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        (id, StubCodec.resize(p, w, h), w, h)
+      })
+      .toDF("media_id", "payload", "width", "height")
+  }
+}

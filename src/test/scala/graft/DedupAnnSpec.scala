@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.TextStats
+import vigil.ann.Ann
+import vigil.dedup.Dedup
+
+/** Dedup family (exact, MinHash-LSH, SimHash, Jaccard, winnowing) and ANN. */
+class DedupAnnSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away today"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("quick", "rapid")), // near dup of 0
+    (3L, "completely different text about spark shuffles and partitions here"),
+    (4L, base + " with a small tail appended at the end of it all"),
+    (5L, "another unrelated document mentioning joins aggregations and windows")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup flags later identical rows") {
+    val r = Dedup.exact(corpus, "text", "doc_id")
+      .select("doc_id", "is_dup").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(!r(0L) && r(1L) && !r(2L) && !r(3L))
+  }
+
+  test("minhash estimates approach true jaccard; lsh finds near-dup pairs") {
+    val sigA = Dedup.MinHash.signature(base, 128, 3, 42L)
+    val sigB = Dedup.MinHash.signature(base.replace("quick", "rapid"), 128, 3, 42L)
+    val shA = Dedup.MinHash.shingles(base, 3)
+    val shB = Dedup.MinHash.shingles(base.replace("quick", "rapid"), 3)
+    val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    val estJ = Dedup.MinHash.estJaccard(sigA, sigB)
+    assert(math.abs(trueJ - estJ) < 0.2, s"true=$trueJ est=$estJ")
+    assert(Dedup.MinHash.estJaccard(sigA, sigA) == 1.0)
+
+    val pairs = Dedup.minhashLsh(corpus, "text", "doc_id", minEst = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup must collide: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $pairs")
+  }
+
+  test("simhash: identical fp for identical text, close fp for near dup") {
+    val a = Dedup.SimHash.fingerprint(base)
+    val b = Dedup.SimHash.fingerprint(base.replace("quick", "rapid"))
+    val c = Dedup.SimHash.fingerprint(
+      "completely different text about spark shuffles and partitions here")
+    assert(Dedup.SimHash.hamming(a, a) == 0)
+    assert(Dedup.SimHash.hamming(a, b) < Dedup.SimHash.hamming(a, c))
+
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("jaccard pairs: exact dup = 1.0 within block") {
+    val blocked = corpus.withColumn("source", lit("s"))
+    val pairs = Dedup.jaccardPairs(blocked, "text", "doc_id", "source", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("winnowing: shared long runs share fingerprints; guarantees overlap") {
+    val df = Seq((0L, base), (1L, base), (2L, "nothing in common at all zz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.winnowFingerprints(col("text")).as("fp"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(rows(0L) == rows(1L))
+    assert(rows(0L).intersect(rows(2L)).isEmpty)
+  }
+
+  test("ann: brute-force topk is sane and lsh refinement is a subset-rank") {
+    val rng = new scala.util.Random(7)
+    def vec(seed: Array[Float]): Seq[Float] = seed.toSeq
+    val v0 = Array.fill(64)(rng.nextGaussian().toFloat)
+    val near = v0.map(x => x + 0.01f * rng.nextGaussian().toFloat)
+    val anti = v0.map(x => -x)
+    val vecs = Seq(
+      (0L, vec(v0)), (1L, vec(near)), (2L, vec(anti))
+    ) ++ (3L to 30L).map(i => (i, vec(Array.fill(64)(rng.nextGaussian().toFloat))))
+    val df = vecs.toDF("vec_id", "embedding")
+
+    val bf = Ann.bruteForceTopK(df, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3).collect()
+    assert(bf.head.getAs[Long]("nn_id") == 1L, "nearest must be the jittered copy")
+    assert(bf.head.getAs[Double]("cos") > 0.99)
+    assert(!bf.map(_.getAs[Long]("nn_id")).contains(2L), "antipode cannot be top-3")
+
+    val lsh = Ann.lshTopK(df, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3).collect()
+    assert(lsh.head.getAs[Long]("nn_id") == 1L,
+      "lsh must recover the true nearest (same-sign signature)")
+
+    val dups = Ann.cosineNearDupPairs(df, "vec_id", "embedding", minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((0L, 1L)))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.{Decide, Eval, Synth, TableIO}
+import vigil.media.Media
+
+/** Lineage + checkpoint-resume, eval metrics, media plumbing. */
+class TableIOEvalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("writeScored writes bucketed data + lineage; resume skips done buckets") {
+    val dir = Files.createTempDirectory("vigil_tio").toString
+    val scored = Decide.decide(
+      Synth.corpusDF(spark, 60), Decide.Default.copy(targetLang = "pt"))
+
+    val n1 = TableIO.writeScored(spark, scored, dir, snapshotId = "snap-1",
+      nBuckets = 8)
+    assert(n1 > 0)
+    val total = TableIO.readScored(spark, dir).count()
+    assert(total == scored.count())
+    val lin = TableIO.lineage(spark, dir).get
+    assert(lin.count() == n1)
+    val sums = lin.agg(sum("n_turns"), sum("kept"), sum("dropped")).collect()(0)
+    assert(sums.getLong(0) == total)
+    assert(sums.getLong(1) + sums.getLong(2) == total)
+
+    // resume with the same snapshot: everything already done → no-op
+    val n2 = TableIO.writeScored(spark, scored, dir, snapshotId = "snap-1",
+      nBuckets = 8)
+    assert(n2 == 0, "second run with identical snapshot must skip all buckets")
+    assert(TableIO.readScored(spark, dir).count() == total, "no duplicate rows")
+
+    // a new snapshot processes again (append semantics per snapshot)
+    val n3 = TableIO.writeScored(spark, scored, dir, snapshotId = "snap-2",
+      nBuckets = 8)
+    assert(n3 == n1)
+  }
+
+  test("partial-failure resume: only missing buckets are recomputed") {
+    val dir = Files.createTempDirectory("vigil_resume").toString
+    val scored = Decide.decide(
+      Synth.corpusDF(spark, 60), Decide.Default.copy(targetLang = "pt"))
+    // simulate a crashed run: process only buckets {0,1,2} (filtered input),
+    // recording their lineage
+    val part = scored.filter(TableIO.bucketOf(8) < 3)
+    val nPart = TableIO.writeScored(spark, part, dir, "snap-1", nBuckets = 8)
+    assert(nPart > 0 && nPart <= 3)
+    // resume with the FULL input: already-done buckets must be skipped
+    val nRest = TableIO.writeScored(spark, scored, dir, "snap-1", nBuckets = 8)
+    assert(nRest > 0)
+    assert(TableIO.readScored(spark, dir).count() == scored.count(),
+      "after resume the table holds exactly one copy of every turn")
+  }
+
+  test("rule version hash is stable and sensitive") {
+    assert(TableIO.ruleVersionHash.length == 16)
+    assert(TableIO.ruleVersionHash == TableIO.ruleVersionHash)
+  }
+
+  test("confusion matrix + lenient bool + error ids (evaluate.py semantics)") {
+    val pred = Seq((1, "sim"), (2, "no"), (3, "TRUE"), (4, "0"), (5, "y"))
+      .toDF("ID", "p").withColumn("p", Eval.lenientBool(col("p")))
+    val truth = Seq((1, true), (2, true), (3, false), (4, false), (5, true))
+      .toDF("ID", "t")
+    val m = Eval.confusion(pred, truth, Seq("ID"), "p", "t")
+    assert(m == Eval.Metrics(tp = 2, fp = 1, fn = 1, tn = 1))
+    assert(math.abs(m.f1 - 2.0 * (2.0 / 3) * (2.0 / 3) / (4.0 / 3)) < 1e-12)
+    val (fnIds, fpIds) = Eval.errorIds(pred, truth, Seq("ID"), "p", "t")
+    assert(fnIds == Seq("2") && fpIds == Seq("3"))
+    // zero-division guards
+    val z = Eval.Metrics(0, 0, 0, 0)
+    assert(z.precision == 0.0 && z.recall == 0.0 && z.f1 == 0.0)
+  }
+
+  test("histogram bins are half-open [lo, hi)") {
+    val df = Seq(0.0, 0.49, 0.5, 0.89, 0.9, 0.99, 1.0).toDF("v")
+    val h = Eval.histogram(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h(0) == 2) // 0.0, 0.49
+    assert(h(1) == 1) // 0.5
+    assert(h(4) == 1) // 0.89 → [0.8,0.9)? no: bins 0,.5,.6,.7,.8,.9 → idx4=[0.8,0.9)
+    assert(!h.contains(6) && h.values.sum == 6, "1.0 excluded by the top bin")
+  }
+
+  test("media plumbing: deterministic stub features + resize batch shape") {
+    val docs = Seq((0L, "hello world payload"), (1L, "another media payload"),
+      (2L, "third one here")).toDF("doc_id", "text")
+    val media = Media.synthesize(docs, "doc_id", "text")
+    assert(media.columns.toSeq ==
+      Seq("media_id", "kind", "payload", "meta"))
+    val feats = Media.extractFeatures(spark, media).orderBy("media_id").collect()
+    assert(feats.length == 3)
+    val kinds = feats.map(_.getAs[String]("kind")).toSet
+    assert(kinds.subsetOf(Set("image", "audio", "video")))
+    // determinism
+    val feats2 = Media.extractFeatures(spark, media).orderBy("media_id").collect()
+    assert(feats.map(_.toString).toSeq == feats2.map(_.toString).toSeq)
+    val imgs = Media.resizeImages(spark, media, 64, 48).collect()
+    imgs.foreach { r =>
+      assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 48)
+      assert(r.getAs[Array[Byte]]("payload").nonEmpty)
+    }
+  }
+}
