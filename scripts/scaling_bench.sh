@@ -1,0 +1,28 @@
+#!/usr/bin/env bash
+# North-rule scaling evidence: the identical keep+scrub pipeline job run via
+# spark-submit at local[8] (N) and local[32] (4N) on the SAME synthesized
+# corpus; reports throughput at both and eff = (thr_32 / thr_8) / 4.
+# Usage: scripts/scaling_bench.sh [n_convs]   (default 400000, ~2.18M turns)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+NCONVS="${1:-400000}"
+
+sbt -batch package >/dev/null
+JAR=target/scala-2.13/vigilpiidetectorspark_2.13-0.1.0.jar
+
+run() {
+  SPARK_GRAFT_CPUS="$1" /opt/spark/bin/spark-submit \
+    --master "local[$1]" --driver-memory 64g \
+    --class vigil.tools.ScalingBench "$JAR" "$NCONVS" 2>/dev/null | grep '^{'
+}
+
+R8=$(run 8)
+R32=$(run 32)
+echo "$R8"
+echo "$R32"
+python3 - "$R8" "$R32" <<'EOF'
+import json, sys
+r8, r32 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+eff = (r32["turns_per_sec"] / r8["turns_per_sec"]) / 4
+print(f'thr_8={r8["turns_per_sec"]:.0f} turns/s  thr_32={r32["turns_per_sec"]:.0f} turns/s  eff={eff:.3f}  (gate: >= 0.8)')
+EOF

@@ -249,9 +249,9 @@ object SparkEntry {
     }),
     // --- winnowing fingerprints (engine-native, rows-only) ---------------
     "q_fingerprint" -> ((s, dir) => {
-      docs(s, dir).select(
-        col("doc_id"),
-        TextStats.winnowFingerprints(col("text")).as("fp"))
+      docs(s, dir)
+        .withColumn("grams", TextStats.shingleHashes(col("text")))
+        .withColumn("fp", TextStats.winnow(col("grams")))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           array_min(col("fp")).as("min_fp"))
         .orderBy("doc_id")
@@ -283,10 +283,11 @@ object SparkEntry {
     }),
     // --- composite quality score over metric columns (rows-only) ---------
     "q_quality_score" -> ((s, dir) => {
-      val base = docs(s, dir).withColumn("clean", vf.clean_text(col("text")))
-      val withMetrics = Quality.metrics(col("clean")).foldLeft(base) {
-        case (df, (name, c)) => df.withColumn(name, c)
-      }
+      val base = docs(s, dir)
+        .withColumn("clean", vf.clean_text(col("text")))
+        .withColumn("__words", Quality.words(col("clean")))
+      val withMetrics = Quality.metricsFromWords(col("clean"), col("__words"))
+        .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
       withMetrics.select(col("doc_id"), TextStats.qualityScore().as("score"))
         .orderBy("doc_id")
     })

@@ -113,23 +113,32 @@ object LangModel {
     m
   }
 
-  // --- language ID model: per-lang log P(trigram | lang), add-k smoothed --
+  // --- language ID model: per-lang log P(trigram | lang), add-k smoothed.
+  // Stored as ONE LongMap[Array[Double]] (trigram → 5 log-probs) so the
+  // scoring loop does a single hash probe per trigram instead of five —
+  // this is the profiled hot path.
   private val (langLogProb, langLogUnk) = {
-    val maps = Array.fill(Langs.length)(mutable.LongMap.empty[Double])
     val unk = new Array[Double](Langs.length)
     val k = 0.5
-    var li = 0
-    while (li < Langs.length) {
+    val perLang = Array.tabulate(Langs.length) { li =>
       val counts = trigramCounts(normForNgrams(seeds(Langs(li))))
       val total = counts.values.sum.toDouble
       val vocab = counts.size.toDouble + 1.0
-      counts.foreach { case (g, c) =>
-        maps(li)(g) = math.log((c + k) / (total + k * vocab))
-      }
       unk(li) = math.log(k / (total + k * vocab))
+      (counts, total, vocab)
+    }
+    val combined = mutable.LongMap.empty[Array[Double]]
+    var li = 0
+    while (li < Langs.length) {
+      val (counts, total, vocab) = perLang(li)
+      val l = li
+      counts.foreach { case (g, c) =>
+        val arr = combined.getOrElseUpdate(g, unk.clone())
+        arr(l) = math.log((c + k) / (total + k * vocab))
+      }
       li += 1
     }
-    (maps, unk)
+    (combined, unk)
   }
 
   // --- perplexity LM: stupid-backoff char trigram LM on en+pt seed -------
@@ -184,9 +193,10 @@ object LangModel {
     while (i + 2 < norm.length) {
       val a = norm.charAt(i); val b = norm.charAt(i + 1); val c = norm.charAt(i + 2)
       val g = key3(a, b, c)
+      val arr = langLogProb.getOrElse(g, langLogUnk)
       var li = 0
       while (li < Langs.length) {
-        scores(li) += langLogProb(li).getOrElse(g, langLogUnk(li))
+        scores(li) += arr(li)
         li += 1
       }
       lnSum += lnProb(a, b, c)

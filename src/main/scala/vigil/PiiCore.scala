@@ -80,16 +80,56 @@ object PiiCore {
     words >= 2 && words <= 6 && !Exclusions.isInstitutional(n)
   }
 
+  /** One O(n) pre-scan replacing up to ~15 full regex scans on the common
+    * (PII-free) turn: which character classes / keywords exist at all.
+    */
+  private final class PreScan(text: String) {
+    var hasDigit = false
+    var hasAt = false
+    var hasUpper = false
+    private val lower = text.toLowerCase
+    var i = 0
+    while (i < text.length && !(hasDigit && hasAt && hasUpper)) {
+      val c = text.charAt(i)
+      if (c >= '0' && c <= '9') hasDigit = true
+      else if (c == '@') hasAt = true
+      else if (Character.isUpperCase(c)) hasUpper = true
+      i += 1
+    }
+    // keyword gates (substring scan on the lowercased text is far cheaper
+    // than running the full alternation patterns)
+    def has(kw: String): Boolean = lower.contains(kw)
+    lazy val nameContextPossible: Boolean =
+      has("nome") || has("chamo") || has("cpf") || has("portador") ||
+        has("cidad") || has("requerente") || has("solicitante") ||
+        has("servidor") || has("funcion")
+    // no digit requirement: the RG charset [\d.-]+ matches dots/dashes
+    // alone, so "rg" presence is the only safe gate
+    lazy val rgPossible: Boolean = has("rg")
+    lazy val keyPossible: Boolean =
+      has("sk-") || has("akia") || has("ghp_") || has("xox")
+    lazy val firstPersonPossible: Boolean =
+      has("meu") || has("minha") || has("sou ") || has("chamo") || has("nome é")
+    lazy val addressPossible: Boolean =
+      has("moro") || has("resid") || has("rua") || has("avenida") ||
+        has("quadra") || has("conjunto") || has("bloco") || has("lote") ||
+        has("apartamento") || has("apt") || has("cep")
+    lazy val contactPossible: Boolean =
+      (has("contato") || has("whats") || has("zap") || has("fone") ||
+        has("cel")) && hasDigit
+  }
+
   /** Full analysis of an already-cleaned text (see TextClean.clean). */
   def analyze(text: String): Analysis = {
     if (text == null || text.isEmpty) return Analysis("", Nil, Nil, "")
+    val pre = new PreScan(text)
     val details = mutable.ArrayBuffer.empty[Detection]
     val scrub = mutable.ArrayBuffer.empty[ScrubSpan]
 
     // --- R1/R2: CPF formatted + partial (shared digit-dedupe set;
     //     formatted wins — patterns.py:158-187)
     val seenCpf = mutable.HashSet.empty[String]
-    locally {
+    if (pre.hasDigit) {
       val m = Patterns.CpfFormatted.matcher(text)
       while (m.find()) {
         if (!isSeiContext(text, m.start)) {
@@ -111,7 +151,7 @@ object PiiCore {
     // --- R3: CPF numeric with explicit context; emits capture group 1
     //     (digits only) — no dedupe vs R1/R2 in the reference
     //     (patterns.py:189-201)
-    locally {
+    if (pre.hasDigit) {
       val m = Patterns.CpfNumericContext.matcher(text)
       while (m.find()) {
         if (!isNotCpfContext(text, m.start)) {
@@ -122,7 +162,7 @@ object PiiCore {
     }
 
     // --- R4: email, no dedupe (patterns.py:203-208)
-    locally {
+    if (pre.hasAt) {
       val m = Patterns.Email.matcher(text)
       while (m.find()) {
         scrub += ScrubSpan("email", m.start, m.end)
@@ -133,7 +173,7 @@ object PiiCore {
     // --- R5: phone cascade — fixed variant order decides which surface
     //     form/confidence wins; dedupe by digits, reject <10 digits
     //     (patterns.py:210-247)
-    locally {
+    if (pre.hasDigit) {
       val seenPhone = mutable.HashSet.empty[String]
       def phonePass(pat: Pattern, conf: Double): Unit = {
         val m = pat.matcher(text)
@@ -153,7 +193,7 @@ object PiiCore {
     }
 
     // --- R6: RG, no dedupe (patterns.py:249-254)
-    locally {
+    if (pre.rgPossible) {
       val m = Patterns.Rg.matcher(text)
       while (m.find()) {
         scrub += ScrubSpan("rg", m.start, m.end)
@@ -164,7 +204,7 @@ object PiiCore {
     // --- N2-N6: conservative name extraction (detector.py:243-268) —
     //     per-pattern finditer in fixed order, clean + validate + dedupe by
     //     lowercased name (first occurrence wins, conf 0.80)
-    locally {
+    if (pre.nameContextPossible) {
       val seenNames = mutable.HashSet.empty[String]
       Patterns.StrongNameContexts.foreach { pat =>
         val m = pat.matcher(text)
@@ -188,7 +228,7 @@ object PiiCore {
     // --- L5: credit card via Luhn (north rule, SURVEY §2.10). Skip
     //     candidates overlapping an earlier span (e.g. a +55 phone whose 13
     //     digits happen to pass mod-10).
-    locally {
+    if (pre.hasDigit) {
       val seenCard = mutable.HashSet.empty[String]
       val m = Patterns.CardCandidate.matcher(text)
       while (m.find()) {
@@ -203,7 +243,7 @@ object PiiCore {
     }
 
     // --- L6: SSN + API keys (north rule)
-    locally {
+    if (pre.hasDigit) {
       val m = Patterns.Ssn.matcher(text)
       while (m.find()) {
         val overlaps = scrub.exists(s => m.start < s.end && s.beg < m.end)
@@ -212,6 +252,8 @@ object PiiCore {
           details += Detection("ssn", m.group, 0.90, m.start, m.end)
         }
       }
+    }
+    if (pre.keyPossible) {
       val k = Patterns.ApiKey.matcher(text)
       while (k.find()) {
         scrub += ScrubSpan("api_key", k.start, k.end)
@@ -222,11 +264,11 @@ object PiiCore {
     // --- R10: contextual signals — each family fires at most once
     //     (patterns.py:284-317)
     val sinais = mutable.ArrayBuffer.empty[Signal]
-    if (Patterns.FirstPerson.exists(_.matcher(text).find()))
+    if (pre.firstPersonPossible && Patterns.FirstPerson.exists(_.matcher(text).find()))
       sinais += Signal("contexto_1pessoa", "marcador_primeira_pessoa", 0.70)
-    if (Patterns.AddressMarkers.exists(_.matcher(text).find()))
+    if (pre.addressPossible && Patterns.AddressMarkers.exists(_.matcher(text).find()))
       sinais += Signal("endereco", "marcador_endereco", 0.60)
-    if (Patterns.ContactMarkers.exists(_.matcher(text).find()))
+    if (pre.contactPossible && Patterns.ContactMarkers.exists(_.matcher(text).find()))
       sinais += Signal("contato", "marcador_contato", 0.65)
 
     Analysis(text, details.toSeq, sinais.toSeq, scrubText(text, scrub.toSeq))

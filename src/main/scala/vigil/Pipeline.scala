@@ -66,13 +66,18 @@ object Decide {
       .withColumn("lang_conf", col("ls.lang_conf"))
       .withColumn("perplexity", col("ls.perplexity"))
       .drop("ls")
-    val withQuality = Quality.metrics(col("clean")).foldLeft(withLang) {
-      case (df, (name, c)) => df.withColumn(name, c)
-    }
+    // materialize the words array once; every quality metric reads the
+    // column instead of re-inlining filter(split(...)) per metric
+    val withWords = withLang.withColumn("__words", Quality.words(col("clean")))
+    val withQuality = Quality.metricsFromWords(col("clean"), col("__words"))
+      .foldLeft(withWords) { case (df, (name, c)) => df.withColumn(name, c) }
     withQuality
       .withColumn("quality_pass", Quality.passes(cfg.quality))
       .withColumn("toxic", Toxicity.isToxic(col("clean")))
       .withColumn("keep_turn", col("quality_pass") && !col("toxic"))
+      // the raw analysis struct duplicates clean/detalhes/sinais/scrubbed —
+      // dropping it halves the width of every downstream shuffle and write
+      .drop("__words", "pii")
   }
 
   /** Conversation-level decisions over scored turns: majority language and
@@ -122,6 +127,11 @@ object Decide {
     * keep = keep_turn && !drop_conversation. The join keys on conv_id;
     * conversation rows are ~|turns|/avg_len so at scale this is a
     * sort-merge join with AQE skew splitting; at test scale AQE broadcasts.
+    *
+    * NOTE: the conversation branch re-derives the scoring from `turns`
+    * (Spark recomputes shared lineage on self-joins). Fine at test scale;
+    * the 100 TB path is [[Pipeline.run]], which materializes the scored
+    * table once and aggregates from a column-pruned re-read.
     */
   def decide(turns: DataFrame, cfg: Config = Default): DataFrame = {
     val scored = scoreTurns(turns, cfg)
@@ -129,6 +139,46 @@ object Decide {
       .select("conv_id", "majority_lang", "pii_density", "drop_conversation")
     scored
       .join(conv, Seq("conv_id"))
+      .withColumn("keep", col("keep_turn") && !col("drop_conversation"))
+  }
+}
+
+/** The production-shaped job (SURVEY.md §3 E1 / north rule): score once,
+  * persist with lineage, aggregate conversations from a column-pruned
+  * re-read, join decisions back lazily.
+  */
+object Pipeline {
+
+  /** Two-phase run:
+    *  1. per-turn scoring (narrow) written bucketed-by-conv_id with
+    *     per-bucket lineage — the expensive regex/LM pass runs exactly once
+    *     per turn, and a crashed run resumes at bucket granularity;
+    *  2. conversation decisions aggregated from a re-read that scans ONLY
+    *     (conv_id, turn_idx, lang, contem_pii, toxic) — with parquet
+    *     column pruning this reads a few % of the stored bytes;
+    *  3. the returned view joins scored × conv on conv_id (sort-merge +
+    *     AQE skew handling at scale) and derives the final keep flag.
+    */
+  def run(
+      spark: org.apache.spark.sql.SparkSession,
+      turns: DataFrame,
+      path: String,
+      snapshotId: String,
+      cfg: Decide.Config = Decide.Default,
+      nBuckets: Int = 64): DataFrame = {
+    val scored = Decide.scoreTurns(turns, cfg)
+    TableIO.writeScored(spark, scored, path, snapshotId, nBuckets)
+
+    val pruned = TableIO.readScored(spark, path)
+      .select("conv_id", "turn_idx", "lang", "contem_pii", "toxic")
+    val conv = Decide.convDecisions(pruned, cfg)
+    conv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/conv")
+
+    TableIO.readScored(spark, path)
+      .join(spark.read.parquet(s"$path/conv")
+        .select("conv_id", "majority_lang", "pii_density", "drop_conversation"),
+        Seq("conv_id"))
       .withColumn("keep", col("keep_turn") && !col("drop_conversation"))
   }
 }

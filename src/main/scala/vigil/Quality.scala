@@ -31,9 +31,18 @@ object Quality {
   def words(clean: Column): Column =
     filter(split(clean, " "), w => length(w) > 0)
 
-  /** Adds the metric columns for `clean` under the given prefix. */
-  def metrics(clean: Column): Seq[(String, Column)] = {
-    val ws = words(clean)
+  /** Adds the metric columns for `clean` under the given prefix.
+    *
+    * NOTE for callers on the hot path: pass a pre-materialized words-array
+    * column (see [[metricsFromWords]]) — referencing `words(clean)` from
+    * every metric would otherwise inline `filter(split(...))` once per
+    * metric into the collapsed Project.
+    */
+  def metrics(clean: Column): Seq[(String, Column)] =
+    metricsFromWords(clean, words(clean))
+
+  /** Metrics over an existing words-array column (computed once). */
+  def metricsFromWords(clean: Column, ws: Column): Seq[(String, Column)] = {
     val nWords = size(ws)
     val nChars = length(clean)
     // letters-only word fraction (words containing at least one letter)

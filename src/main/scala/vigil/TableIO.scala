@@ -46,6 +46,10 @@ object TableIO {
       path: String,
       snapshotId: String,
       nBuckets: Int = 64): Long = {
+    // lineage keep counter: final `keep` when present (decided frames),
+    // else the turn-level `keep_turn` (conversation decisions come later)
+    val keepCol =
+      if (scored.columns.contains("keep")) col("keep") else col("keep_turn")
     val withBucket = scored.withColumn("bucket", bucketOf(nBuckets))
 
     val done: Set[Int] = lineage(spark, path) match {
@@ -70,8 +74,8 @@ object TableIO {
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_turns"),
-        sum(col("keep").cast("long")).as("kept"),
-        sum((!col("keep")).cast("long")).as("dropped"),
+        sum(keepCol.cast("long")).as("kept"),
+        sum((!keepCol).cast("long")).as("dropped"),
         sum((col("scrubbed_text") =!= col("clean")).cast("long")).as("scrubbed")
       )
       .withColumn("input_snapshot_id", lit(snapshotId))

@@ -20,20 +20,30 @@ object TextStats {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("long")
 
-  /** Winnowing document fingerprint (Schleimer et al. 2003, as in MOSS):
-    * hash every k-word shingle, then keep the minimum hash of every
-    * sliding window of `w` consecutive shingle hashes; the distinct mins
-    * are the fingerprint. Guarantees any shared run of ≥ w+k-1 words
-    * produces at least one shared fingerprint.
+  /** k-word shingle hashes of the text (step 1 of winnowing).
+    *
+    * IMPORTANT: materialize this as its own column (withColumn) before
+    * passing it to [[winnow]] — if the expression is inlined, every
+    * winnow window re-evaluates the whole shingle pass (O(n²) per row;
+    * caught by the noop-write bench at 106 s for 500 docs).
     */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+  def shingleHashes(text: Column, k: Int = 3): Column = {
     val words = filter(split(lower(text), " "), x => length(x) > 0)
     val n = size(words)
-    val grams = when(n >= k,
+    when(n >= k,
       transform(sequence(lit(0), n - k),
         i => xxhash64(concat_ws(" ",
           (0 until k).map(j => element_at(words, i + j + 1)): _*))))
       .otherwise(array(xxhash64(concat_ws(" ", words))))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al. 2003, as in MOSS)
+    * over a MATERIALIZED shingle-hash column: keep the minimum hash of
+    * every sliding window of `w` consecutive shingle hashes; the distinct
+    * mins are the fingerprint. Guarantees any shared run of ≥ w+k-1 words
+    * produces at least one shared fingerprint.
+    */
+  def winnow(grams: Column, w: Int = 4): Column = {
     val m = size(grams)
     when(m >= w,
       array_distinct(transform(sequence(lit(0), m - w),

@@ -1,0 +1,50 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import vigil.{Decide, Synth}
+
+/** Diagnostic main: print the optimized/physical plans of the flagship
+  * pipeline and count how many times the expensive expressions appear —
+  * guarding against CollapseProject duplicating a regex-heavy expression
+  * per derived column.
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scored = Decide.decide(Synth.corpusDF(spark, 100),
+      Decide.Default.copy(targetLang = "pt"))
+      .select("conv_id", "turn_idx", "contem_pii", "scrubbed_text", "lang",
+        "perplexity", "quality_pass", "toxic", "keep")
+
+    val optimized = scored.queryExecution.optimizedPlan.toString
+    val physical = scored.queryExecution.executedPlan.toString
+    println("=== pii_analyze occurrences (optimized): " +
+      "pii_analyze".r.findAllIn(optimized).size)
+    println("=== lang_score occurrences (optimized): " +
+      "lang_score".r.findAllIn(optimized).size)
+    println("=== exchanges (physical): " +
+      "Exchange".r.findAllIn(physical).size)
+    println("=== wholestagecodegen spans: " +
+      "WholeStageCodegen".r.findAllIn(physical).size)
+    println()
+    println(scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.take(80).mkString("\n"))
+
+    // also: a parquet-scan query to confirm pushdown + pruning
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 100)
+      .select("doc_id", "n_chars")
+    println()
+    println(docs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    spark.stop()
+  }
+}

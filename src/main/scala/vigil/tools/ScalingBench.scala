@@ -1,0 +1,60 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+import vigil.{Decide, Synth}
+
+/** Scaling-efficiency bench (north rule: throughput at N vs 4N parallelism).
+  *
+  * Runs the flagship keep+scrub pipeline over a synthesized corpus at the
+  * parallelism given by SPARK_GRAFT_CPUS, printing one JSON line with
+  * turns/sec. The driver-side scripts/scaling_bench.sh runs this at
+  * local[8] and local[32] on the SAME corpus and computes
+  * eff = (thr_32 / thr_8) / 4 for BENCH/BASELINE.md.
+  *
+  * Args: [nConvs] (default 30000; ~150k turns with the default tail cap).
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.nonEmpty) args(0).toInt else 30000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = Decide.Default.copy(targetLang = "pt")
+    // generation must not be the bottleneck being measured: synthesize
+    // once, write to parquet, re-read (also what a real job would scan)
+    val corpusPath = s"/tmp/vigil_bench_corpus_$nConvs"
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) {
+      Synth.corpusDF(spark, nConvs, maxLen = 200)
+        .repartition(64)
+        .write.mode("overwrite").parquet(corpusPath)
+    }
+    val turns = spark.read.parquet(corpusPath)
+    val nTurns = turns.count()
+
+    // warmup (JIT + codegen caches), then timed runs
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Decide.decide(turns, cfg)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    val times = Seq(once(), once(), once())
+    val best = times.min
+    val thr = nTurns / best
+    println(
+      s"""{"bench":"scaling","cpus":$cpus,"n_convs":$nConvs,""" +
+        s""""n_turns":$nTurns,"times_sec":[${times.mkString(",")}],""" +
+        s""""best_sec":$best,"turns_per_sec":$thr}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+import vigil.{Decide, Pipeline, Synth}
+
+/** Stage-level profile of the flagship pipeline: times each composition
+  * tier separately (north star: langid+perplexity is the profiled hot
+  * path) so optimization effort lands where the time is.
+  */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.nonEmpty) args(0).toInt else 150000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+
+    val corpusPath = s"/tmp/vigil_bench_corpus_$nConvs"
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(corpusPath))) {
+      Synth.corpusDF(spark, nConvs, maxLen = 200)
+        .repartition(64).write.mode("overwrite").parquet(corpusPath)
+    }
+    val turns = spark.read.parquet(corpusPath)
+    val cfg = Decide.Default.copy(targetLang = "pt")
+
+    def time(label: String)(f: => Unit): Unit = {
+      f // warmup
+      val t0 = System.nanoTime(); f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    time("read only")(noop(turns))
+    time("clean only")(noop(turns.select(vigil.functions.clean_text(col("text")))))
+    time("pii_analyze only")(noop(turns.select(vigil.functions.pii_analyze(col("text")))))
+    time("lang_score only")(noop(turns.select(vigil.functions.lang_score(
+      vigil.functions.clean_text(col("text"))))))
+    time("scoreTurns (full narrow)")(noop(Decide.scoreTurns(turns, cfg)))
+    time("decide (join recompute)")(noop(Decide.decide(turns, cfg)))
+    val outDir = java.nio.file.Files.createTempDirectory("vigil_prof").toString
+    time("Pipeline.run (materialized)") {
+      val d = java.nio.file.Files.createTempDirectory("vigil_prof_r").toString
+      noop(Pipeline.run(spark, turns, d, "s1", cfg))
+    }
+    spark.stop()
+  }
+}

@@ -78,7 +78,8 @@ class DedupAnnSpec extends AnyFunSuite {
   test("winnowing: shared long runs share fingerprints; guarantees overlap") {
     val df = Seq((0L, base), (1L, base), (2L, "nothing in common at all zz"))
       .toDF("doc_id", "text")
-      .select(col("doc_id"), TextStats.winnowFingerprints(col("text")).as("fp"))
+      .withColumn("grams", TextStats.shingleHashes(col("text")))
+      .select(col("doc_id"), TextStats.winnow(col("grams")).as("fp"))
     val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     assert(rows(0L) == rows(1L))
     assert(rows(0L).intersect(rows(2L)).isEmpty)
