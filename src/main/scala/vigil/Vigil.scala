@@ -1,0 +1,46 @@
+package vigil
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade — the one-stop API mirroring the reference's entry
+  * points (SURVEY.md §3) on Spark:
+  *
+  *  - [[detect]]           ≙ PIIDetector.detect(text)        (E2, single text)
+  *  - [[score]]            ≙ process_data                    (E1, per-turn batch)
+  *  - [[decide]]           ≙ E1 + conversation-level rules   (north rule)
+  *  - [[review]]           ≙ generate_human_review           (E1 step 5)
+  *  - [[evaluate]]         ≙ scripts/evaluate.py             (E3)
+  *  - [[vigil.Pipeline.run]] for the materialized, resumable production job
+  *  - [[vigil.io.Sources]] / [[vigil.io.Sinks]] for the reference's formats
+  */
+object Vigil {
+
+  /** Single-text detection — pure, no Spark needed. */
+  def detect(text: String): Analysis = PiiCore.detect(text)
+
+  /** Reference-shaped convenience view of a single detection. */
+  def contemPii(text: String): Boolean =
+    PiiCore.detect(text).detalhes.exists(d => PiiTypes.Real.contains(d.tipo))
+
+  /** Scrubbed form of a single text. */
+  def scrub(text: String): String = PiiCore.detect(text).scrubbed
+
+  /** Per-turn scoring over a transcript frame (conv_id, turn_idx, role,
+    * text, tool, ts). Narrow, no shuffle.
+    */
+  def score(turns: DataFrame, cfg: Decide.Config = Decide.Default): DataFrame =
+    Decide.scoreTurns(turns, cfg)
+
+  /** Full keep/drop with conversation-level decisions. */
+  def decide(turns: DataFrame, cfg: Decide.Config = Decide.Default): DataFrame =
+    Decide.decide(turns, cfg)
+
+  /** Human-review triage table from a scored frame. */
+  def review(scored: DataFrame, cfg: Review.Config = Review.Default): DataFrame =
+    Review.reviewTable(scored, cfg)
+
+  /** Confusion metrics of predictions vs truth on shared id columns. */
+  def evaluate(pred: DataFrame, truth: DataFrame, idCols: Seq[String],
+      predCol: String, truthCol: String): Eval.Metrics =
+    Eval.confusion(pred, truth, idCols, predCol, truthCol)
+}

@@ -1,0 +1,81 @@
+package vigil.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input sources with the reference's loading semantics
+  * (SURVEY.md §2.1 S2-S5; /root/reference/main.py:58-144).
+  */
+object Sources {
+
+  /** Max records guard for keyed-JSON inputs (constants.py:27). */
+  val MaxJsonRecords: Long = 100000L
+  /** Keys probed, in order, for the keyed-object JSON shape
+    * (constants.py:24).
+    */
+  val JsonRecordKeys: Seq[String] = Seq("registros", "data", "resultados")
+
+  /** S2: CSV with UTF-8 → ISO-8859-1 encoding fallback (main.py:93-98).
+    * The fallback triggers when the UTF-8 read produces replacement
+    * characters (U+FFFD) in the text column — the Spark-side equivalent of
+    * catching UnicodeDecodeError.
+    */
+  def csv(spark: SparkSession, path: String, textColumn: String): DataFrame = {
+    val utf8 = spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .csv(path)
+    val hasReplacement =
+      utf8.columns.contains(textColumn) &&
+        utf8.filter(col(textColumn).contains("�")).limit(1).count() > 0
+    val df =
+      if (hasReplacement)
+        spark.read.option("header", "true").option("encoding", "ISO-8859-1")
+          .csv(path)
+      else utf8
+    requireTextColumn(df, textColumn)
+  }
+
+  /** S3: JSON in any of the reference's three shapes — JSON-lines,
+    * top-level array (multiLine), or a keyed object whose first present
+    * key of (registros|data|resultados) holds the record array. Applies
+    * the MAX_JSON_RECORDS cap (main.py:99-131).
+    */
+  def json(spark: SparkSession, path: String, textColumn: String): DataFrame = {
+    val lines = spark.read.json(path)
+    val base: DataFrame =
+      if (lines.columns.contains(textColumn)) lines
+      else {
+        // top-level array?
+        val multi = spark.read.option("multiLine", "true").json(path)
+        if (multi.columns.contains(textColumn)) multi
+        else {
+          // keyed-object shape: explode the first present record key
+          JsonRecordKeys.find(multi.columns.contains) match {
+            case Some(k) =>
+              multi.select(explode(col(k)).as("r")).select("r.*")
+            case None =>
+              throw new IllegalArgumentException(
+                s"unsupported JSON shape: none of ${JsonRecordKeys.mkString("/")} " +
+                  s"present and no '$textColumn' column")
+          }
+        }
+      }
+    val n = base.limit((MaxJsonRecords + 1).toInt).count()
+    require(n <= MaxJsonRecords,
+      s"JSON input exceeds MAX_JSON_RECORDS=$MaxJsonRecords")
+    requireTextColumn(base, textColumn)
+  }
+
+  /** Parquet (the native path). */
+  def parquet(spark: SparkSession, path: String, textColumn: String): DataFrame =
+    requireTextColumn(spark.read.parquet(path), textColumn)
+
+  /** S5: fail fast when the text column is absent (main.py:136-141). */
+  def requireTextColumn(df: DataFrame, textColumn: String): DataFrame = {
+    require(df.schema.fieldNames.contains(textColumn),
+      s"text column '$textColumn' not found; available: " +
+        df.schema.fieldNames.mkString(", "))
+    df
+  }
+}

@@ -1,0 +1,77 @@
+package vigil.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import vigil.Decide
+
+/** Structured Streaming face of the engine.
+  *
+  * The per-turn scoring stage is stateless and narrow (one deterministic
+  * expression pipeline), so it applies to a streaming DataFrame unchanged —
+  * readStream → scoreTurns → writeStream. Conversation-level decisions are
+  * the stateful part: a KeyValueGroupedDataset.mapGroupsWithState keyed by
+  * conv_id folds per-language counts / PII density incrementally and emits
+  * the updated decision per micro-batch (Update mode). State size is O(1)
+  * per live conversation (a bounded lang-count map), so executor state
+  * stores scale with active conversations, not turns.
+  */
+object StreamPipeline {
+
+  final case class ConvState(
+      n: Long, pii: Long, tox: Long, langCounts: Map[String, Long])
+
+  final case class ConvUpdate(
+      conv_id: String,
+      n_turns: Long,
+      majority_lang: String,
+      pii_density: Double,
+      drop_conversation: Boolean)
+
+  /** Stateless streaming scoring: identical semantics to the batch path. */
+  def scoreStream(turns: DataFrame, cfg: Decide.Config = Decide.Default): DataFrame =
+    Decide.scoreTurns(turns, cfg)
+
+  /** Stateful conversation decisions over a scored stream (Update mode). */
+  def convDecisionsStream(
+      scored: DataFrame, cfg: Decide.Config = Decide.Default): Dataset[ConvUpdate] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("conv_id"), col("lang"),
+        col("contem_pii").cast("int"), col("toxic").cast("int"))
+      .as[(String, String, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ConvState, ConvUpdate](GroupStateTimeout.NoTimeout) {
+        case (convId, turns, state: GroupState[ConvState]) =>
+          var s = state.getOption.getOrElse(ConvState(0, 0, 0, Map.empty))
+          turns.foreach { case (_, lang, pii, tox) =>
+            s = ConvState(
+              s.n + 1, s.pii + pii, s.tox + tox,
+              s.langCounts.updated(lang, s.langCounts.getOrElse(lang, 0L) + 1))
+          }
+          state.update(s)
+          val (mLang, mCnt) =
+            if (s.langCounts.isEmpty) ("und", 0L)
+            else s.langCounts.maxBy { case (l, c) => (c, l) }
+          val density = if (s.n == 0) 0.0 else s.pii.toDouble / s.n
+          val drop =
+            (mLang != cfg.targetLang &&
+              s.n > 0 && mCnt.toDouble / s.n >= cfg.minMajorityFrac) ||
+              density > cfg.maxConvPiiDensity
+          ConvUpdate(convId, s.n, mLang, density, drop)
+      }
+  }
+
+  /** Convenience: start a memory-sink scoring stream (used by tests and
+    * local smoke-runs).
+    */
+  def startMemoryScoring(
+      turns: DataFrame, queryName: String,
+      cfg: Decide.Config = Decide.Default): org.apache.spark.sql.streaming.StreamingQuery =
+    scoreStream(turns, cfg)
+      .select("conv_id", "turn_idx", "contem_pii", "scrubbed_text", "lang",
+        "quality_pass", "toxic", "keep_turn")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append).start()
+}

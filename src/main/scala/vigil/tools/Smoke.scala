@@ -1,0 +1,35 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end smoke drive through the public facade: single-text API,
+  * batch decide, sinks round-trip. Run:
+  *   sbt "runMain vigil.tools.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = java.nio.file.Files.createTempDirectory("vigil_smoke").toString
+
+    println("contemPii: " + vigil.Vigil.contemPii("Meu CPF é 123.456.789-00"))
+    println("scrub:     " + vigil.Vigil.scrub(
+      "Meu CPF é 123.456.789-00 e a@b.com, cartão 4532 0151 1283 0366"))
+
+    val cfg = vigil.Decide.Config(targetLang = "pt")
+    val turns = vigil.Synth.corpusDF(spark, 50)
+    val decided = vigil.Vigil.decide(turns, cfg)
+    vigil.io.Sinks.resultsCsv(decided, s"$out/csv")
+    vigil.io.Sinks.resultsJson(spark, decided, s"$out/json", "smoke")
+    val review = vigil.Vigil.review(vigil.Vigil.score(turns, cfg))
+    println("review written: " + vigil.io.Sinks.reviewCsv(review, s"$out/review"))
+    println("csv rows back:  " +
+      spark.read.option("header", "true").csv(s"$out/csv").count())
+    println("metadata:       " +
+      spark.read.option("multiLine", "true").json(s"$out/json/metadata.json")
+        .select("estatisticas.por_tipo").first())
+    spark.stop()
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.{Decide, Review, Synth}
+import vigil.io.{Sinks, Sources}
+import vigil.streaming.StreamPipeline
+
+/** Sources (S2-S5), sinks (S6-S10) and the Structured Streaming path. */
+class IoStreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val cfg = Decide.Default.copy(targetLang = "pt")
+
+  test("csv source + encoding fallback + text-column validation") {
+    val dir = Files.createTempDirectory("vigil_src").toString
+    // a latin-1 file: 'coração' encoded ISO-8859-1 is invalid UTF-8
+    val latin = s"$dir/latin.csv"
+    val w = new java.io.FileOutputStream(latin)
+    w.write("ID,Texto\n1,coração\n".getBytes("ISO-8859-1"))
+    w.close()
+    val df = Sources.csv(spark, latin, "Texto")
+    assert(df.select("Texto").collect().head.getString(0) == "coração")
+    val utf = s"$dir/utf.csv"
+    Files.writeString(java.nio.file.Paths.get(utf), "ID,Texto\n1,ação\n")
+    assert(Sources.csv(spark, utf, "Texto")
+      .select("Texto").collect().head.getString(0) == "ação")
+    intercept[IllegalArgumentException] {
+      Sources.csv(spark, utf, "Missing")
+    }
+  }
+
+  test("json source: lines, array, and keyed-object shapes") {
+    val dir = Files.createTempDirectory("vigil_json").toString
+    def p(s: String) = java.nio.file.Paths.get(s)
+    Files.writeString(p(s"$dir/lines.json"),
+      """{"ID": 1, "Texto": "a"}""" + "\n" + """{"ID": 2, "Texto": "b"}""" + "\n")
+    assert(Sources.json(spark, s"$dir/lines.json", "Texto").count() == 2)
+    Files.writeString(p(s"$dir/array.json"),
+      """[{"ID": 1, "Texto": "a"}, {"ID": 2, "Texto": "b"}]""")
+    assert(Sources.json(spark, s"$dir/array.json", "Texto").count() == 2)
+    Files.writeString(p(s"$dir/keyed.json"),
+      """{"registros": [{"ID": 1, "Texto": "a"}], "outro": 1}""")
+    assert(Sources.json(spark, s"$dir/keyed.json", "Texto").count() == 1)
+    Files.writeString(p(s"$dir/bad.json"), """{"unknown_key": []}""")
+    intercept[IllegalArgumentException] {
+      Sources.json(spark, s"$dir/bad.json", "Texto")
+    }
+  }
+
+  test("result sinks: csv columns + nested json document with stats") {
+    val scored = Decide.decide(Synth.corpusDF(spark, 40), cfg)
+    val dir = Files.createTempDirectory("vigil_sink").toString
+    Sinks.resultsCsv(scored, s"$dir/csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(back.columns.contains("contem_pii") &&
+      back.columns.contains("tipos_detectados") &&
+      back.columns.contains("confianca"))
+    assert(back.count() == scored.count())
+
+    Sinks.resultsJson(spark, scored, s"$dir/json", "synth")
+    val res = spark.read.json(s"$dir/json/resultados")
+    assert(res.count() == scored.count())
+    val meta = spark.read.option("multiLine", "true")
+      .json(s"$dir/json/metadata.json")
+    val m = meta.select("metadata.total_registros", "metadata.total_com_pii")
+      .collect()(0)
+    assert(m.getLong(0) == scored.count())
+    assert(m.getLong(1) ==
+      scored.filter(col("contem_pii")).count())
+  }
+
+  test("review sinks: header contract, %.2f, priority sort, empty short-circuit") {
+    val scored = Decide.scoreTurns(Synth.corpusDF(spark, 80), cfg)
+    val review = Review.reviewTable(scored)
+    assert(review.count() > 0)
+    val dir = Files.createTempDirectory("vigil_rev").toString
+    assert(Sinks.reviewCsv(review, s"$dir/csv"))
+    val back = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(back.columns.toSeq == Seq("ID", "Prioridade", "Tipo PII",
+      "Valor Detectado", "Score", "Motivo", "Texto (Trecho)", "Explicacao"))
+    assert(back.filter(!col("Score").rlike("^\\d+\\.\\d{2}$")).count() == 0,
+      "scores must be %.2f formatted")
+    // S10: empty review → no directory created
+    val none = review.filter(lit(false))
+    assert(!Sinks.reviewCsv(none, s"$dir/empty"))
+    assert(!new java.io.File(s"$dir/empty").exists())
+  }
+
+  test("streaming: stateless scoring matches batch; stateful conv decisions") {
+    val dir = Files.createTempDirectory("vigil_stream").toString
+    val corpus = Synth.corpusDF(spark, 30)
+    corpus.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = StreamPipeline.startMemoryScoring(stream, "scored_stream", cfg)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scored_stream")
+    val batch = Decide.scoreTurns(corpus, cfg)
+      .select("conv_id", "turn_idx", "contem_pii", "scrubbed_text", "lang",
+        "quality_pass", "toxic", "keep_turn")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming scoring must be row-identical to the batch path")
+
+    // stateful conversation decisions over the same stream
+    val q2 = StreamPipeline
+      .convDecisionsStream(StreamPipeline.scoreStream(stream, cfg), cfg)
+      .writeStream.format("memory").queryName("conv_stream")
+      .outputMode(OutputMode.Update).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val convStream = spark.table("conv_stream")
+      .groupBy("conv_id")
+      .agg(max(struct(col("n_turns"), col("drop_conversation"))).as("last"))
+      .select(col("conv_id"), col("last.n_turns"),
+        col("last.drop_conversation"))
+    val convBatch = Decide.convDecisions(Decide.scoreTurns(corpus, cfg), cfg)
+      .select("conv_id", "n_turns", "drop_conversation")
+    assert(convStream.except(convBatch).isEmpty &&
+      convBatch.except(convStream).isEmpty,
+      "final streamed conversation decisions must equal the batch decisions")
+  }
+}

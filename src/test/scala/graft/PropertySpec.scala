@@ -1,0 +1,106 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.{PiiCore, TextClean}
+import vigil.dedup.Dedup
+
+/** Property tests the reference lacks (SURVEY.md §5): invariants of the
+  * scrub/normalize/dedup kernels over generated inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Raw-ScalaCheck runner (scalatestplus bridge is not in the offline
+    * cache): 200 cases with a fixed seed for reproducibility.
+    */
+  private def check(p: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = org.scalacheck.Test.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.oneOf("solicito", "processo", "dados", "prazo",
+    "resposta", "documento", "informa", "pedido", "governo", "cidade")
+  private val cpf = Gen.listOfN(11, Gen.numChar).map { d =>
+    val s = d.mkString
+    s"${s.take(3)}.${s.slice(3, 6)}.${s.slice(6, 9)}-${s.drop(9)}"
+  }
+  private val email = for {
+    u <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+    d <- Gen.oneOf("mail.com", "gov.br", "x.org")
+  } yield s"$u@$d"
+  private val piece = Gen.frequency(
+    (8, word), (1, cpf), (1, email),
+    (1, Gen.const("(61) 99999-1234")), (1, Gen.const("RG: 1234567")))
+  private val text = Gen.chooseNum(0, 30)
+    .flatMap(n => Gen.listOfN(n, piece)).map(_.mkString(" "))
+
+  test("scrub is idempotent") {
+    check(Prop.forAll(text) { t =>
+      val once = PiiCore.detect(t).scrubbed
+      PiiCore.detect(once).scrubbed == once
+    })
+  }
+
+  test("scrubbed text has no residual real-PII detections") {
+    check(Prop.forAll(text) { t =>
+      val scrubbed = PiiCore.detect(t).scrubbed
+      PiiCore.detect(scrubbed).detalhes
+        .forall(d => !vigil.PiiTypes.Real.contains(d.tipo))
+    })
+  }
+
+  test("clean is idempotent and never longer than NFKC input") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val c = TextClean.clean(s)
+      TextClean.clean(c) == c
+    })
+  }
+
+  test("detection is deterministic and order-stable") {
+    check(Prop.forAll(text) { t =>
+      PiiCore.detect(t) == PiiCore.detect(t)
+    })
+  }
+
+  test("detail spans lie within the cleaned text and match valor (where the matcher reports the span verbatim)") {
+    check(Prop.forAll(text) { t =>
+      val a = PiiCore.detect(t)
+      a.detalhes.forall { d =>
+        d.beg >= 0 && d.end <= a.clean.length && d.beg < d.end &&
+          // every span slice equals valor for non-name types (names are
+          // cleaned; numeric CPF is the capture group — still verbatim)
+          (d.tipo == "nome" || a.clean.substring(d.beg, d.end) == d.valor)
+      }
+    })
+  }
+
+  test("minhash estJaccard is within 0.25 of true shingle jaccard") {
+    val twoTexts = for {
+      a <- text.suchThat(_.split(" ").length >= 5)
+      b <- text.suchThat(_.split(" ").length >= 5)
+    } yield (a, b)
+    check(Prop.forAll(twoTexts) { case (a, b) =>
+      val sa = Dedup.MinHash.shingles(a, 3)
+      val sb = Dedup.MinHash.shingles(b, 3)
+      (sa.isEmpty || sb.isEmpty) || {
+        val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        val estJ = Dedup.MinHash.estJaccard(
+          Dedup.MinHash.signature(a, 128, 3, 42L),
+          Dedup.MinHash.signature(b, 128, 3, 42L))
+        math.abs(trueJ - estJ) < 0.25
+      }
+    })
+  }
+
+  test("simhash hamming distance is symmetric and zero on self") {
+    check(Prop.forAll(text, text) { (a, b) =>
+      val fa = Dedup.SimHash.fingerprint(a)
+      val fb = Dedup.SimHash.fingerprint(b)
+      Dedup.SimHash.hamming(fa, fa) == 0 &&
+        Dedup.SimHash.hamming(fa, fb) == Dedup.SimHash.hamming(fb, fa)
+    })
+  }
+}
