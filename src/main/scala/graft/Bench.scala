@@ -33,10 +33,15 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // headline throughput: the flagship keep+scrub pipeline, turns/sec
+    // headline throughput: the flagship keep+scrub pipeline, turns/sec.
+    // Turn count comes from the (cheap) corpus generator, not a second
+    // full pipeline run.
     val pipeTime = results.toMap.getOrElse("pipeline_transcripts", 0.0)
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble).getOrElse(0.01)
     val nTurns =
-      try SparkEntry.queries("pipeline_transcripts")(spark, sfDir).count()
+      try vigil.Synth
+        .corpusDF(spark, math.max(200, (sf * 200000).toInt)).count()
       catch { case _: Throwable => 0L }
     val turnsPerSec = if (pipeTime > 0) nTurns / pipeTime else 0.0
 

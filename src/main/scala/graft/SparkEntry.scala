@@ -166,6 +166,24 @@ object SparkEntry {
           "majority_lang", "pii_density", "drop_conversation", "keep")
         .orderBy("conv_id", "turn_idx")
     }),
+    // --- W4 conversation assembly over scored transcripts (rows-only) ----
+    "q_conv_assembly" -> ((s, dir) => {
+      vigil.Assemble.conversationDocs(
+        Decide.scoreTurns(transcripts(s, dir), PtCfg))
+        .orderBy("conv_id")
+    }),
+    // --- ordered session assembly on events (oracle-paired) --------------
+    "q_event_sessions" -> ((s, dir) => {
+      events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("session_seq"))
+        .orderBy("user_id")
+    }),
     // --- H1-H6 review triage over the transcript corpus ------------------
     "q_review_triage" -> ((s, dir) => {
       Review.reviewTable(Decide.scoreTurns(transcripts(s, dir), PtCfg))
@@ -250,8 +268,7 @@ object SparkEntry {
     // --- winnowing fingerprints (engine-native, rows-only) ---------------
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir)
-        .withColumn("grams", TextStats.shingleHashes(col("text")))
-        .withColumn("fp", TextStats.winnow(col("grams")))
+        .withColumn("fp", vf.winnow_fingerprint(col("text")))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           array_min(col("fp")).as("min_fp"))
         .orderBy("doc_id")
@@ -347,6 +364,10 @@ object SparkEntry {
         Toxicity.Lexicon.map(w => s"'$w'").mkString(", ") +
         """])) > 0 AS toxic
          FROM documents ORDER BY doc_id"""),
+    "q_event_sessions" ->
+      """SELECT user_id, count(*) AS n_events,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS session_seq
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_eval_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -143,6 +143,45 @@ object Decide {
   }
 }
 
+/** Conversation assembly (north rule W4): stable turn ordering within each
+  * conversation and document-shaped rollups.
+  */
+object Assemble {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Stable per-conversation ordering: turn_idx ranks within conv_id
+    * (ties impossible by schema contract; ts as deterministic tiebreak).
+    */
+  def orderedTurns(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy(col("turn_idx"), col("ts"))
+    turns.withColumn("turn_rank", row_number().over(w))
+  }
+
+  /** One row per conversation: turns concatenated in stable order.
+    *
+    * Shape: single shuffle on conv_id; ordering via sort_array over
+    * (turn_idx, text) structs instead of a window + collect_list chain, so
+    * partial aggregation still applies map-side. Long-conversation skew is
+    * inherent to "assemble the whole conversation" — AQE skew-join/coalesce
+    * plus the bucketed storage layout (TableIO) bound the damage; the
+    * per-turn scoring path never requires this rollup.
+    */
+  def conversationDocs(
+      scored: DataFrame,
+      textCol: String = "scrubbed_text",
+      sep: String = "\n"): DataFrame =
+    scored
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("turn_idx"), col(textCol).as("t")))),
+            s => s.getField("t")),
+          sep).as("conversation_text"),
+        sum(col("contem_pii").cast("long")).as("n_pii_turns"))
+}
+
 /** The production-shaped job (SURVEY.md §3 E1 / north rule): score once,
   * persist with lineage, aggregate conversations from a column-pruned
   * re-read, join decisions back lazily.

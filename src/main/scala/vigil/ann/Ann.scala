@@ -117,8 +117,11 @@ object Ann {
     */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
-      minCos: Double, nBits: Int = 16, bands: Int = 4, dim: Int = 64,
+      minCos: Double, nBits: Int = 32, bands: Int = 4, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    // default 4×8-bit bands: for cos ≥ 0.95 (θ ≈ 18°) per-band collision
+    // ≈ 0.9^8 ≈ 0.43, overall recall 1-(1-0.43)^4 ≈ 0.90, while candidate
+    // volume drops ~16× vs 4-bit bands (bucket size ∝ n/2^width)
     val c = withBands(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "vec", nBits, bands, dim, seed, "cb")

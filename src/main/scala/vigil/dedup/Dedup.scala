@@ -248,9 +248,15 @@ object Dedup {
       col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(filter(split(lower(col(textCol)), " "), w => length(w) > 0))
         .as("toks"))
+      .withColumn("n", size(col("toks")))
     val a = toks.as("a")
     val b = toks.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    // lossless length prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // J ≥ t requires the set sizes to be within a factor t — this prunes
+    // most candidate pairs before the O(len) intersect/union work
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          lit(minJaccard) * greatest(col("a.n"), col("b.n")))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /

@@ -85,6 +85,18 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rows(0L).intersect(rows(2L)).isEmpty)
   }
 
+  test("WinnowFingerprintExpr is bit-identical to the pure-column path") {
+    val texts = Seq(base, base + " extra tail words here", "one two", "x",
+      "", "  ", "a b c d e f g h i j k l m n o p q r s t")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("grams", vigil.TextStats.shingleHashes(col("text")))
+      .withColumn("fp_cols", vigil.TextStats.winnow(col("grams")))
+      .withColumn("fp_expr", vigil.functions.winnow_fingerprint(col("text")))
+    val bad = df.filter(col("fp_cols") =!= col("fp_expr")).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("ann: brute-force topk is sane and lsh refinement is a subset-rank") {
     val rng = new scala.util.Random(7)
     def vec(seed: Array[Float]): Seq[Float] = seed.toSeq

@@ -22,18 +22,25 @@ class ParitySpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 
-  private def corpusPath: String = {
-    val url = getClass.getClassLoader.getResource("parity_corpus.jsonl")
-    assert(url != null, "parity_corpus.jsonl missing from test resources")
+  private def corpusPath(name: String): String = {
+    val url = getClass.getClassLoader.getResource(name)
+    assert(url != null, s"$name missing from test resources")
     url.getPath
   }
 
   test("exact agreement with reference labels on the 400-text corpus") {
-    import org.apache.spark.sql.functions._
-    val rows = spark.read.json(corpusPath)
+    runCorpus("parity_corpus.jsonl", 400)
+  }
+
+  test("exact agreement on the 600-text adversarial chaos corpus") {
+    runCorpus("chaos_corpus.jsonl", 600)
+  }
+
+  private def runCorpus(resource: String, expected: Int): Unit = {
+    val rows = spark.read.json(corpusPath(resource))
       .select("id", "text", "contem_pii", "tipos", "detalhes", "sinais", "confianca")
       .collect()
-    assert(rows.length == 400)
+    assert(rows.length == expected)
 
     var mismatches = List.empty[String]
     var tp = 0; var fp = 0; var fn = 0; var tn = 0
