@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Large differential sweep: generate N random texts (chaos-style mix),
+run the Python REFERENCE and the Scala kernel (vigil.tools.DiffRunner)
+on the identical inputs, and report every divergence.
+
+Usage: python3 scripts/diff_sweep.py [N] [seed]
+(Requires the jar: sbt -batch package first.)
+"""
+import json
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/reference")
+from src.detector import PIIDetector  # noqa: E402
+
+sys.path.insert(0, "scripts")
+from gen_chaos_corpus import FRAGMENTS, WORDS  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+SEED = int(sys.argv[2]) if len(sys.argv) > 2 else 20260816
+rng = random.Random(SEED)
+
+
+def make_text():
+    n = rng.randint(1, 16)
+    parts = [rng.choice(FRAGMENTS) if rng.random() < 0.6 else rng.choice(WORDS)
+             for _ in range(n)]
+    return rng.choice([" ", " ", ", ", ". ", "  "]).join(parts)
+
+
+texts = [make_text() for _ in range(N)]
+with open("/tmp/diff_texts.jsonl", "w", encoding="utf-8") as fh:
+    for t in texts:
+        fh.write(json.dumps(t, ensure_ascii=False) + "\n")
+
+# Scala side
+cp = "target/scala-2.13/vigilpiidetectorspark_2.13-0.1.0.jar:" + \
+     "/opt/spark/jars/*"
+subprocess.run(
+    ["java", "-cp", cp, "vigil.tools.DiffRunner",
+     "/tmp/diff_texts.jsonl", "/tmp/diff_scala.jsonl"],
+    check=True)
+
+# Python reference side + compare
+det = PIIDetector(use_ner=False)
+divergences = 0
+with open("/tmp/diff_scala.jsonl", encoding="utf-8") as fh:
+    scala = [json.loads(l) for l in fh]
+for i, t in enumerate(texts):
+    r = det.detect(t)
+    exp = {
+        "contem_pii": r["contem_pii"],
+        "detalhes": [[a, b, c] for a, b, c in r["detalhes"]],
+        "sinais": [[a, b, c] for a, b, c in r["sinais_contextuais"]],
+        "confianca": r["confianca"],
+    }
+    got = scala[i]
+    if (exp["contem_pii"] != got["contem_pii"] or
+            exp["detalhes"] != got["detalhes"] or
+            exp["sinais"] != got["sinais"] or
+            abs(exp["confianca"] - got["confianca"]) > 1e-9):
+        divergences += 1
+        if divergences <= 10:
+            print(f"DIVERGENCE #{divergences} at {i}: {t!r}")
+            print(f"  ref:   {exp}")
+            print(f"  scala: {got}")
+print(f"{N} texts, {divergences} divergences")
+sys.exit(1 if divergences else 0)

@@ -1,0 +1,76 @@
+package vigil.tools
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Differential harness half: read a file of texts (one JSON string per
+  * line), run the kernel, emit one JSON result per line for comparison
+  * against the Python reference (scripts/diff_sweep.py drives both).
+  * No Spark needed — exercises the pure kernel exactly as the expression
+  * does.
+  */
+object DiffRunner {
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inPath, outPath) = args
+    val out = new java.io.PrintWriter(
+      Files.newBufferedWriter(Paths.get(outPath)))
+    Files.lines(Paths.get(inPath)).iterator().asScala.foreach { line =>
+      // input lines are JSON strings: "...text..."
+      val text = parseJsonString(line)
+      val a = vigil.PiiCore.detect(text)
+      val reais = a.detalhes.filter(d => vigil.PiiTypes.Real.contains(d.tipo))
+      val det = reais.map(d =>
+        s"""["${esc(d.tipo)}","${esc(d.valor)}",${d.confianca}]""")
+        .mkString("[", ",", "]")
+      val sig =
+        if (reais.isEmpty) "[]"
+        else a.sinais.map(s =>
+          s"""["${esc(s.tipo)}","${esc(s.valor)}",${s.confianca}]""")
+          .mkString("[", ",", "]")
+      val conf =
+        if (reais.isEmpty) 0.0
+        else math.round(reais.map(_.confianca).max * 100.0) / 100.0
+      out.println(
+        s"""{"contem_pii":${reais.nonEmpty},"detalhes":$det,"sinais":$sig,"confianca":$conf}""")
+    }
+    out.close()
+  }
+
+  /** Minimal JSON string literal parser (input is always one string). */
+  def parseJsonString(s: String): String = {
+    val t = s.trim
+    require(t.startsWith("\"") && t.endsWith("\""), s"not a JSON string: $t")
+    val sb = new StringBuilder
+    var i = 1
+    while (i < t.length - 1) {
+      val c = t.charAt(i)
+      if (c == '\\') {
+        t.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(t.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,67 @@
+package vigil.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import vigil.{Decide, Synth}
+
+/** Skew demonstration (north rule: salted repartitioning / AQE for
+  * long-conversation skew): a corpus where ONE conversation holds ~half of
+  * all turns, run through the full decide pipeline. Prints wall time and
+  * the mega-conversation's decision row. Degenerate skew must neither OOM
+  * nor serialize the job onto one reducer: per-turn work is narrow
+  * (embarrassingly parallel regardless of conv sizes); the conversation
+  * aggregation is two-level salted so level-1 partials for the mega-conv
+  * spread over saltBuckets reducers.
+  */
+object SkewBench {
+  def main(args: Array[String]): Unit = {
+    val nNormal = if (args.nonEmpty) args(0).toInt else 50000
+    val megaTurns = if (args.length > 1) args(1).toInt else 300000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cfg = Decide.Default.copy(targetLang = "pt")
+    val normal = Synth.corpusDF(spark, nNormal, maxLen = 20)
+    val mega: DataFrame = spark.range(0, megaTurns.toLong)
+      .mapPartitions { it =>
+        val pools = Synth.LangPool("pt")
+        it.map { i =>
+          val t =
+            if (i % 13 == 0) s"${pools((i % pools.size).toInt)} Meu CPF é 123.456.789-00."
+            else pools((i % pools.size).toInt)
+          vigil.Turn("conv-mega", i.toInt, "user", t, "",
+            new java.sql.Timestamp(1767225600000L + i * 1000L))
+        }
+      }.toDF()
+    val turns = normal.unionByName(mega)
+      .repartition(64).write.mode("overwrite")
+      .parquet("/tmp/vigil_skew_corpus")
+    val input = spark.read.parquet("/tmp/vigil_skew_corpus")
+    val n = input.count()
+
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      Decide.decide(input, cfg).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    val sec = Seq(once(), once()).min
+    val megaRow = Decide.convDecisions(Decide.scoreTurns(input, cfg), cfg)
+      .filter(col("conv_id") === "conv-mega")
+      .select("majority_lang", "pii_density", "n_turns", "drop_conversation")
+      .collect()(0)
+    println(
+      s"""{"bench":"skew","cpus":$cpus,"n_turns":$n,"mega_turns":$megaTurns,""" +
+        s""""best_sec":$sec,"turns_per_sec":${n / sec},""" +
+        s""""mega":{"lang":"${megaRow.getString(0)}","pii_density":${megaRow.getDouble(1)},""" +
+        s""""n_turns":${megaRow.getLong(2)},"drop":${megaRow.getBoolean(3)}}}""")
+    spark.stop()
+  }
+}
