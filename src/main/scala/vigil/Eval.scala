@@ -48,6 +48,19 @@ object Eval {
     Metrics(g(0), g(1), g(2), g(3))
   }
 
+  /** J2: inner merge with column suffixes, pandas-merge style
+    * (analyze_errors.py:136-140): shared non-key columns get _pred/_true.
+    */
+  def mergeWithSuffixes(
+      pred: DataFrame, truth: DataFrame, idCols: Seq[String],
+      suffixes: (String, String) = ("_pred", "_true")): DataFrame = {
+    val shared = pred.columns.toSet
+      .intersect(truth.columns.toSet) -- idCols
+    val p = shared.foldLeft(pred)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val t = shared.foldLeft(truth)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    p.join(t, idCols, "inner")
+  }
+
   /** A3: false-negative / false-positive id lists (display-limited). */
   def errorIds(
       pred: DataFrame, truth: DataFrame, idCols: Seq[String],

@@ -43,4 +43,20 @@ object Vigil {
   def evaluate(pred: DataFrame, truth: DataFrame, idCols: Seq[String],
       predCol: String, truthCol: String): Eval.Metrics =
     Eval.confusion(pred, truth, idCols, predCol, truthCol)
+
+  /** Register the engine expressions as SQL functions so `spark.sql` users
+    * can call them directly:
+    * pii_analyze, clean_text, lang_score, winnow_fingerprint.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("pii_analyze",
+      exprs => PiiAnalyzeExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("clean_text",
+      exprs => CleanTextExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_score",
+      exprs => LangScoreExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      exprs => WinnowFingerprintExpr(exprs.head, 3, 4), "scala_udf")
+  }
 }

@@ -10,6 +10,12 @@ object Sources {
 
   /** Max records guard for keyed-JSON inputs (constants.py:27). */
   val MaxJsonRecords: Long = 100000L
+  /** S4 parity constant (constants.py:9-10). Meaningless at Spark scale —
+    * partition planning replaces it — kept for configuration parity with
+    * the reference. S1 (xlsx) is documented out of scope: no xlsx
+    * datasource ships in /opt/spark/jars.
+    */
+  val MaxFileSizeMb: Int = 500
   /** Keys probed, in order, for the keyed-object JSON shape
     * (constants.py:24).
     */

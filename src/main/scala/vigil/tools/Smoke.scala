@@ -30,6 +30,10 @@ object Smoke {
     println("metadata:       " +
       spark.read.option("multiLine", "true").json(s"$out/json/metadata.json")
         .select("estatisticas.por_tipo").first())
+
+    vigil.Vigil.registerFunctions(spark)
+    println("sql scrub:      " + spark.sql(
+      "SELECT pii_analyze('tel (11) 99999-8888, a@b.com').scrubbed").first().getString(0))
     spark.stop()
   }
 }

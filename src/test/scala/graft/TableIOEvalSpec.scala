@@ -111,4 +111,25 @@ class TableIOEvalSpec extends AnyFunSuite {
       assert(r.getAs[Array[Byte]]("payload").nonEmpty)
     }
   }
+
+  test("J2 suffix merge + SQL function registration") {
+    val pred = Seq((1, true, "x"), (2, false, "y")).toDF("ID", "flag", "note")
+    val truth = Seq((1, true, "a"), (2, true, "b")).toDF("ID", "flag", "note")
+    val merged = Eval.mergeWithSuffixes(pred, truth, Seq("ID"))
+    assert(merged.columns.toSet ==
+      Set("ID", "flag_pred", "note_pred", "flag_true", "note_true"))
+    assert(merged.count() == 2)
+
+    vigil.Vigil.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT pii_analyze('Meu CPF é 123.456.789-00').scrubbed AS s, " +
+        "clean_text('  a   b ') AS c, " +
+        "lang_score('please send me the report about the work').lang AS l, " +
+        "size(winnow_fingerprint('one two three four five six seven')) AS n")
+      .collect()(0)
+    assert(r.getString(0) == "Meu CPF é <CPF>")
+    assert(r.getString(1) == "a b")
+    assert(r.getString(2) == "en")
+    assert(r.getInt(3) >= 1)
+  }
 }
