@@ -78,11 +78,16 @@ object LangModel {
     * and last 1500 chars (same shape as the reference's NER chunking,
     * /root/reference/src/detector.py:164-179).
     */
-  private def normForNgrams(text: String): String = {
+  private val tlNormBuf = ThreadLocal.withInitial[java.lang.StringBuilder](
+    () => new java.lang.StringBuilder(256))
+
+  /** Returns a thread-confined buffer — consume before the next call. */
+  private def normForNgrams(text: String): CharSequence = {
     val capped =
       if (text.length <= 3000) text
       else text.substring(0, 1500) + " " + text.substring(text.length - 1500)
-    val sb = new java.lang.StringBuilder(capped.length + 2)
+    val sb = tlNormBuf.get()
+    sb.setLength(0)
     sb.append(' ')
     var lastSpace = true
     var i = 0
@@ -94,7 +99,7 @@ object LangModel {
       i += 1
     }
     if (!lastSpace) sb.append(' ')
-    sb.toString
+    sb
   }
 
   /** Pack a char trigram into a Long key (chars are BMP after lowercase). */
@@ -102,7 +107,7 @@ object LangModel {
     (a.toLong << 32) | (b.toLong << 16) | c.toLong
   @inline private def key2(a: Char, b: Char): Long = (a.toLong << 16) | b.toLong
 
-  private def trigramCounts(norm: String): mutable.LongMap[Int] = {
+  private def trigramCounts(norm: CharSequence): mutable.LongMap[Int] = {
     val m = mutable.LongMap.empty[Int]
     var i = 0
     while (i + 2 < norm.length) {
@@ -121,7 +126,7 @@ object LangModel {
     val unk = new Array[Double](Langs.length)
     val k = 0.5
     val perLang = Array.tabulate(Langs.length) { li =>
-      val counts = trigramCounts(normForNgrams(seeds(Langs(li))))
+      val counts = trigramCounts(normForNgrams(seeds(Langs(li))).toString)
       val total = counts.values.sum.toDouble
       val vocab = counts.size.toDouble + 1.0
       unk(li) = math.log(k / (total + k * vocab))
@@ -143,7 +148,7 @@ object LangModel {
 
   // --- perplexity LM: stupid-backoff char trigram LM on en+pt seed -------
   private val (lmTri, lmBi, lmUni, lmUniform) = {
-    val norm = normForNgrams(seeds("en")) + normForNgrams(seeds("pt"))
+    val norm = normForNgrams(seeds("en")).toString + normForNgrams(seeds("pt")).toString
     val tri = mutable.LongMap.empty[Int]
     val bi = mutable.LongMap.empty[Int]
     val uni = mutable.LongMap.empty[Int]

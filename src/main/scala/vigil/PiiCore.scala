@@ -20,6 +20,37 @@ import scala.collection.mutable
   */
 object PiiCore {
 
+  /** Thread-confined reusable matchers: java.util.regex.Matcher allocation
+    * (~30 per row otherwise) dominated the allocation rate at 32 threads,
+    * stalling all threads in young-GC. reset()/region() reuse is exact:
+    * region() with default (opaque) bounds behaves like matching a
+    * substring, which is what the reference's window slicing does.
+    */
+  private final class MatcherSet {
+    import java.util.regex.Matcher
+    private def m(p: Pattern): Matcher = p.matcher("")
+    val cpfFormatted = m(Patterns.CpfFormatted)
+    val cpfPartial = m(Patterns.CpfPartial)
+    val cpfNumeric = m(Patterns.CpfNumericContext)
+    val email = m(Patterns.Email)
+    val phone = m(Patterns.Phone)
+    val phoneIntl = m(Patterns.PhoneIntl)
+    val phoneNoParens = m(Patterns.PhoneNoParens)
+    val phoneWithContext = m(Patterns.PhoneWithContext)
+    val rg = m(Patterns.Rg)
+    val sei: Array[Matcher] = Patterns.SeiPatterns.map(m).toArray
+    val notCpf: Array[Matcher] = Patterns.NotCpfPatterns.map(m).toArray
+    val firstPerson: Array[Matcher] = Patterns.FirstPerson.map(m).toArray
+    val address: Array[Matcher] = Patterns.AddressMarkers.map(m).toArray
+    val contact: Array[Matcher] = Patterns.ContactMarkers.map(m).toArray
+    val names: Array[Matcher] = Patterns.StrongNameContexts.map(m).toArray
+    val card = m(Patterns.CardCandidate)
+    val ssn = m(Patterns.Ssn)
+    val apiKey = m(Patterns.ApiKey)
+  }
+  private val matchers: ThreadLocal[MatcherSet] =
+    ThreadLocal.withInitial(() => new MatcherSet)
+
   /** A span scheduled for scrubbing (may include occurrences that were
     * dedup-suppressed in `detalhes` — duplicates are still scrubbed).
     */
@@ -39,15 +70,27 @@ object PiiCore {
   /** SEI/NUP/processo context window: [pos-50, pos+30)
     * (patterns.py:256-268).
     */
-  private def isSeiContext(text: String, pos: Int): Boolean = {
-    val ctx = text.substring(math.max(0, pos - 50), math.min(text.length, pos + 30))
-    Patterns.SeiPatterns.exists(_.matcher(ctx).find())
+  private def isSeiContext(ms: MatcherSet, text: String, pos: Int): Boolean = {
+    val beg = math.max(0, pos - 50)
+    val end = math.min(text.length, pos + 30)
+    var i = 0
+    while (i < ms.sei.length) {
+      if (ms.sei(i).reset(text).region(beg, end).find()) return true
+      i += 1
+    }
+    false
   }
 
   /** not-CPF (CDA/CNH/NIS/...) window: [pos-30, pos+15) (patterns.py:270-282). */
-  private def isNotCpfContext(text: String, pos: Int): Boolean = {
-    val ctx = text.substring(math.max(0, pos - 30), math.min(text.length, pos + 15))
-    Patterns.NotCpfPatterns.exists(_.matcher(ctx).find())
+  private def isNotCpfContext(ms: MatcherSet, text: String, pos: Int): Boolean = {
+    val beg = math.max(0, pos - 30)
+    val end = math.min(text.length, pos + 15)
+    var i = 0
+    while (i < ms.notCpf.length) {
+      if (ms.notCpf(i).reset(text).region(beg, end).find()) return true
+      i += 1
+    }
+    false
   }
 
   /** Strip title prefixes from a candidate name (detector.py:270-285).
@@ -87,7 +130,7 @@ object PiiCore {
     var hasDigit = false
     var hasAt = false
     var hasUpper = false
-    private val lower = text.toLowerCase
+    private lazy val lower = text.toLowerCase
     var i = 0
     while (i < text.length && !(hasDigit && hasAt && hasUpper)) {
       val c = text.charAt(i)
@@ -123,6 +166,7 @@ object PiiCore {
   def analyze(text: String): Analysis = {
     if (text == null || text.isEmpty) return Analysis("", Nil, Nil, "")
     val pre = new PreScan(text)
+    val ms = matchers.get()
     val details = mutable.ArrayBuffer.empty[Detection]
     val scrub = mutable.ArrayBuffer.empty[ScrubSpan]
 
@@ -130,17 +174,17 @@ object PiiCore {
     //     formatted wins — patterns.py:158-187)
     val seenCpf = mutable.HashSet.empty[String]
     if (pre.hasDigit) {
-      val m = Patterns.CpfFormatted.matcher(text)
+      val m = ms.cpfFormatted.reset(text)
       while (m.find()) {
-        if (!isSeiContext(text, m.start)) {
+        if (!isSeiContext(ms, text, m.start)) {
           scrub += ScrubSpan("cpf", m.start, m.end)
           val key = digitsOnly(m.group)
           if (seenCpf.add(key)) details += Detection("cpf", m.group, 0.95, m.start, m.end)
         }
       }
-      val mp = Patterns.CpfPartial.matcher(text)
+      val mp = ms.cpfPartial.reset(text)
       while (mp.find()) {
-        if (!isSeiContext(text, mp.start)) {
+        if (!isSeiContext(ms, text, mp.start)) {
           scrub += ScrubSpan("cpf", mp.start, mp.end)
           val key = digitsOnly(mp.group)
           if (seenCpf.add(key)) details += Detection("cpf", mp.group, 0.90, mp.start, mp.end)
@@ -152,9 +196,9 @@ object PiiCore {
     //     (digits only) — no dedupe vs R1/R2 in the reference
     //     (patterns.py:189-201)
     if (pre.hasDigit) {
-      val m = Patterns.CpfNumericContext.matcher(text)
+      val m = ms.cpfNumeric.reset(text)
       while (m.find()) {
-        if (!isNotCpfContext(text, m.start)) {
+        if (!isNotCpfContext(ms, text, m.start)) {
           scrub += ScrubSpan("cpf", m.start(1), m.end(1))
           details += Detection("cpf", m.group(1), 0.90, m.start(1), m.end(1))
         }
@@ -163,7 +207,7 @@ object PiiCore {
 
     // --- R4: email, no dedupe (patterns.py:203-208)
     if (pre.hasAt) {
-      val m = Patterns.Email.matcher(text)
+      val m = ms.email.reset(text)
       while (m.find()) {
         scrub += ScrubSpan("email", m.start, m.end)
         details += Detection("email", m.group, 0.95, m.start, m.end)
@@ -175,8 +219,8 @@ object PiiCore {
     //     (patterns.py:210-247)
     if (pre.hasDigit) {
       val seenPhone = mutable.HashSet.empty[String]
-      def phonePass(pat: Pattern, conf: Double): Unit = {
-        val m = pat.matcher(text)
+      def phonePass(m0: java.util.regex.Matcher, conf: Double): Unit = {
+        val m = m0.reset(text)
         while (m.find()) {
           val norm = digitsOnly(m.group)
           if (norm.length >= 10) {
@@ -186,15 +230,15 @@ object PiiCore {
           }
         }
       }
-      phonePass(Patterns.Phone, 0.95)
-      phonePass(Patterns.PhoneIntl, 0.95)
-      phonePass(Patterns.PhoneWithContext, 0.90)
-      phonePass(Patterns.PhoneNoParens, 0.80)
+      phonePass(ms.phone, 0.95)
+      phonePass(ms.phoneIntl, 0.95)
+      phonePass(ms.phoneWithContext, 0.90)
+      phonePass(ms.phoneNoParens, 0.80)
     }
 
     // --- R6: RG, no dedupe (patterns.py:249-254)
     if (pre.rgPossible) {
-      val m = Patterns.Rg.matcher(text)
+      val m = ms.rg.reset(text)
       while (m.find()) {
         scrub += ScrubSpan("rg", m.start, m.end)
         details += Detection("rg", m.group, 0.85, m.start, m.end)
@@ -206,8 +250,8 @@ object PiiCore {
     //     lowercased name (first occurrence wins, conf 0.80)
     if (pre.nameContextPossible) {
       val seenNames = mutable.HashSet.empty[String]
-      Patterns.StrongNameContexts.foreach { pat =>
-        val m = pat.matcher(text)
+      ms.names.foreach { pat =>
+        val m = pat.reset(text)
         while (m.find()) {
           val raw = m.group(1).trim
           val name = cleanName(raw)
@@ -230,7 +274,7 @@ object PiiCore {
     //     digits happen to pass mod-10).
     if (pre.hasDigit) {
       val seenCard = mutable.HashSet.empty[String]
-      val m = Patterns.CardCandidate.matcher(text)
+      val m = ms.card.reset(text)
       while (m.find()) {
         val digits = digitsOnly(m.group)
         val overlaps = scrub.exists(s => m.start < s.end && s.beg < m.end)
@@ -244,7 +288,7 @@ object PiiCore {
 
     // --- L6: SSN + API keys (north rule)
     if (pre.hasDigit) {
-      val m = Patterns.Ssn.matcher(text)
+      val m = ms.ssn.reset(text)
       while (m.find()) {
         val overlaps = scrub.exists(s => m.start < s.end && s.beg < m.end)
         if (!overlaps) {
@@ -254,7 +298,7 @@ object PiiCore {
       }
     }
     if (pre.keyPossible) {
-      val k = Patterns.ApiKey.matcher(text)
+      val k = ms.apiKey.reset(text)
       while (k.find()) {
         scrub += ScrubSpan("api_key", k.start, k.end)
         details += Detection("api_key", k.group, 0.90, k.start, k.end)
@@ -264,11 +308,11 @@ object PiiCore {
     // --- R10: contextual signals — each family fires at most once
     //     (patterns.py:284-317)
     val sinais = mutable.ArrayBuffer.empty[Signal]
-    if (pre.firstPersonPossible && Patterns.FirstPerson.exists(_.matcher(text).find()))
+    if (pre.firstPersonPossible && ms.firstPerson.exists(_.reset(text).find()))
       sinais += Signal("contexto_1pessoa", "marcador_primeira_pessoa", 0.70)
-    if (pre.addressPossible && Patterns.AddressMarkers.exists(_.matcher(text).find()))
+    if (pre.addressPossible && ms.address.exists(_.reset(text).find()))
       sinais += Signal("endereco", "marcador_endereco", 0.60)
-    if (pre.contactPossible && Patterns.ContactMarkers.exists(_.matcher(text).find()))
+    if (pre.contactPossible && ms.contact.exists(_.reset(text).find()))
       sinais += Signal("contato", "marcador_contato", 0.65)
 
     Analysis(text, details.toSeq, sinais.toSeq, scrubText(text, scrub.toSeq))

@@ -66,18 +66,22 @@ object Decide {
       .withColumn("lang_conf", col("ls.lang_conf"))
       .withColumn("perplexity", col("ls.perplexity"))
       .drop("ls")
-    // materialize the words array once; every quality metric reads the
-    // column instead of re-inlining filter(split(...)) per metric
-    val withWords = withLang.withColumn("__words", Quality.words(col("clean")))
-    val withQuality = Quality.metricsFromWords(col("clean"), col("__words"))
-      .foldLeft(withWords) { case (df, (name, c)) => df.withColumn(name, c) }
-    withQuality
+    // quality metrics + toxicity via the fused TurnStatsExpr (one flat
+    // pass; bit-compatible with Quality.metricsFromWords + Toxicity,
+    // equality-tested in QualityExprSpec)
+    val statFields = Seq("n_words", "n_chars", "mean_word_len",
+      "max_word_len", "alpha_word_frac", "symbol_word_ratio",
+      "dup_2gram_frac", "toxic")
+    val withStats = statFields.foldLeft(
+      withLang.withColumn("qs", functions.turn_stats(col("clean")))) {
+      (df, f) => df.withColumn(f, col(s"qs.$f"))
+    }
+    withStats
       .withColumn("quality_pass", Quality.passes(cfg.quality))
-      .withColumn("toxic", Toxicity.isToxic(col("clean")))
       .withColumn("keep_turn", col("quality_pass") && !col("toxic"))
       // the raw analysis struct duplicates clean/detalhes/sinais/scrubbed —
       // dropping it halves the width of every downstream shuffle and write
-      .drop("__words", "pii")
+      .drop("qs", "pii")
   }
 
   /** Conversation-level decisions over scored turns: majority language and
@@ -140,6 +144,29 @@ object Decide {
     scored
       .join(conv, Seq("conv_id"))
       .withColumn("keep", col("keep_turn") && !col("drop_conversation"))
+  }
+}
+
+object DecideCached {
+  import org.apache.spark.storage.StorageLevel
+
+  /** decide() with the scored frame persisted so the expensive narrow
+    * scoring runs ONCE (decide()'s self-join otherwise recomputes it for
+    * the conversation branch). The right choice whenever the scored
+    * working set fits executor storage memory; at full cluster scale use
+    * [[Pipeline.run]], which materializes to the lineage-tracked table
+    * instead. Caller must eventually unpersist via the returned handle.
+    */
+  def decide(turns: DataFrame, cfg: Decide.Config = Decide.Default)
+      : (DataFrame, DataFrame) = {
+    val scored = Decide.scoreTurns(turns, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val conv = Decide.convDecisions(scored, cfg)
+      .select("conv_id", "majority_lang", "pii_density", "drop_conversation")
+    val out = scored
+      .join(conv, Seq("conv_id"))
+      .withColumn("keep", col("keep_turn") && !col("drop_conversation"))
+    (out, scored)
   }
 }
 

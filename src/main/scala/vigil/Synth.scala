@@ -114,8 +114,20 @@ object Synth {
       scrubbed: String, lang: String = "", toxic: Boolean = false,
       qualityFail: Boolean = false)
 
-  private def ptFiller(rng: Random): String =
-    LangPool("pt")(rng.nextInt(LangPool("pt").size))
+  /** Number of filler sentences composed per template slot. 1 for the
+    * fixture corpus; the bench corpus raises it so turn lengths match
+    * real transcripts (~300+ chars) instead of one short sentence. Set
+    * per-generation via [[corpusDF]]/[[corpus]] — thread-local to keep the
+    * template functions' signatures stable.
+    */
+  private val fillerRepeat = new ThreadLocal[Int] { override def initialValue = 1 }
+
+  private def ptFiller(rng: Random): String = {
+    val pool = LangPool("pt")
+    val n = fillerRepeat.get()
+    if (n <= 1) pool(rng.nextInt(pool.size))
+    else Seq.fill(n)(pool(rng.nextInt(pool.size))).mkString(" ")
+  }
 
   /** PII-bearing templates (pt-language by construction). */
   private def piiTemplate(rng: Random): T = {
@@ -268,8 +280,10 @@ object Synth {
       case lang => langTemplate(rng, lang)
     }
 
-  /** Generate the corpus. Pure function of (seed, nConvs, maxLen). */
-  def corpus(nConvs: Int, seed: Long = 42L, maxLen: Int = 40): IndexedSeq[GoldenTurn] = {
+  /** Generate the corpus. Pure function of (seed, nConvs, maxLen, repeat). */
+  def corpus(nConvs: Int, seed: Long = 42L, maxLen: Int = 40,
+      repeat: Int = 1): IndexedSeq[GoldenTurn] = {
+    fillerRepeat.set(repeat)
     (0 until nConvs).flatMap { ci =>
       val rng = new Random(seed * 1000003L + ci)
       val profile = pickProfile(ci)
@@ -301,10 +315,12 @@ object Synth {
     * Identical output to [[corpus]] for the same (seed, nConvs, maxLen).
     */
   def corpusDF(spark: org.apache.spark.sql.SparkSession, nConvs: Int,
-      seed: Long = 42L, maxLen: Int = 40): org.apache.spark.sql.DataFrame = {
+      seed: Long = 42L, maxLen: Int = 40,
+      repeat: Int = 1): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     spark.range(0, nConvs.toLong, 1)
       .mapPartitions { it =>
+        fillerRepeat.set(repeat)
         it.flatMap { ci =>
           val rng = new Random(seed * 1000003L + ci)
           val profile = pickProfile(ci.toInt)

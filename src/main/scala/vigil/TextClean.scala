@@ -20,11 +20,22 @@ object TextClean {
     Pattern.compile("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
   private val MultiSpace =
     Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+  // thread-confined matcher reuse (hot path: one clean() per row)
+  private val tlCtl = ThreadLocal.withInitial[java.util.regex.Matcher](
+    () => ControlChars.matcher(""))
+  private val tlWs = ThreadLocal.withInitial[java.util.regex.Matcher](
+    () => MultiSpace.matcher(""))
 
   def clean(text: String): String = {
     if (text == null || text.isEmpty) return ""
-    val nfkc = Normalizer.normalize(text, Normalizer.Form.NFKC)
-    val noCtl = ControlChars.matcher(nfkc).replaceAll("")
-    MultiSpace.matcher(noCtl).replaceAll(" ").strip()
+    // isNormalized is a cheap scan; it avoids a full-copy allocation per
+    // row for already-NFKC text (the overwhelmingly common case)
+    val nfkc =
+      if (Normalizer.isNormalized(text, Normalizer.Form.NFKC)) text
+      else Normalizer.normalize(text, Normalizer.Form.NFKC)
+    // Matcher.replaceAll returns the input unchanged (no copy) when the
+    // pattern does not occur, so the no-op path allocates nothing
+    val noCtl = tlCtl.get().reset(nfkc).replaceAll("")
+    tlWs.get().reset(noCtl).replaceAll(" ").strip()
   }
 }

@@ -53,7 +53,8 @@ case class PiiAnalyzeExpr(child: Expression)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    val raw = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val u8 = if (v == null) null else v.asInstanceOf[UTF8String]
+    val raw = if (u8 == null) "" else u8.toString
     val a = PiiCore.detect(raw)
     val det = new GenericArrayData(a.detalhes.map { d =>
       new GenericInternalRow(Array[Any](
@@ -65,9 +66,15 @@ case class PiiAnalyzeExpr(child: Expression)
         UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
         s.confianca))
     }.toArray[Any])
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(a.clean), det, sig,
-      UTF8String.fromString(a.scrubbed)))
+    // most turns are already clean and PII-free: TextClean/scrub return
+    // the SAME String instance, so reuse the input UTF8String instead of
+    // re-encoding the full text (2 whole-text copies per row otherwise —
+    // this is DRAM-write traffic, the thread-scaling limiter)
+    val cleanU8 =
+      if (u8 != null && (a.clean eq raw)) u8 else UTF8String.fromString(a.clean)
+    val scrubU8 =
+      if (a.scrubbed eq a.clean) cleanU8 else UTF8String.fromString(a.scrubbed)
+    new GenericInternalRow(Array[Any](cleanU8, det, sig, scrubU8))
   }
 
   override protected def withNewChildInternal(c: Expression): PiiAnalyzeExpr =
@@ -182,6 +189,124 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** clean text → quality metrics + toxicity in one flat pass.
+  *
+  * Bit-compatible with the documented pure-column algebra
+  * (Quality.metricsFromWords + Toxicity.isToxic) — equality-tested — but
+  * one string traversal instead of ~10 higher-order-function trees. Used
+  * on the scoring hot path; the column version remains the normative
+  * specification.
+  */
+case class TurnStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = TurnStatsExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "turn_stats"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    TurnStatsExpr.compute(text)
+  }
+  override protected def withNewChildInternal(c: Expression): TurnStatsExpr =
+    copy(child = c)
+}
+
+object TurnStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("max_word_len", IntegerType, nullable = false),
+    StructField("alpha_word_frac", DoubleType, nullable = false),
+    StructField("symbol_word_ratio", DoubleType, nullable = false),
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("toxic", BooleanType, nullable = false)
+  ))
+
+  private val EdgePunct = java.util.regex.Pattern.compile("^\\p{P}+|\\p{P}+$")
+  private val tlEdge = ThreadLocal.withInitial[java.util.regex.Matcher](
+    () => EdgePunct.matcher(""))
+  private val ToxicSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Toxicity.Lexicon.foreach(s.add)
+    s
+  }
+  // \p{N} = Nd | Nl | No
+  @inline private def isNumberCat(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  def compute(text: String): InternalRow = {
+    // words: split on single space, drop empties (clean text is already
+    // whitespace-collapsed). Lengths in code points (Spark length()).
+    val words = text.split(" ").filter(_.nonEmpty)
+    val nWords = words.length
+    val nChars = text.codePointCount(0, text.length)
+
+    var sumLen = 0
+    var maxLen = 0
+    var alphaWords = 0
+    var i = 0
+    while (i < nWords) {
+      val w = words(i)
+      val wl = w.codePointCount(0, w.length)
+      sumLen += wl
+      if (wl > maxLen) maxLen = wl
+      var hasLetter = false
+      var j = 0
+      while (j < w.length && !hasLetter) {
+        val cp = w.codePointAt(j)
+        if (Character.isLetter(cp)) hasLetter = true
+        j += Character.charCount(cp)
+      }
+      if (hasLetter) alphaWords += 1
+      i += 1
+    }
+    val meanWordLen = if (nWords > 0) sumLen.toDouble / nWords else 0.0
+    val alphaFrac = if (nWords > 0) alphaWords.toDouble / nWords else 0.0
+
+    // symbols: code points that are neither letter, number (N*) nor ' '
+    var symbols = 0
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      if (cp != ' ' && !Character.isLetter(cp) && !isNumberCat(cp)) symbols += 1
+      ci += Character.charCount(cp)
+    }
+    val symbolRatio = if (nWords > 0) symbols.toDouble / nWords else 0.0
+
+    // 2-gram duplication: 1 - distinct/total over adjacent word pairs
+    val dup2 =
+      if (nWords >= 2) {
+        val total = nWords - 1
+        val seen = new java.util.HashSet[String](total * 2)
+        var g = 0
+        var distinct = 0
+        while (g < total) {
+          if (seen.add(words(g) + " " + words(g + 1))) distinct += 1
+          g += 1
+        }
+        1.0 - distinct.toDouble / total
+      } else 0.0
+
+    // toxicity: lowercased tokens, edge punctuation stripped, set lookup
+    var toxic = false
+    val edge = tlEdge.get()
+    i = 0
+    while (i < nWords && !toxic) {
+      val t = edge.reset(words(i).toLowerCase).replaceAll("")
+      if (t.nonEmpty && ToxicSet.contains(t)) toxic = true
+      i += 1
+    }
+
+    new GenericInternalRow(Array[Any](
+      nWords, nChars, meanWordLen, maxLen, alphaFrac, symbolRatio, dup2, toxic))
+  }
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -190,4 +315,5 @@ object functions {
   def lang_score(c: Column): Column = VigilShim.column(LangScoreExpr(expr(c)))
   def winnow_fingerprint(c: Column, k: Int = 3, w: Int = 4): Column =
     VigilShim.column(WinnowFingerprintExpr(expr(c), k, w))
+  def turn_stats(c: Column): Column = VigilShim.column(TurnStatsExpr(expr(c)))
 }

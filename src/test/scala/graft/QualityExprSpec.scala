@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.{Quality, Synth, Toxicity}
+
+/** TurnStatsExpr must be bit-identical to the normative pure-column
+  * quality/toxicity algebra on the full fixture corpus plus edge strings.
+  */
+class QualityExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("fused expression equals the column algebra on corpus + edges") {
+    val corpusTexts = Synth.corpus(150, 42L, 30).map(_.text)
+    val edges = Seq("", " ", "a", "x y", "🙂 🚀 emoji words", "ação çñß",
+      "① um", "UPPER lower MiXeD", "$$$ ### !!!", "a " * 200,
+      "word", "idiota!!!", "...damn...", "ⅣⅤ numerals Ⅸ",
+      "tab\ttab", "multi  space   runs")
+    val df = (corpusTexts ++ edges).zipWithIndex
+      .map { case (t, i) => (i.toLong, vigil.TextClean.clean(t)) }
+      .toDF("id", "clean")
+      .withColumn("__words", Quality.words(col("clean")))
+
+    val colAlgebra = Quality.metricsFromWords(col("clean"), col("__words"))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n + "_col", c) }
+      .withColumn("toxic_col", Toxicity.isToxic(col("clean")))
+      .withColumn("qs", vigil.functions.turn_stats(col("clean")))
+
+    val checks = Seq("n_words", "n_chars", "mean_word_len", "max_word_len",
+      "alpha_word_frac", "symbol_word_ratio", "dup_2gram_frac")
+    val mismatchCond = checks
+      .map(f => col(s"qs.$f").cast("double") =!= col(f + "_col").cast("double"))
+      .reduce(_ || _) || (col("qs.toxic") =!= col("toxic_col"))
+    val bad = colAlgebra.filter(mismatchCond)
+      .select(col("id"), col("clean"), col("qs"),
+        struct(checks.map(f => col(f + "_col")) :+ col("toxic_col"): _*))
+      .collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+}
