@@ -26,6 +26,15 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // warmup (untimed): run the flagship pipeline shape on a tiny corpus so
+    // JIT + whole-stage-codegen compilation doesn't land on the first timed
+    // query (queries run name-sorted; pipeline_transcripts is first)
+    try materialize(
+      vigil.Decide.decideWindowed(
+        vigil.Synth.corpusDF(spark, 200),
+        vigil.Decide.Default.copy(targetLang = "pt")))
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))

@@ -158,9 +158,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // --- the flagship transcript pipeline (engine-native, rows-only):
-    //     clean → analyze → keep/drop → scrub → conversation decisions ----
+    //     clean → analyze → keep/drop → scrub → conversation decisions.
+    //     decideWindowed = score-once: conversation decisions via window
+    //     aggregates, no self-join recompute of the regex+LM stage --------
     "pipeline_transcripts" -> ((s, dir) => {
-      Decide.decide(transcripts(s, dir), PtCfg)
+      Decide.decideWindowed(transcripts(s, dir), PtCfg)
         .select("conv_id", "turn_idx", "contem_pii", "confianca",
           "scrubbed_text", "lang", "perplexity", "quality_pass", "toxic",
           "majority_lang", "pii_density", "drop_conversation", "keep")

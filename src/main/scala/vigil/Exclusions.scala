@@ -65,13 +65,16 @@ object Exclusions {
   /** Lowercased terms; small (~150 entries), lives once per executor JVM via
     * classloading — no broadcast needed at cluster scale.
     */
-  val Lower: Array[String] = InstitutionalNames.map(_.toLowerCase).toArray
+  val Lower: Array[String] =
+    InstitutionalNames.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
   private val LowerSet: Set[String] = Lower.toSet
 
   /** True iff `name` is an institutional (non-PII) name. */
   def isInstitutional(name: String): Boolean = {
     if (name == null || name.isEmpty) return false
-    val n = name.toLowerCase.trim
+    // Locale.ROOT: parity with Python's locale-independent str.lower()
+    // (default-locale lowercasing breaks under e.g. tr_TR: 'I' → 'ı')
+    val n = name.toLowerCase(java.util.Locale.ROOT).trim
     if (LowerSet.contains(n)) return true
     var i = 0
     while (i < Lower.length) {

@@ -130,11 +130,14 @@ object PiiCore {
     var hasDigit = false
     var hasAt = false
     var hasUpper = false
-    private lazy val lower = text.toLowerCase
+    private lazy val lower = text.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i < text.length && !(hasDigit && hasAt && hasUpper)) {
       val c = text.charAt(i)
-      if (c >= '0' && c <= '9') hasDigit = true
+      // Character.isDigit (Nd category), not ASCII '0'-'9': the gated
+      // regexes run with UNICODE_CHARACTER_CLASS where \d matches all Nd
+      // digits (Python-re parity), so the gate must be a superset
+      if (Character.isDigit(c)) hasDigit = true
       else if (c == '@') hasAt = true
       else if (Character.isUpperCase(c)) hasUpper = true
       i += 1
@@ -262,7 +265,7 @@ object PiiCore {
             val beg = if (rel >= 0) m.start(1) + rel else m.start(1)
             val end = beg + name.length
             scrub += ScrubSpan("nome", beg, end)
-            if (seenNames.add(name.toLowerCase))
+            if (seenNames.add(name.toLowerCase(java.util.Locale.ROOT)))
               details += Detection("nome", name, 0.80, beg, end)
           }
         }

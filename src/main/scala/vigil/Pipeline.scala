@@ -145,6 +145,44 @@ object Decide {
       .join(conv, Seq("conv_id"))
       .withColumn("keep", col("keep_turn") && !col("drop_conversation"))
   }
+
+  /** Single-pass decide: conversation decisions via window aggregates over
+    * the scored frame instead of the aggregate+self-join, so the expensive
+    * narrow scoring stage runs EXACTLY ONCE with no cache or materialized
+    * temp table (decide()'s self-join recomputes it; DecideCached persists
+    * it). Equality-tested against decide() in DecideWindowedSpec.
+    *
+    * Shape: one wide exchange on conv_id (the explicit repartition also
+    * satisfies the (conv_id, lang) window's clustering, so both windows
+    * reuse it — plan shows a single Exchange, two sorts). Trade-off vs
+    * decide(): the exchange carries full turn width and a whole
+    * conversation lands in one task (no salting), so at 10^12-turn scale
+    * with power-law conversations prefer [[Pipeline.run]]; for stateless
+    * single-job runs this is the fastest correct shape.
+    */
+  def decideWindowed(turns: DataFrame, cfg: Config = Default): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoreTurns(turns, cfg).repartition(col("conv_id"))
+    val wLang = Window.partitionBy("conv_id", "lang")
+    val wConv = Window.partitionBy("conv_id")
+    scored
+      .withColumn("__lang_cnt", count(lit(1)).over(wLang))
+      // deterministic mode, same as convDecisions: max (count, lang)
+      // struct — ties break to the lexicographically largest lang
+      .withColumn("__m",
+        max(struct(col("__lang_cnt").as("cnt"), col("lang"))).over(wConv))
+      .withColumn("__n_turns", count(lit(1)).over(wConv))
+      .withColumn("majority_lang", col("__m.lang"))
+      .withColumn("pii_density",
+        avg(col("contem_pii").cast("int")).over(wConv))
+      .withColumn("drop_conversation",
+        (col("majority_lang") =!= lit(cfg.targetLang) &&
+          (col("__m.cnt").cast("double") / col("__n_turns")) >=
+            lit(cfg.minMajorityFrac)) ||
+          col("pii_density") > lit(cfg.maxConvPiiDensity))
+      .withColumn("keep", col("keep_turn") && !col("drop_conversation"))
+      .drop("__lang_cnt", "__m", "__n_turns")
+  }
 }
 
 object DecideCached {

@@ -64,8 +64,14 @@ object TableIO {
     val pending = withBucket.filter(!col("bucket").isin(done.toSeq: _*))
     if (done.nonEmpty && pending.isEmpty) return 0L
 
+    // dynamic partition OVERWRITE, not append: a crash after the data job
+    // commits but before the lineage append would leave a committed bucket
+    // with no lineage row; the resume recomputes that bucket, and overwrite
+    // makes the recompute REPLACE the orphan data instead of duplicating it
+    // (exactly Iceberg's overwrite-by-partition recovery semantics)
     pending.write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(s"$path/data")
 

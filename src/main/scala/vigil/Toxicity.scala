@@ -23,7 +23,7 @@ object Toxicity {
     // pt
     "idiota", "burro", "imbecil", "estúpido", "lixo", "nojento",
     "maldito", "inferno", "odeio", "morra", "desgraçado"
-  ).map(_.toLowerCase)
+  ).map(_.toLowerCase(java.util.Locale.ROOT))
 
   /** Tokens = lowercased words with edge punctuation stripped. */
   def tokens(clean: Column): Column =

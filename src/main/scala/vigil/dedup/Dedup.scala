@@ -38,14 +38,22 @@ object Dedup {
   object MinHash {
     val Prime: Long = (1L << 61) - 1
 
-    def coeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
-      val rng = new scala.util.Random(seed)
-      Array.fill(numHashes)(
-        (math.abs(rng.nextLong()) % (Prime - 1) + 1, math.abs(rng.nextLong()) % Prime))
-    }
+    // cached per (numHashes, seed): signature() runs once per ROW inside a
+    // UDF, so regenerating the Random + coefficient array per call was a
+    // per-row allocation hotspot on the dedup path
+    private val coeffsCache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[(Long, Long)]]()
+
+    def coeffs(numHashes: Int, seed: Long): Array[(Long, Long)] =
+      coeffsCache.computeIfAbsent((numHashes, seed), { case (n, s) =>
+        val rng = new scala.util.Random(s)
+        Array.fill(n)(
+          (math.abs(rng.nextLong()) % (Prime - 1) + 1, math.abs(rng.nextLong()) % Prime))
+      })
 
     def shingles(text: String, k: Int): Set[Long] = {
-      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val words =
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       if (words.length < k) {
         if (words.isEmpty) Set.empty
         else Set(scala.util.hashing.MurmurHash3.stringHash(words.mkString(" ")).toLong)
@@ -63,8 +71,8 @@ object Dedup {
         val xp = java.lang.Long.remainderUnsigned(x, Prime)
         var i = 0
         while (i < numHashes) {
-          // (a*x + b) mod p with p = 2^61-1 via Math.multiplyHigh-free
-          // route: split multiply into 32-bit halves to stay exact
+          // (a*x + b) mod p with p = 2^61-1: Math.multiplyHigh gives the
+          // exact 128-bit product (hi, lo), folded mod p by mod61
           val a = cs(i)._1; val b = cs(i)._2
           val hi = Math.multiplyHigh(a, xp)
           val lo = a * xp
@@ -162,7 +170,8 @@ object Dedup {
   object SimHash {
     /** 64-bit simhash over word 2-shingles (Charikar 2002). */
     def fingerprint(text: String): Long = {
-      val words = (if (text == null) "" else text).toLowerCase
+      val words = (if (text == null) "" else text)
+        .toLowerCase(java.util.Locale.ROOT)
         .split("\\s+").filter(_.nonEmpty)
       val feats =
         if (words.length < 2) words.iterator

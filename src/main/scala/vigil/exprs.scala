@@ -144,7 +144,8 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
-    val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    val words =
+      text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
     val grams: Array[Long] =
       if (words.length >= k) {
         val out = new Array[Long](words.length - k + 1)
@@ -297,7 +298,8 @@ object TurnStatsExpr {
     val edge = tlEdge.get()
     i = 0
     while (i < nWords && !toxic) {
-      val t = edge.reset(words(i).toLowerCase).replaceAll("")
+      val t = edge.reset(words(i).toLowerCase(java.util.Locale.ROOT))
+        .replaceAll("")
       if (t.nonEmpty && ToxicSet.contains(t)) toxic = true
       i += 1
     }

@@ -106,4 +106,19 @@ class PipelineSpec extends AnyFunSuite {
   test("driver entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("decideWindowed equals decide (score-once window form)") {
+    val cfg = Decide.Default.copy(targetLang = "pt")
+    val turns = vigil.Synth.corpusDF(spark, nConvs = 300)
+    val cols = Seq("conv_id", "turn_idx", "contem_pii", "confianca",
+      "scrubbed_text", "lang", "perplexity", "quality_pass", "toxic",
+      "majority_lang", "pii_density", "drop_conversation", "keep")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*)
+        .orderBy("conv_id", "turn_idx").collect().toSeq
+    val a = dump(Decide.decide(turns, cfg))
+    val b = dump(Decide.decideWindowed(turns, cfg))
+    assert(a.size == b.size && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"row mismatch: $x vs $y") }
+  }
 }
