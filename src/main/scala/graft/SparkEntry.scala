@@ -166,7 +166,8 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "contem_pii", "confianca",
           "scrubbed_text", "lang", "perplexity", "quality_pass", "toxic",
           "majority_lang", "pii_density", "drop_conversation", "keep")
-        .orderBy("conv_id", "turn_idx")
+      // no final orderBy: the query is rows-only checked (no oracle), and
+      // a global sort would add a full exchange+sort to the flagship bench
     }),
     // --- W4 conversation assembly over scored transcripts (rows-only) ----
     "q_conv_assembly" -> ((s, dir) => {
@@ -253,8 +254,12 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     // --- n-gram Jaccard near-dup pairs (exact, blocked by source) --------
+    //     scale-safe shape: LSH candidates → exact verify → block filter;
+    //     output identical to the brute-force Dedup.jaccardPairs (the
+    //     DuckDB oracle), but candidate volume is linear, not O(n²/block)
     "q_jaccard_pairs" -> ((s, dir) => {
-      Dedup.jaccardPairs(docs(s, dir), "text", "doc_id", "source", 0.9)
+      Dedup.neardupVerified(docs(s, dir), "text", "doc_id", minJaccard = 0.9,
+        blockCol = Some("source"))
         .orderBy("id_a", "id_b")
     }),
     // --- MinHash-LSH near-dup pairs (engine-native, rows-only) -----------
@@ -275,11 +280,15 @@ object SparkEntry {
           array_min(col("fp")).as("min_fp"))
         .orderBy("doc_id")
     }),
-    // --- brute-force cosine top-k (exact ANN baseline, rows-only) --------
+    // --- brute-force cosine top-k (exact ANN baseline, oracle-paired) ----
+    //     embeddings cast to array<double> so the sequential-fold cosine is
+    //     bit-identical to DuckDB list_cosine_similarity over DOUBLE[]
     "q_ann_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
     // --- LSH-bucketed ANN (the scale path, rows-only) --------------------
@@ -290,9 +299,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // --- embedding-cosine near-dup pairs (rows-only) ---------------------
+    //     the test embeddings are near-orthogonal (max pairwise cos ≈ 0.51)
+    //     so the corpus is augmented with a deterministic perturbed copy of
+    //     each vector (cos ≈ 0.9999 to its source): the query exercises the
+    //     LSH banding + exact-cosine pair logic and must recover the
+    //     planted (id, id+1e6) pairs — non-vacuous by construction
     "q_cosine_neardup" -> ((s, dir) => {
-      Ann.cosineNearDupPairs(embeddings(s, dir), "vec_id", "embedding",
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      val planted = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + sin(col("vec_id") * (i + 1)) * lit(0.02)).cast("float"))
+          .as("embedding"))
+      Ann.cosineNearDupPairs(base.unionByName(planted), "vec_id", "embedding",
         minCos = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+    // --- scale-safe verified near-dup: LSH candidates → exact Jaccard ----
+    //     (oracle-paired: output identical to brute-force all-pairs ≥ t)
+    "q_neardup_verified" -> ((s, dir) => {
+      Dedup.neardupVerified(docs(s, dir), "text", "doc_id", minJaccard = 0.9)
         .orderBy("id_a", "id_b")
     }),
     // --- multimodal plumbing (stubbed codec, real batching, rows-only) ---
@@ -415,6 +441,57 @@ object SparkEntry {
          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    // global all-pairs twin of the LSH-candidates + exact-verify query:
+    // identical output above threshold iff the LSH misses nothing
+    "q_neardup_verified" ->
+      """WITH t AS (SELECT doc_id,
+           list_distinct(list_filter(string_split(lower(text), ' '),
+             w -> len(w) > 0)) AS toks FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+         ORDER BY id_a, id_b""",
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+                 list_cosine_similarity(q.v, e.v) AS cos
+               FROM e JOIN q ON q.vec_id <> e.vec_id)
+         SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, nn_id ASC) AS rank,
+           nn_id, cos
+         FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q_quality_score" ->
+      """WITH c AS (SELECT doc_id,
+           trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean FROM documents),
+         w AS (SELECT doc_id, clean,
+           list_filter(string_split(clean, ' '), x -> len(x) > 0) AS ws FROM c),
+         m AS (SELECT doc_id,
+                 len(ws) AS n_words,
+                 len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))
+                   AS alpha_words,
+                 len(regexp_replace(clean, '[\p{L}\p{N} ]', '', 'g'))
+                   AS n_symbols,
+                 CASE WHEN len(ws) >= 2 THEN
+                   list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                 ELSE [] END AS g2
+               FROM w)
+         SELECT doc_id,
+           round(
+             greatest(least(least(n_words::DOUBLE / 5.0, 1.0), 1.0), 0.0)
+             * greatest(least(CASE WHEN n_words > 0
+                 THEN alpha_words::DOUBLE / n_words ELSE 0.0 END, 1.0), 0.0)
+             * greatest(least(1.0 - (CASE WHEN n_words > 0
+                 THEN n_symbols::DOUBLE / n_words ELSE 0.0 END), 1.0), 0.0)
+             * greatest(least(1.0 - (CASE WHEN len(g2) > 0
+                 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
+                 ELSE 0.0 END), 1.0), 0.0)
+           , 4) AS score
+         FROM m ORDER BY doc_id"""
   )
 }

@@ -244,6 +244,105 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** MinHash-LSH candidate pairs, ids only — bucket pairs WITHOUT the
+    * per-pair Jaccard estimate. Cheapest when pair similarity is
+    * concentrated near 0 with a thin duplicate tail (the realistic
+    * web-corpus shape): the shuffle carries ids instead of signatures and
+    * no estimate work happens at all. On adversarially dense corpora
+    * (most pairs mid-similarity, e.g. the template-generated test docs
+    * where 67% of pairs have J ≥ 0.5) prefer [[minhashLsh]] with a
+    * minEst pre-filter: its in-bucket estimate drops mid-sim pairs
+    * BEFORE they materialize as shuffle rows, which measures 2× faster
+    * there (see BENCH/BASELINE.md). Pure column algebra, no pair UDF.
+    */
+  def candidatePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int, shingleK: Int,
+      seed: Long, maxBucketSize: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigUdf = udf((t: String) =>
+      MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed))
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+          .as("bh"))
+    }
+    val grouped = sigs
+      .withColumn("bandrow", explode(array(bandCols: _*)))
+      .select(col("bandrow.band").as("band"), col("bandrow.bh").as("bh"), col("id"))
+      .groupBy("band", "bh")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucketSize).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val n = size(col("ids"))
+    // all (i < j) pairs of the sorted bucket ids; `ids` is a real attribute
+    // so the nested lambdas don't re-evaluate anything per element
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(slice(col("ids"), i + 2, greatest(n - i - 1, lit(0))),
+        b => struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b")))))
+    grouped
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** Scale-safe exact near-dup pairs: MinHash-LSH candidate generation
+    * followed by exact word-set Jaccard verification — the 100 TB shape
+    * (candidates are linear in corpus size; the exact O(len) verify runs
+    * only on candidate pairs), with output identical to the brute-force
+    * all-pairs [[jaccardPairs]] above the threshold.
+    *
+    * Candidate generation uses UNIGRAM shingles (k=1) so the MinHash
+    * collision probability tracks the same word-set Jaccard the verifier
+    * computes (k≥2 word shingles decay much faster than unigram Jaccard
+    * under small edits, which would break the recall math). 24 bands ×
+    * 6 rows: a pair at J = 0.9 misses all bands with probability
+    * (1-0.9^6)^24 ≈ 1.3e-8.
+    *
+    * Candidate pre-filter: in-bucket estimate ≥ minJaccard - 0.2. With
+    * 144 hashes the estimator std at J = 0.9 is √(0.9·0.1/144) ≈ 2.5%,
+    * so a true ≥ 0.9 pair estimating below 0.7 is an 8σ event (~1e-15) —
+    * recall is untouched while the mid-similarity candidate bulk is
+    * dropped inside the bucket UDF, before it ever becomes shuffle rows
+    * (on the dense test corpus that beats id-only [[candidatePairs]] 2×).
+    *
+    * `blockCol`: optional blocking key — only pairs agreeing on it are
+    * kept (applied POST-verification so the LSH shuffle stays global;
+    * equivalent to blocking the brute force).
+    */
+  def neardupVerified(
+      df: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double, bands: Int = 24, rowsPerBand: Int = 6,
+      seed: Long = 42L, maxBucketSize: Int = 1000,
+      blockCol: Option[String] = None): DataFrame = {
+    val cands = minhashLsh(df, textCol, idCol, bands, rowsPerBand,
+      shingleK = 1, seed = seed, minEst = math.max(0.0, minJaccard - 0.2),
+      maxBucketSize = maxBucketSize)
+      .select("id_a", "id_b")
+    // verifier tokenization matches jaccardPairs (and its DuckDB oracle):
+    // single-space split of the lowercased text, distinct
+    val blkCols = blockCol.toSeq.map(c => col(c).as("blk"))
+    val toks = df.select(Seq(
+      col(idCol).as("id"),
+      array_distinct(filter(split(lower(col(textCol)), " "), w => length(w) > 0))
+        .as("toks")) ++ blkCols: _*)
+    def side(suffix: String) = toks.select(Seq(
+      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix")) ++
+      blockCol.toSeq.map(_ => col("blk").as(s"blk_$suffix")): _*)
+    val joined = cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+    val blocked = blockCol match {
+      case Some(_) => joined.filter(col("blk_a") === col("blk_b"))
+      case None => joined
+    }
+    blocked
+      .select(
+        col("id_a"), col("id_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   // ---------- exact n-gram Jaccard (verifier / oracle-pairable) ----------
 
   /** Brute-force word-set Jaccard pairs within a blocking column — the

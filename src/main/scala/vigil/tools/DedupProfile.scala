@@ -1,0 +1,43 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import vigil.dedup.Dedup
+
+/** Volume profile of the LSH candidate→verify pipeline: how many bucket
+  * pair rows exist before dedup, after dedup, and after exact verify —
+  * the numbers that decide where the near-dup wall-time goes.
+  *
+  * Args: [sfDir] (default /root/testdata/sf0.1)
+  */
+object DedupProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s  -> $r")
+      r
+    }
+    t("n docs")(docs.count())
+    t("id-only candidate pairs")(
+      Dedup.candidatePairs(docs, "text", "doc_id",
+        bands = 24, rowsPerBand = 6, shingleK = 1, seed = 42L,
+        maxBucketSize = 1000).count())
+    t("est>=0.7 candidate pairs")(
+      Dedup.minhashLsh(docs, "text", "doc_id", bands = 24, rowsPerBand = 6,
+        shingleK = 1, minEst = 0.7).count())
+    t("verified pairs (J>=0.9)")(
+      Dedup.neardupVerified(docs, "text", "doc_id", 0.9).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+import vigil.{Decide, Synth}
+
+/** Profiles the driver-bench flagship query shape (synth corpus generated
+  * inline, not pre-materialized — exactly what Bench times) tier by tier,
+  * so flagship optimization targets the actual measured composition.
+  *
+  * Args: [nConvs] (default 20000 = the sf0.1 bench corpus).
+  */
+object FlagshipProfile {
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.nonEmpty) args(0).toInt else 20000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = Decide.Default.copy(targetLang = "pt")
+    def gen() = Synth.corpusDF(spark, nConvs)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(f: => Unit): Unit = {
+      f // warmup
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-32s best ${times.min}%6.2f s  (${times.mkString(", ")})")
+    }
+
+    time("synth gen only")(noop(gen()))
+    time("gen + scoreTurns")(noop(Decide.scoreTurns(gen(), cfg)))
+    time("gen + decideWindowed")(noop(Decide.decideWindowed(gen(), cfg)))
+    time("bench query (select 13 cols)")(noop(
+      Decide.decideWindowed(gen(), cfg)
+        .select("conv_id", "turn_idx", "contem_pii", "confianca",
+          "scrubbed_text", "lang", "perplexity", "quality_pass", "toxic",
+          "majority_lang", "pii_density", "drop_conversation", "keep")))
+    spark.stop()
+  }
+}

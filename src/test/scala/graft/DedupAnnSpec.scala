@@ -123,4 +123,23 @@ class DedupAnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups.contains((0L, 1L)))
   }
+
+  test("neardupVerified equals brute-force jaccardPairs on real testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // global: LSH candidates + exact verify must reproduce all-pairs brute
+    val brute = pairs(docs.withColumn("g", lit(1)).transform(d =>
+      Dedup.jaccardPairs(d, "text", "doc_id", "g", 0.9)))
+    val fast = pairs(Dedup.neardupVerified(docs, "text", "doc_id", 0.9))
+    assert(fast == brute, s"global mismatch: ${fast.size} vs ${brute.size}")
+    assert(brute.nonEmpty, "vacuous test: no near-dup pairs in corpus")
+    // blocked: same equivalence with the source blocking key
+    val bruteBlk = pairs(Dedup.jaccardPairs(docs, "text", "doc_id", "source", 0.9))
+    val fastBlk = pairs(Dedup.neardupVerified(docs, "text", "doc_id", 0.9,
+      blockCol = Some("source")))
+    assert(fastBlk == bruteBlk,
+      s"blocked mismatch: ${fastBlk.size} vs ${bruteBlk.size}")
+  }
 }
