@@ -50,7 +50,9 @@ object TableIO {
     // else the turn-level `keep_turn` (conversation decisions come later)
     val keepCol =
       if (scored.columns.contains("keep")) col("keep") else col("keep_turn")
-    val withBucket = scored.withColumn("bucket", bucketOf(nBuckets))
+    val withBucket = scored
+      .withColumn("snapshot", lit(snapshotId))
+      .withColumn("bucket", bucketOf(nBuckets))
 
     val done: Set[Int] = lineage(spark, path) match {
       case Some(l) =>
@@ -68,11 +70,13 @@ object TableIO {
     // commits but before the lineage append would leave a committed bucket
     // with no lineage row; the resume recomputes that bucket, and overwrite
     // makes the recompute REPLACE the orphan data instead of duplicating it
-    // (exactly Iceberg's overwrite-by-partition recovery semantics)
+    // (exactly Iceberg's overwrite-by-partition recovery semantics). The
+    // snapshot partition level scopes the overwrite: a NEW snapshot lands
+    // in its own partitions and never clobbers a previous snapshot's data
     pending.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
+      .partitionBy("snapshot", "bucket")
       .parquet(s"$path/data")
 
     // lineage counters per bucket — a single partial-aggregated pass

@@ -44,7 +44,10 @@ object Sinks {
       scored: DataFrame,
       path: String,
       inputName: String,
-      version: String = "vigil-spark-0.1"): Unit = {
+      version: String = "vigil-spark-0.1",
+      // injectable so tests are deterministic; the reference stamps
+      // datetime.now().isoformat() (main.py:248)
+      timestamp: String = java.time.LocalDateTime.now().toString): Unit = {
     scored
       .select(col("conv_id"), col("turn_idx"), col("text"),
         col("contem_pii"), col("confianca"), col("tipos_detectados"),
@@ -62,10 +65,18 @@ object Sinks {
       .orderBy(desc("n"), asc("tipo"))
       .collect().map(r => s""""${r.getString(0)}": ${r.getLong(1)}""")
       .mkString("{", ", ", "}")
-    val pct = if (total == 0) 0.0 else comPii * 100.0 / total
+    // reference rounds to 1 decimal with Python round() = HALF_EVEN
+    // (main.py:268); NER is contractually disabled in this engine (the
+    // reference's own --no-ner contract), hence the null modelo_ner
+    val pct =
+      if (total == 0) BigDecimal(0.0)
+      else BigDecimal(comPii * 100.0 / total)
+        .setScale(1, scala.math.BigDecimal.RoundingMode.HALF_EVEN)
     val meta =
-      s"""{"metadata": {"versao": "$version", "arquivo_entrada": "$inputName",
-         |"total_registros": $total, "total_com_pii": $comPii},
+      s"""{"metadata": {"versao": "$version", "timestamp": "$timestamp",
+         |"arquivo_entrada": "$inputName",
+         |"total_registros": $total, "total_com_pii": $comPii,
+         |"configuracao": {"ner_habilitado": false, "modelo_ner": null}},
          |"estatisticas": {"por_tipo": $porTipo,
          |"percentual_com_pii": $pct}}""".stripMargin.replace("\n", " ")
     val p = new org.apache.hadoop.fs.Path(s"$path/metadata.json")

@@ -23,9 +23,59 @@ object Media {
       media_id: Long, kind: String, payload: Array[Byte],
       source: String, declared_len: Long)
 
-  /** Deterministic fake codec — STUB. Every value is a pure function of
-    * the payload bytes so tests are stable. A real implementation would
-    * parse container headers / decode frames here.
+  /** Real container-header parsers for formats that need no codec library
+    * — pure JVM byte parsing. PNG IHDR gives true width/height; WAV RIFF
+    * gives true duration (data bytes / byte rate). Payloads that don't
+    * match the magic fall back to [[StubCodec]] so synthetic text-byte
+    * corpora keep flowing through the same plumbing.
+    */
+  object HeaderCodec {
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (always first): length,
+      * "IHDR", width (big-endian u32 at 16), height (at 20).
+      */
+    def pngDims(p: Array[Byte]): Option[(Int, Int)] = {
+      if (p.length < 24) return None
+      var i = 0
+      while (i < 8) { if (p(i) != PngMagic(i)) return None; i += 1 }
+      if (p(12) != 'I' || p(13) != 'H' || p(14) != 'D' || p(15) != 'R') return None
+      def be32(o: Int): Int =
+        ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+          ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+      Some((be32(16), be32(20)))
+    }
+
+    /** WAV: RIFF/WAVE container; walk chunks for "fmt " (byte rate at
+      * chunk offset +8, i.e. file offset +16) and "data" (payload size);
+      * duration = data bytes / byte rate. Chunks are word-aligned.
+      */
+    def wavDurationMs(p: Array[Byte]): Option[Long] = {
+      if (p.length < 12) return None
+      if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')) return None
+      def le32(o: Int): Long =
+        (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+          ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+      var off = 12
+      var byteRate = 0L
+      var dataLen = -1L
+      while (off + 8 <= p.length && (byteRate == 0L || dataLen < 0L)) {
+        val isFmt = p(off) == 'f' && p(off + 1) == 'm' && p(off + 2) == 't' && p(off + 3) == ' '
+        val isData = p(off) == 'd' && p(off + 1) == 'a' && p(off + 2) == 't' && p(off + 3) == 'a'
+        val sz = le32(off + 4)
+        if (isFmt && off + 20 <= p.length) byteRate = le32(off + 16)
+        else if (isData) dataLen = sz
+        off += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+    }
+  }
+
+  /** Deterministic fake codec — STUB fallback for payloads that are not a
+    * parseable container (e.g. the synthesized text-byte corpus). Every
+    * value is a pure function of the payload bytes so tests are stable. A
+    * real frame decoder would slot in next to [[HeaderCodec]].
     */
   object StubCodec {
     def imageDims(payload: Array[Byte]): (Int, Int) = {
@@ -75,10 +125,13 @@ object Media {
         it.map { case (id, kind, payload) =>
           kind match {
             case "image" =>
-              val (w, h) = StubCodec.imageDims(payload)
+              val (w, h) = HeaderCodec.pngDims(payload)
+                .getOrElse(StubCodec.imageDims(payload))
               (id, kind, w, h, 0L, 0, payload.length.toLong)
             case "audio" =>
-              (id, kind, 0, 0, StubCodec.audioDurationMs(payload), 0, payload.length.toLong)
+              val d = HeaderCodec.wavDurationMs(payload)
+                .getOrElse(StubCodec.audioDurationMs(payload))
+              (id, kind, 0, 0, d, 0, payload.length.toLong)
             case _ =>
               (id, kind, 0, 0, 0L, StubCodec.videoFrameCount(payload), payload.length.toLong)
           }

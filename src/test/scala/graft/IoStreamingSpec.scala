@@ -68,7 +68,8 @@ class IoStreamingSpec extends AnyFunSuite {
       back.columns.contains("confianca"))
     assert(back.count() == scored.count())
 
-    Sinks.resultsJson(spark, scored, s"$dir/json", "synth")
+    Sinks.resultsJson(spark, scored, s"$dir/json", "synth",
+      timestamp = "2026-01-01T00:00:00")
     val res = spark.read.json(s"$dir/json/resultados")
     assert(res.count() == scored.count())
     val meta = spark.read.option("multiLine", "true")
@@ -78,6 +79,14 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(m.getLong(0) == scored.count())
     assert(m.getLong(1) ==
       scored.filter(col("contem_pii")).count())
+    // reference metadata contract (main.py:246-256): timestamp + configuracao
+    val m2 = meta.select("metadata.timestamp",
+      "metadata.configuracao.ner_habilitado").collect()(0)
+    assert(m2.getString(0) == "2026-01-01T00:00:00")
+    assert(!m2.getBoolean(1), "NER is contractually disabled")
+    val pct = meta.select("estatisticas.percentual_com_pii")
+      .collect()(0).getDouble(0)
+    assert(pct == math.rint(pct * 10) / 10, "percentual rounded to 1 decimal")
   }
 
   test("review sinks: header contract, %.2f, priority sort, empty short-circuit") {
@@ -134,5 +143,53 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(convStream.except(convBatch).isEmpty &&
       convBatch.except(convStream).isEmpty,
       "final streamed conversation decisions must equal the batch decisions")
+  }
+
+  test("streaming restart: mapGroupsWithState state survives checkpoint recovery") {
+    val srcDir = Files.createTempDirectory("vigil_ckpt_src").toString
+    val outDir = Files.createTempDirectory("vigil_ckpt_out").toString
+    val ckptDir = Files.createTempDirectory("vigil_ckpt").toString
+    val corpus = Synth.corpusDF(spark, 25)
+    // half 1 arrives before the first run; half 2 after the "crash"
+    corpus.filter(col("turn_idx") < 2).write.mode("overwrite").parquet(srcDir)
+
+    def startQuery() = StreamPipeline
+      .convDecisionsStream(
+        StreamPipeline.scoreStream(
+          spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "2").parquet(srcDir), cfg), cfg)
+      .writeStream
+      // foreachBatch parquet-append: a fault-tolerant sink (memory sink
+      // cannot recover), so the query restarts from the checkpoint
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamPipeline.ConvUpdate], _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Update).start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // "crash" after half 1 is committed
+
+    corpus.filter(col("turn_idx") >= 2).write.mode("append").parquet(srcDir)
+    val q2 = startQuery() // restart from the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+
+    // last update per conversation must reflect ALL turns — if state were
+    // lost on restart, n_turns for continued conversations would count
+    // only the post-restart half
+    val last = spark.read.parquet(outDir)
+      .groupBy("conv_id")
+      .agg(max(struct(col("n_turns"), col("majority_lang"),
+        col("pii_density"), col("drop_conversation"))).as("l"))
+      .select(col("conv_id"), col("l.n_turns"), col("l.majority_lang"),
+        col("l.pii_density"), col("l.drop_conversation"))
+    val batch = Decide.convDecisions(Decide.scoreTurns(corpus, cfg), cfg)
+      .select("conv_id", "n_turns", "majority_lang", "pii_density",
+        "drop_conversation")
+    assert(last.count() == batch.count())
+    assert(last.except(batch).isEmpty && batch.except(last).isEmpty,
+      "post-restart conversation decisions must equal the batch decisions")
   }
 }

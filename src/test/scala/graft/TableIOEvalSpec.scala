@@ -62,6 +62,30 @@ class TableIOEvalSpec extends AnyFunSuite {
       "after resume the table holds exactly one copy of every turn")
   }
 
+  test("orphan bucket (data committed, lineage lost) is replaced, not duplicated") {
+    val dir = Files.createTempDirectory("vigil_orphan").toString
+    val scored = Decide.decide(
+      Synth.corpusDF(spark, 60), Decide.Default.copy(targetLang = "pt"))
+    TableIO.writeScored(spark, scored, dir, "snap-1", nBuckets = 8)
+    val total = TableIO.readScored(spark, dir).count()
+    // simulate a crash between the data commit and the lineage append:
+    // the data is on disk but no lineage row records it
+    val linPath = new org.apache.hadoop.fs.Path(s"$dir/_lineage")
+    linPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(linPath, true)
+    // resume recomputes the "unfinished" buckets; dynamic partition
+    // overwrite must REPLACE the orphan data (append would double it)
+    TableIO.writeScored(spark, scored, dir, "snap-1", nBuckets = 8)
+    assert(TableIO.readScored(spark, dir).count() == total,
+      "orphan bucket data must not be duplicated on resume")
+    // and a different snapshot must NOT clobber snap-1's partitions
+    TableIO.writeScored(spark, scored, dir, "snap-2", nBuckets = 8)
+    assert(TableIO.readScored(spark, dir).count() == 2 * total,
+      "a new snapshot lands in its own partitions")
+    assert(TableIO.readScored(spark, dir)
+      .filter(col("snapshot") === "snap-1").count() == total)
+  }
+
   test("rule version hash is stable and sensitive") {
     assert(TableIO.ruleVersionHash.length == 16)
     assert(TableIO.ruleVersionHash == TableIO.ruleVersionHash)
@@ -110,6 +134,44 @@ class TableIOEvalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 48)
       assert(r.getAs[Array[Byte]]("payload").nonEmpty)
     }
+  }
+
+  test("media header codec: true PNG dims and WAV duration, stub fallback") {
+    // minimal PNG: 8-byte signature + IHDR chunk (len, "IHDR", w, h)
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    // minimal WAV: RIFF/WAVE + fmt chunk (byteRate 16000 B/s) + 32000B data
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(32000) ++
+      new Array[Byte](32000)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + fmt.length + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+
+    assert(Media.HeaderCodec.pngDims(png).contains((640, 480)))
+    assert(Media.HeaderCodec.wavDurationMs(wav).contains(2000L)) // 32000/16000
+    assert(Media.HeaderCodec.pngDims("not a png".getBytes).isEmpty)
+    assert(Media.HeaderCodec.wavDurationMs("not a wav".getBytes).isEmpty)
+
+    // end to end through the Spark plumbing: real headers → true values
+    val media = Seq(
+      (0L, "image", png, "f", png.length.toLong),
+      (1L, "audio", wav, "f", wav.length.toLong),
+      (2L, "image", "raw text".getBytes, "f", 8L) // falls back to stub
+    ).toDF("media_id", "kind", "payload", "source", "declared_len")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("declared_len")).as("meta"))
+    val f = Media.extractFeatures(spark, media).orderBy("media_id").collect()
+    assert(f(0).getAs[Int]("width") == 640 && f(0).getAs[Int]("height") == 480)
+    assert(f(1).getAs[Long]("duration_ms") == 2000L)
+    val (sw, sh) = Media.StubCodec.imageDims("raw text".getBytes)
+    assert(f(2).getAs[Int]("width") == sw && f(2).getAs[Int]("height") == sh)
   }
 
   test("J2 suffix merge + SQL function registration") {
