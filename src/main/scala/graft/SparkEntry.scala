@@ -298,12 +298,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
-    // --- embedding-cosine near-dup pairs (rows-only) ---------------------
+    // --- embedding-cosine near-dup pairs (oracle-paired) -----------------
     //     the test embeddings are near-orthogonal (max pairwise cos ≈ 0.51)
     //     so the corpus is augmented with a deterministic perturbed copy of
     //     each vector (cos ≈ 0.9999 to its source): the query exercises the
-    //     LSH banding + exact-cosine pair logic and must recover the
-    //     planted (id, id+1e6) pairs — non-vacuous by construction
+    //     LSH banding + exact-cosine pair logic and must recover exactly
+    //     the planted (id, id+1e6) pairs the brute-force DuckDB twin finds.
+    //     double-cast after the float perturbation so the fold cosine is
+    //     bit-identical to list_cosine_similarity over DOUBLE[]
     "q_cosine_neardup" -> ((s, dir) => {
       val base = embeddings(s, dir).select("vec_id", "embedding")
       val planted = base.select(
@@ -311,8 +313,9 @@ object SparkEntry {
         transform(col("embedding"),
           (x, i) => (x + sin(col("vec_id") * (i + 1)) * lit(0.02)).cast("float"))
           .as("embedding"))
-      Ann.cosineNearDupPairs(base.unionByName(planted), "vec_id", "embedding",
-        minCos = 0.95)
+      val corpus = base.unionByName(planted)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.cosineNearDupPairs(corpus, "vec_id", "embedding", minCos = 0.95)
         .orderBy("id_a", "id_b")
     }),
     // --- scale-safe verified near-dup: LSH candidates → exact Jaccard ----
@@ -466,6 +469,23 @@ object SparkEntry {
              ORDER BY cos DESC, nn_id ASC) AS rank,
            nn_id, cos
          FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // brute-force twin of the LSH-banded near-dup query over the same
+    // deterministically planted corpus; the float perturbation and the
+    // double cosine are bit-reproduced (sin → ::FLOAT absorbs libm ulps)
+    "q_cosine_neardup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         planted AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (embedding[i] + sin((vec_id+1000000)*i)*0.02)::FLOAT)
+               AS embedding
+           FROM base),
+         allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+                  UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM planted)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cos
+         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+         ORDER BY id_a, id_b""",
     "q_quality_score" ->
       """WITH c AS (SELECT doc_id,
            trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean FROM documents),

@@ -35,17 +35,23 @@ object Decide {
     * Narrow (no shuffle).
     */
   def scoreTurns(turns: DataFrame, cfg: Config = Default): DataFrame = {
-    val withPii = turns.withColumn("pii", functions.pii_analyze(col("text")))
-    val reais = filter(col("pii.detalhes"), d => d.getField("tipo").isin(Real5: _*))
-    val base = withPii
-      .withColumn("clean", col("pii.clean"))
-      .withColumn("detalhes", col("pii.detalhes"))
-      .withColumn("scrubbed_text", col("pii.scrubbed"))
+    // ONE fused expression computes PII analysis + scrub, langid +
+    // perplexity and quality/toxicity stats from a single text decode
+    // (composed pii_analyze → lang_score → turn_stats re-decodes the
+    // cleaned text twice more per row — measurable DRAM traffic at 32
+    // threads; bit-equality with the composed path is asserted in
+    // QualityExprSpec)
+    val withTs = turns.withColumn("ts", functions.turn_score(col("text")))
+    val reais = filter(col("ts.detalhes"), d => d.getField("tipo").isin(Real5: _*))
+    val base = withTs
+      .withColumn("clean", col("ts.clean"))
+      .withColumn("detalhes", col("ts.detalhes"))
+      .withColumn("scrubbed_text", col("ts.scrubbed"))
       .withColumn("reais", reais)
       // reference parity: contextual signals are surfaced only when real
       // PII exists (detector.py:343-352 returns the empty result otherwise)
       .withColumn("sinais",
-        when(size(col("reais")) > 0, col("pii.sinais"))
+        when(size(col("reais")) > 0, col("ts.sinais"))
           .otherwise(array().cast(
             org.apache.spark.sql.types.ArrayType(PiiSchema.signalType, containsNull = false))))
       // reference decision rule (detector.py:330-366): only the 5 real
@@ -58,30 +64,21 @@ object Decide {
           round(array_max(transform(col("reais"), d => d.getField("confianca"))), 2))
           .otherwise(lit(0.0)))
       .withColumn("has_extended_pii",
-        exists(col("pii.detalhes"),
+        exists(col("ts.detalhes"),
           d => d.getField("tipo").isin(PiiTypes.Extended.toSeq: _*)))
       .drop("reais")
-    val withLang = base.withColumn("ls", functions.lang_score(col("clean")))
-      .withColumn("lang", col("ls.lang"))
-      .withColumn("lang_conf", col("ls.lang_conf"))
-      .withColumn("perplexity", col("ls.perplexity"))
-      .drop("ls")
-    // quality metrics + toxicity via the fused TurnStatsExpr (one flat
-    // pass; bit-compatible with Quality.metricsFromWords + Toxicity,
-    // equality-tested in QualityExprSpec)
-    val statFields = Seq("n_words", "n_chars", "mean_word_len",
-      "max_word_len", "alpha_word_frac", "symbol_word_ratio",
-      "dup_2gram_frac", "toxic")
-    val withStats = statFields.foldLeft(
-      withLang.withColumn("qs", functions.turn_stats(col("clean")))) {
-      (df, f) => df.withColumn(f, col(s"qs.$f"))
+    val fields = Seq("lang", "lang_conf", "perplexity",
+      "n_words", "n_chars", "mean_word_len", "max_word_len",
+      "alpha_word_frac", "symbol_word_ratio", "dup_2gram_frac", "toxic")
+    val withStats = fields.foldLeft(base) {
+      (df, f) => df.withColumn(f, col(s"ts.$f"))
     }
     withStats
       .withColumn("quality_pass", Quality.passes(cfg.quality))
       .withColumn("keep_turn", col("quality_pass") && !col("toxic"))
-      // the raw analysis struct duplicates clean/detalhes/sinais/scrubbed —
+      // the raw scoring struct duplicates clean/detalhes/sinais/scrubbed —
       // dropping it halves the width of every downstream shuffle and write
-      .drop("qs", "pii")
+      .drop("ts")
   }
 
   /** Conversation-level decisions over scored turns: majority language and

@@ -56,7 +56,9 @@ object Ann {
   private def withBands(df: DataFrame, vecCol: String, nBits: Int,
       bands: Int, dim: Int, seed: Long, out: String): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
-    val sigUdf = udf((v: Seq[Float]) => {
+    // takes array<double> so callers may pass float OR double vectors (the
+    // float→double upcast is exact, so signatures are identical either way)
+    val sigUdf = udf((v: Seq[Double]) => {
       var sig = 0L
       var b = 0
       while (b < planes.length) {
@@ -76,7 +78,7 @@ object Ann {
         shiftrightunsigned(col("__sig"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("bkey"))
     }
-    df.withColumn("__sig", sigUdf(col(vecCol)))
+    df.withColumn("__sig", sigUdf(col(vecCol).cast("array<double>")))
       .withColumn(out, explode(array(bandCols: _*)))
       .drop("__sig")
   }

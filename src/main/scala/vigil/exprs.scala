@@ -240,7 +240,10 @@ object TurnStatsExpr {
       t == Character.OTHER_NUMBER
   }
 
-  def compute(text: String): InternalRow = {
+  def compute(text: String): InternalRow =
+    new GenericInternalRow(computeValues(text))
+
+  private[vigil] def computeValues(text: String): Array[Any] = {
     // words: split on single space, drop empties (clean text is already
     // whitespace-collapsed). Lengths in code points (Spark length()).
     val words = text.split(" ").filter(_.nonEmpty)
@@ -304,9 +307,66 @@ object TurnStatsExpr {
       i += 1
     }
 
-    new GenericInternalRow(Array[Any](
-      nWords, nChars, meanWordLen, maxLen, alphaFrac, symbolRatio, dup2, toxic))
+    Array[Any](
+      nWords, nChars, meanWordLen, maxLen, alphaFrac, symbolRatio, dup2, toxic)
   }
+}
+
+/** text → the ENTIRE per-turn scoring struct in one pass: PII analysis +
+  * scrub, langid + perplexity, quality metrics + toxicity.
+  *
+  * Fusion rationale (measured, BENCH/BASELINE.md): composed as three
+  * expressions, the cleaned text crosses the expression boundary as a
+  * UTF8String and is re-decoded to a java String by BOTH LangScoreExpr and
+  * TurnStatsExpr — two whole-text UTF-8→UTF-16 copies per turn. At 32
+  * threads the narrow stage is DRAM-bandwidth-bound, so those copies cost
+  * thread-scaling, not just time. This expression decodes once, cleans
+  * once, and feeds the SAME String to all three kernels — bit-identical
+  * output to the composed path (equality-tested in QualityExprSpec).
+  */
+case class TurnScoreExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = TurnScoreExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "turn_score"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val u8 = if (v == null) null else v.asInstanceOf[UTF8String]
+    val raw = if (u8 == null) "" else u8.toString
+    val a = PiiCore.detect(raw)
+    val det = new GenericArrayData(a.detalhes.map { d =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
+        d.confianca, d.beg, d.end))
+    }.toArray[Any])
+    val sig = new GenericArrayData(a.sinais.map { s =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
+        s.confianca))
+    }.toArray[Any])
+    // same UTF8String-reuse trick as PiiAnalyzeExpr: unchanged text is not
+    // re-encoded
+    val cleanU8 =
+      if (u8 != null && (a.clean eq raw)) u8 else UTF8String.fromString(a.clean)
+    val scrubU8 =
+      if (a.scrubbed eq a.clean) cleanU8 else UTF8String.fromString(a.scrubbed)
+    val (lang, conf, ppl) = LangModel.scoreBoth(a.clean)
+    val stats = TurnStatsExpr.computeValues(a.clean)
+    val out = new Array[Any](7 + stats.length)
+    out(0) = cleanU8; out(1) = det; out(2) = sig; out(3) = scrubU8
+    out(4) = UTF8String.fromString(lang); out(5) = conf; out(6) = ppl
+    System.arraycopy(stats, 0, out, 7, stats.length)
+    new GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TurnScoreExpr =
+    copy(child = c)
+}
+object TurnScoreExpr {
+  val schema: StructType = StructType(
+    PiiSchema.analysisType.fields ++ LangScoreExpr.schema.fields ++
+      TurnStatsExpr.schema.fields)
 }
 
 /** Column-level API over the expressions. */
@@ -318,4 +378,5 @@ object functions {
   def winnow_fingerprint(c: Column, k: Int = 3, w: Int = 4): Column =
     VigilShim.column(WinnowFingerprintExpr(expr(c), k, w))
   def turn_stats(c: Column): Column = VigilShim.column(TurnStatsExpr(expr(c)))
+  def turn_score(c: Column): Column = VigilShim.column(TurnScoreExpr(expr(c)))
 }

@@ -25,10 +25,8 @@ object PlanCheck {
 
     val optimized = scored.queryExecution.optimizedPlan.toString
     val physical = scored.queryExecution.executedPlan.toString
-    println("=== pii_analyze occurrences (optimized): " +
-      "pii_analyze".r.findAllIn(optimized).size)
-    println("=== lang_score occurrences (optimized): " +
-      "lang_score".r.findAllIn(optimized).size)
+    println("=== turn_score occurrences (optimized): " +
+      "turn_score".r.findAllIn(optimized).size)
     println("=== exchanges (physical): " +
       "Exchange".r.findAllIn(physical).size)
     println("=== wholestagecodegen spans: " +
@@ -37,6 +35,22 @@ object PlanCheck {
     println(scored.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       .linesIterator.take(80).mkString("\n"))
+
+    // decideWindowed: scoring must appear ONCE and both windows must share
+    // a single exchange (repartition(conv_id) satisfies the (conv_id,lang)
+    // window's ClusteredDistribution)
+    val windowed = Decide.decideWindowed(Synth.corpusDF(spark, 100),
+      Decide.Default.copy(targetLang = "pt"))
+      .select("conv_id", "turn_idx", "contem_pii", "scrubbed_text", "lang",
+        "perplexity", "quality_pass", "toxic", "keep")
+    val wOpt = windowed.queryExecution.optimizedPlan.toString
+    val wPhys = windowed.queryExecution.executedPlan.toString
+    println("=== decideWindowed turn_score occurrences (optimized): " +
+      "turn_score".r.findAllIn(wOpt).size)
+    println("=== decideWindowed exchanges (physical): " +
+      "Exchange".r.findAllIn(wPhys).size)
+    println("=== decideWindowed window operators: " +
+      "Window".r.findAllIn(wPhys).size)
 
     // also: a parquet-scan query to confirm pushdown + pruning
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -59,14 +59,15 @@ object ScalingBench {
       s"(data ${dataBytes >> 20}MB, split ${targetSplit >> 20}MB)")
     val nTurns = turns.count()
 
-    // warmup (JIT + codegen caches), then timed runs. decideCached: the
-    // scoring runs once (persisted), matching how an operator would
-    // actually run this two-branch job in memory.
+    // warmup (JIT + codegen caches), then timed runs. decideWindowed: the
+    // score-once single-pass shape (same as the driver-bench flagship) —
+    // no executor-storage cache, so memory per executor is bounded by the
+    // window buffers and the identical job runs at any cluster size
+    // (DecideCached's whole-corpus persist OOMs small executors).
     def once(): Double = {
       val t0 = System.nanoTime()
-      val (out, scored) = vigil.DecideCached.decide(turns, cfg)
-      out.write.format("noop").mode("overwrite").save()
-      scored.unpersist(blocking = true)
+      Decide.decideWindowed(turns, cfg)
+        .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     once()

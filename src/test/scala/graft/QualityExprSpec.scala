@@ -45,4 +45,28 @@ class QualityExprSpec extends AnyFunSuite {
       .collect()
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
+
+  test("fused turn_score equals composed pii_analyze + lang_score + turn_stats") {
+    import vigil.{functions => vf}
+    val corpus = Synth.corpusDF(spark, 150).select("text")
+      .union(Seq("", " ", "Meu CPF é 123.456.789-00, idiota",
+        "json {\"k\": [1,2,3]} ### $$$", "ünïcödé tëxt høre æøå")
+        .toDF("text"))
+    val composed = corpus
+      .withColumn("pii", vf.pii_analyze(col("text")))
+      .withColumn("ls", vf.lang_score(col("pii.clean")))
+      .withColumn("qs", vf.turn_stats(col("pii.clean")))
+      .select(struct(
+        col("pii.clean"), col("pii.detalhes"), col("pii.sinais"),
+        col("pii.scrubbed"), col("ls.lang"), col("ls.lang_conf"),
+        col("ls.perplexity"), col("qs.n_words"), col("qs.n_chars"),
+        col("qs.mean_word_len"), col("qs.max_word_len"),
+        col("qs.alpha_word_frac"), col("qs.symbol_word_ratio"),
+        col("qs.dup_2gram_frac"), col("qs.toxic")).as("s"))
+    val fused = corpus.select(vf.turn_score(col("text")).as("s"))
+    val a = composed.collect().map(_.toString)
+    val b = fused.collect().map(_.toString)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
+  }
 }
