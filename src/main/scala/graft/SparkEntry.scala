@@ -49,7 +49,7 @@ object SparkEntry {
         col("text"),
         lit("").as("tool"),
         lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"))
-    Decide.decide(d)
+    Decide.decideWindowed(d)
       .select("conv_id", "contem_pii", "keep", "lang", "perplexity",
         "quality_pass", "scrubbed_text")
   }
@@ -295,6 +295,13 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // --- IVF posting-list ANN (the other scale path, rows-only) ----------
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),

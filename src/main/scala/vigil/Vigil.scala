@@ -58,5 +58,7 @@ object Vigil {
       exprs => LangScoreExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       exprs => WinnowFingerprintExpr(exprs.head, 3, 4), "scala_udf")
+    reg.createOrReplaceTempFunction("turn_score",
+      exprs => TurnScoreExpr(exprs.head), "scala_udf")
   }
 }

@@ -114,6 +114,107 @@ object Ann {
       .select("query_id", "rank", "nn_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN top-k — the other classic scale path next to
+    * sign-LSH: a small coarse quantizer (k-means over unit vectors,
+    * deterministic init + a few Lloyd iterations) partitions the corpus
+    * into `nCentroids` posting lists; each query probes its `nProbe`
+    * nearest centroids and re-ranks exactly within those lists.
+    *
+    * Shape at scale: training touches only centroid-sized aggregates
+    * (nCentroids × dim doubles collected to the driver per iteration — a
+    * bounded model, like any broadcast model state); assignment is one
+    * narrow pass; the probe is ONE shuffle-join on the centroid id with
+    * posting lists ~|corpus|/nCentroids, so per-query work drops by
+    * nCentroids/nProbe vs brute force. Recall < 1 by construction —
+    * raise nProbe for recall (nProbe = nCentroids degenerates to exact).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("nn_vec"))
+
+    // deterministic init: the vector whose id hashes smallest per residue
+    // class seeds centroid j (no Random, stable across runs/partitionings)
+    var centroids: Array[Array[Double]] = c
+      .withColumn("cid", pmod(hash(col("nn_id"), lit(seed)), lit(nCentroids)))
+      .withColumn("hk", hash(col("nn_id"), lit(seed + 1)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(col("hk"), col("nn_id"))))
+      .filter(col("rn") === 1)
+      .orderBy("cid")
+      .select("nn_vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    def assignUdf(cents: Array[Array[Double]]) = udf((v: Seq[Double]) => {
+      var best = 0; var bestCos = Double.MinValue
+      var j = 0
+      while (j < cents.length) {
+        val cj = cents(j)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        val n = math.min(cj.length, v.size)
+        while (i < n) { dot += cj(i) * v(i); nv += v(i) * v(i); nc += cj(i) * cj(i); i += 1 }
+        val cos = if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+        if (cos > bestCos) { bestCos = cos; best = j }
+        j += 1
+      }
+      best
+    })
+
+    // Lloyd iterations: assign → per-centroid mean (posexplode keeps the
+    // aggregation narrow per (centroid, dim) — no whole-list collection)
+    var it = 0
+    while (it < iterations) {
+      val assigned = c.withColumn("cid", assignUdf(centroids)(col("nn_vec")))
+      val means = assigned
+        .select(col("cid"), posexplode(col("nn_vec")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("m"))).as("mm"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        val mm = r.getMap[Int, Double](1)
+        val arr = new Array[Double](centroids(0).length)
+        mm.foreach { case (d, m) => arr(d) = m }
+        next(r.getInt(0)) = arr
+      }
+      centroids = next
+      it += 1
+    }
+
+    val posting = c.withColumn("cid", assignUdf(centroids)(col("nn_vec")))
+    // each query probes its nProbe nearest centroids
+    val probeUdf = udf((v: Seq[Double]) => {
+      val cents = centroids
+      val scored = Array.tabulate(cents.length) { j =>
+        val cj = cents(j)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        val n = math.min(cj.length, v.size)
+        while (i < n) { dot += cj(i) * v(i); nv += v(i) * v(i); nc += cj(i) * cj(i); i += 1 }
+        (if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc), j)
+      }
+      scored.sortBy(s => (-s._1, s._2)).take(nProbe).map(_._2)
+    })
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cid", explode(probeUdf(col("q_vec"))))
+
+    val cands = posting.join(q, Seq("cid"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs (corpus×corpus) via the same
     * band trick: pairs sharing a band, kept when cosine ≥ minCos.
     */

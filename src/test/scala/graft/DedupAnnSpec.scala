@@ -124,6 +124,34 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(dups.contains((0L, 1L)))
   }
 
+  test("ivf: full probe equals brute force; partial probe is rank-consistent") {
+    // double-cast once so brute (no internal cast) and ivf (casts inside)
+    // compute bit-identical cosines
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = rows(Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3))
+    // probing EVERY centroid degenerates to exact search
+    val full = rows(Ann.ivfTopK(emb, q, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 8))
+    assert(full.map(t => (t._1, t._2, t._3)).toSeq ==
+      brute.map(t => (t._1, t._2, t._3)).toSeq,
+      "nProbe = nCentroids must reproduce the exact top-k")
+    // partial probe: approximate — every query still answered, and each
+    // rank's cosine can only be ≤ the exact rank's cosine
+    val part = rows(Ann.ivfTopK(emb, q, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 2))
+    assert(part.map(_._1).distinct.length == 5, "all queries answered")
+    val bruteByQR = brute.map(t => (t._1, t._2) -> t._4).toMap
+    part.foreach { case (qid, rank, _, cos) =>
+      assert(cos <= bruteByQR((qid, rank)) + 1e-12,
+        s"approximate rank-$rank cos must not beat exact for query $qid")
+    }
+  }
+
   test("neardupVerified equals brute-force jaccardPairs on real testdata") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =
