@@ -46,13 +46,19 @@ object SkewBench {
     val input = spark.read.parquet("/tmp/vigil_skew_corpus")
     val n = input.count()
 
-    def once(): Double = {
+    def once(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      Decide.decide(input, cfg).write.format("noop").mode("overwrite").save()
+      f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once()
-    val sec = Seq(once(), once()).min
+    once(Decide.decide(input, cfg))
+    val sec = Seq(once(Decide.decide(input, cfg)),
+      once(Decide.decide(input, cfg))).min
+    // windowed comparison: decideWindowed puts the WHOLE mega-conversation
+    // in one window task (no salting) — measured here to document the
+    // trade-off, not to recommend it under skew
+    val secW = Seq(once(Decide.decideWindowed(input, cfg)),
+      once(Decide.decideWindowed(input, cfg))).min
     val megaRow = Decide.convDecisions(Decide.scoreTurns(input, cfg), cfg)
       .filter(col("conv_id") === "conv-mega")
       .select("majority_lang", "pii_density", "n_turns", "drop_conversation")
@@ -60,6 +66,7 @@ object SkewBench {
     println(
       s"""{"bench":"skew","cpus":$cpus,"n_turns":$n,"mega_turns":$megaTurns,""" +
         s""""best_sec":$sec,"turns_per_sec":${n / sec},""" +
+        s""""windowed_sec":$secW,"windowed_turns_per_sec":${n / secW},""" +
         s""""mega":{"lang":"${megaRow.getString(0)}","pii_density":${megaRow.getDouble(1)},""" +
         s""""n_turns":${megaRow.getLong(2)},"drop":${megaRow.getBoolean(3)}}}""")
     spark.stop()
