@@ -24,6 +24,12 @@ import org.apache.spark.sql.VigilShim
   * that is once per executor via classloading, with no broadcast traffic.
   */
 object PiiSchema {
+  /** Shared empty array value: most turns carry no detections/signals, and
+    * GenericArrayData is immutable — one instance serves every row instead
+    * of a fresh allocation per turn.
+    */
+  val EmptyArray = new GenericArrayData(Array.empty[Any])
+
   val detectionType: StructType = StructType(Seq(
     StructField("tipo", StringType, nullable = false),
     StructField("valor", StringType, nullable = false),
@@ -56,16 +62,20 @@ case class PiiAnalyzeExpr(child: Expression)
     val u8 = if (v == null) null else v.asInstanceOf[UTF8String]
     val raw = if (u8 == null) "" else u8.toString
     val a = PiiCore.detect(raw)
-    val det = new GenericArrayData(a.detalhes.map { d =>
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
-        d.confianca, d.beg, d.end))
-    }.toArray[Any])
-    val sig = new GenericArrayData(a.sinais.map { s =>
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
-        s.confianca))
-    }.toArray[Any])
+    val det =
+      if (a.detalhes.isEmpty) PiiSchema.EmptyArray
+      else new GenericArrayData(a.detalhes.map { d =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
+          d.confianca, d.beg, d.end))
+      }.toArray[Any])
+    val sig =
+      if (a.sinais.isEmpty) PiiSchema.EmptyArray
+      else new GenericArrayData(a.sinais.map { s =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
+          s.confianca))
+      }.toArray[Any])
     // most turns are already clean and PII-free: TextClean/scrub return
     // the SAME String instance, so reuse the input UTF8String instead of
     // re-encoding the full text (2 whole-text copies per row otherwise —
@@ -296,14 +306,30 @@ object TurnStatsExpr {
         1.0 - distinct.toDouble / total
       } else 0.0
 
-    // toxicity: lowercased tokens, edge punctuation stripped, set lookup
+    // toxicity: lowercased tokens, edge punctuation stripped, set lookup.
+    // Fast path: a word that is already all ASCII lowercase letters IS its
+    // own stripped lowercase form (edge \p{P} can't match a letter), so it
+    // goes straight to the set — no per-word String allocation on the
+    // common case.
     var toxic = false
     val edge = tlEdge.get()
     i = 0
     while (i < nWords && !toxic) {
-      val t = edge.reset(words(i).toLowerCase(java.util.Locale.ROOT))
-        .replaceAll("")
-      if (t.nonEmpty && ToxicSet.contains(t)) toxic = true
+      val w = words(i)
+      var allLower = true
+      var j = 0
+      while (j < w.length && allLower) {
+        val ch = w.charAt(j)
+        if (ch < 'a' || ch > 'z') allLower = false
+        j += 1
+      }
+      if (allLower) {
+        if (ToxicSet.contains(w)) toxic = true
+      } else {
+        val t = edge.reset(w.toLowerCase(java.util.Locale.ROOT))
+          .replaceAll("")
+        if (t.nonEmpty && ToxicSet.contains(t)) toxic = true
+      }
       i += 1
     }
 
@@ -335,16 +361,20 @@ case class TurnScoreExpr(child: Expression)
     val u8 = if (v == null) null else v.asInstanceOf[UTF8String]
     val raw = if (u8 == null) "" else u8.toString
     val a = PiiCore.detect(raw)
-    val det = new GenericArrayData(a.detalhes.map { d =>
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
-        d.confianca, d.beg, d.end))
-    }.toArray[Any])
-    val sig = new GenericArrayData(a.sinais.map { s =>
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
-        s.confianca))
-    }.toArray[Any])
+    val det =
+      if (a.detalhes.isEmpty) PiiSchema.EmptyArray
+      else new GenericArrayData(a.detalhes.map { d =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
+          d.confianca, d.beg, d.end))
+      }.toArray[Any])
+    val sig =
+      if (a.sinais.isEmpty) PiiSchema.EmptyArray
+      else new GenericArrayData(a.sinais.map { s =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
+          s.confianca))
+      }.toArray[Any])
     // same UTF8String-reuse trick as PiiAnalyzeExpr: unchanged text is not
     // re-encoded
     val cleanU8 =
