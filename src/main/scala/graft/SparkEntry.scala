@@ -231,6 +231,12 @@ object SparkEntry {
         .filter(col("rn") === 1).drop("rn")
         .orderBy("user_id")
     }),
+    // --- gap-based sessionization over events (oracle-paired) ------------
+    "q_sessionize" -> ((s, dir) => {
+      Eval.sessionize(events(s, dir), "user_id", "ts", "event_id",
+        gapSeconds = 28800)
+        .orderBy("user_id", "sess_idx")
+    }),
     // --- A5 fixed-bin half-open histogram --------------------------------
     "q_value_hist" -> ((s, dir) => {
       Eval.histogram(events(s, dir), "value", Seq(0, 50, 100, 200, 500))
@@ -422,6 +428,20 @@ object SparkEntry {
                (CASE event_type WHEN 'error' THEN 1 WHEN 'click' THEN 2
                  WHEN 'view' THEN 3 ELSE 99 END) ASC, event_id ASC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         g AS (SELECT user_id, event_id, ts, sec,
+           CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 28800
+             THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, sec,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS BIGINT) AS sess_idx
+           FROM g)
+         SELECT user_id, sess_idx, count(*) AS n_events,
+           min(sec) AS start_s, max(sec) AS end_s
+         FROM s GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""",
     "q_value_hist" ->
       """SELECT CAST(bin AS BIGINT) AS bin, count(*) AS cnt FROM (
            SELECT (CASE

@@ -89,4 +89,32 @@ object Eval {
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
       .orderBy("bin")
   }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event of the same key exceeds `gapSeconds`. Classic
+    * two-window shape — lag to flag session starts, running sum to number
+    * them — then one aggregation per (key, session). Both windows and the
+    * final aggregate share the same key-hash exchange.
+    *
+    * Seconds are floored from the timestamp (cast truncation) so the
+    * semantics are integral and engine-portable (oracle-pairable).
+    */
+  def sessionize(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    // via timestamp: TIMESTAMP_NTZ cannot cast to long directly; with the
+    // session zone at UTC this matches DuckDB's naive-as-UTC epoch()
+    val sec = col(tsCol).cast("timestamp").cast("long")
+    val prev = lag(sec, 1).over(w)
+    val newSess = when(prev.isNull || sec - prev > gapSeconds, 1).otherwise(0)
+    df.withColumn("__sec", sec)
+      .withColumn("sess_idx", sum(newSess).over(w).cast("long"))
+      .groupBy(col(keyCol), col("sess_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__sec")).as("start_s"),
+        max(col("__sec")).as("end_s"))
+  }
 }

@@ -41,17 +41,17 @@ object Decide {
     // cleaned text twice more per row — measurable DRAM traffic at 32
     // threads; bit-equality with the composed path is asserted in
     // QualityExprSpec)
-    val withTs = turns.withColumn("ts", functions.turn_score(col("text")))
-    val reais = filter(col("ts.detalhes"), d => d.getField("tipo").isin(Real5: _*))
+    val withTs = turns.withColumn("__score", functions.turn_score(col("text")))
+    val reais = filter(col("__score.detalhes"), d => d.getField("tipo").isin(Real5: _*))
     val base = withTs
-      .withColumn("clean", col("ts.clean"))
-      .withColumn("detalhes", col("ts.detalhes"))
-      .withColumn("scrubbed_text", col("ts.scrubbed"))
+      .withColumn("clean", col("__score.clean"))
+      .withColumn("detalhes", col("__score.detalhes"))
+      .withColumn("scrubbed_text", col("__score.scrubbed"))
       .withColumn("reais", reais)
       // reference parity: contextual signals are surfaced only when real
       // PII exists (detector.py:343-352 returns the empty result otherwise)
       .withColumn("sinais",
-        when(size(col("reais")) > 0, col("ts.sinais"))
+        when(size(col("reais")) > 0, col("__score.sinais"))
           .otherwise(array().cast(
             org.apache.spark.sql.types.ArrayType(PiiSchema.signalType, containsNull = false))))
       // reference decision rule (detector.py:330-366): only the 5 real
@@ -64,21 +64,21 @@ object Decide {
           round(array_max(transform(col("reais"), d => d.getField("confianca"))), 2))
           .otherwise(lit(0.0)))
       .withColumn("has_extended_pii",
-        exists(col("ts.detalhes"),
+        exists(col("__score.detalhes"),
           d => d.getField("tipo").isin(PiiTypes.Extended.toSeq: _*)))
       .drop("reais")
     val fields = Seq("lang", "lang_conf", "perplexity",
       "n_words", "n_chars", "mean_word_len", "max_word_len",
       "alpha_word_frac", "symbol_word_ratio", "dup_2gram_frac", "toxic")
     val withStats = fields.foldLeft(base) {
-      (df, f) => df.withColumn(f, col(s"ts.$f"))
+      (df, f) => df.withColumn(f, col(s"__score.$f"))
     }
     withStats
       .withColumn("quality_pass", Quality.passes(cfg.quality))
       .withColumn("keep_turn", col("quality_pass") && !col("toxic"))
       // the raw scoring struct duplicates clean/detalhes/sinais/scrubbed —
       // dropping it halves the width of every downstream shuffle and write
-      .drop("ts")
+      .drop("__score")
   }
 
   /** Conversation-level decisions over scored turns: majority language and

@@ -63,6 +63,27 @@ object StreamPipeline {
       }
   }
 
+  /** Watermarked event-time windowed aggregation over a scored stream:
+    * per-window turn count, PII rate and toxicity count (the monitoring
+    * face of the pipeline). Append mode — each window is emitted exactly
+    * once, when the watermark (max event time seen minus `watermarkDelay`)
+    * passes its end; rows arriving later than the watermark are dropped,
+    * which is what bounds the window state at 10^12-turn scale.
+    */
+  def piiRateWindows(
+      scored: DataFrame,
+      windowDur: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    scored
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        avg(col("contem_pii").cast("int")).as("pii_rate"),
+        sum(col("toxic").cast("int")).as("n_toxic"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("n_turns"), col("pii_rate"), col("n_toxic"))
+
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).
     */

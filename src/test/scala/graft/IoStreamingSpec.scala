@@ -145,6 +145,65 @@ class IoStreamingSpec extends AnyFunSuite {
       "final streamed conversation decisions must equal the batch decisions")
   }
 
+  test("streaming windowed agg: watermark closes windows once and drops late rows") {
+    val srcDir = Files.createTempDirectory("vigil_wm_src").toString
+    def turn(ts: String, text: String) =
+      vigil.Turn("c1", 0, "user", text, "", java.sql.Timestamp.valueOf(ts))
+    def write(rows: Seq[vigil.Turn]): Unit = {
+      import spark.implicits._
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val pii = "Meu CPF é 123.456.789-00"
+    val ok = "gostaria de saber os prazos do processo"
+    val batchA = Seq(
+      turn("2026-01-01 10:00:30", pii), turn("2026-01-01 10:01:00", ok),
+      turn("2026-01-01 10:06:00", ok), turn("2026-01-01 10:18:00", pii))
+    val batchB = Seq(turn("2026-01-01 11:30:00", ok))
+    // late: 10:30 is far behind the watermark once 11:30 has been seen
+    val batchC = Seq(turn("2026-01-01 12:30:00", ok),
+      turn("2026-01-01 10:30:00", pii))
+    val batchD = Seq(turn("2026-01-01 13:30:00", ok))
+    write(batchA)
+
+    val schema = { import spark.implicits._; batchA.toDF().schema }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamPipeline
+      .piiRateWindows(StreamPipeline.scoreStream(stream, cfg))
+      .writeStream.format("memory").queryName("wm_windows")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    Seq(batchB, batchC, batchD).foreach { b =>
+      write(b); q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("wm_windows")
+      .select(col("w_start").cast("long"), col("n_turns"), col("pii_rate"),
+        col("n_toxic"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // expected: all windows closed by the final watermark (13:30 - 10min =
+    // 13:20, applied in the trailing no-data micro-batch the engine runs
+    // after a watermark advance): A's and B's windows plus C's on-time
+    // 12:30 window; D's 13:30 window stays open. The late 10:30 row must
+    // NOT appear anywhere.
+    import spark.implicits._
+    val onTime = (batchA ++ batchB ++ batchC.take(1)).toDF()
+    val expected = StreamPipeline
+      .piiRateWindows(vigil.Decide.scoreTurns(onTime, cfg))
+      .select(col("w_start").cast("long"), col("n_turns"), col("pii_rate"),
+        col("n_toxic"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"windowed agg mismatch:\n got=$got\n exp=$expected")
+    val lateWindowStart =
+      java.sql.Timestamp.valueOf("2026-01-01 10:30:00").getTime / 1000
+    assert(!got.exists(_._1 == lateWindowStart),
+      "the late row's window must have been dropped by the watermark")
+  }
+
   test("streaming restart: mapGroupsWithState state survives checkpoint recovery") {
     val srcDir = Files.createTempDirectory("vigil_ckpt_src").toString
     val outDir = Files.createTempDirectory("vigil_ckpt_out").toString

@@ -28,7 +28,13 @@ class PipelineSpec extends AnyFunSuite {
       ("c1", 1, "Solicito informações sobre o processo."),
       ("c2", 0, "Processo SEI 00015-12345678/2026-01")
     ))
-    val scored = Decide.scoreTurns(df).orderBy("conv_id", "turn_idx").collect()
+    // regression: scoring must PRESERVE every input column (an internal
+    // struct column once shadowed `ts` and silently dropped the timestamp)
+    val scoredDf = Decide.scoreTurns(df)
+    Seq("conv_id", "turn_idx", "role", "text", "tool", "ts").foreach { c =>
+      assert(scoredDf.columns.contains(c), s"input column $c lost by scoring")
+    }
+    val scored = scoredDf.orderBy("conv_id", "turn_idx").collect()
     val r0 = scored(0)
     assert(r0.getAs[Boolean]("contem_pii"))
     assert(r0.getAs[scala.collection.Seq[String]]("tipos_detectados").toSeq ==
