@@ -131,8 +131,8 @@ object Ann {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 3,
-      seed: Long = 42L): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("nn_vec"))
@@ -165,23 +165,20 @@ object Ann {
       best
     })
 
-    // Lloyd iterations: assign → per-centroid mean (posexplode keeps the
-    // aggregation narrow per (centroid, dim) — no whole-list collection)
+    // Lloyd iterations: assign → per-centroid mean in ONE map-side-combined
+    // aggregation (dim avg columns per centroid — no posexplode shuffle,
+    // one job per iteration; the collect is nCentroids×dim doubles)
     var it = 0
     while (it < iterations) {
       val assigned = c.withColumn("cid", assignUdf(centroids)(col("nn_vec")))
       val means = assigned
-        .select(col("cid"), posexplode(col("nn_vec")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg("x").as("m"))
         .groupBy("cid")
-        .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("m"))).as("mm"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("nn_vec"), i + 1))): _*).as("m"))
         .collect()
       val next = centroids.clone()
       means.foreach { r =>
-        val mm = r.getMap[Int, Double](1)
-        val arr = new Array[Double](centroids(0).length)
-        mm.foreach { case (d, m) => arr(d) = m }
-        next(r.getInt(0)) = arr
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
       }
       centroids = next
       it += 1
