@@ -103,4 +103,22 @@ object TableIO {
 
   def readScored(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/data")
+
+  /** Catalog-registered bucketed table of scored turns: `bucketBy(conv_id)`
+    * records the hash-bucket layout in the catalog, so every later
+    * conv_id-keyed aggregation or join reads co-located buckets and plans
+    * WITHOUT a shuffle exchange on this side (asserted in TableIOEvalSpec).
+    * This is the Spark-native analog of the Iceberg bucket(conv_id)
+    * transform the directory layout above emulates — at 10^12-turn scale,
+    * pre-bucketing the scored table converts every downstream
+    * conversation-level pass from a full shuffle into a local scan.
+    */
+  def writeScoredBucketedTable(
+      scored: DataFrame, table: String, nBuckets: Int = 64): Unit =
+    scored.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, "conv_id")
+      .sortBy("conv_id")
+      .saveAsTable(table)
 }

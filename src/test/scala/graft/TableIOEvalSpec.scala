@@ -86,6 +86,28 @@ class TableIOEvalSpec extends AnyFunSuite {
       .filter(col("snapshot") === "snap-1").count() == total)
   }
 
+  test("bucketed scored table: conv-keyed aggregation plans without a shuffle") {
+    val scored = Decide.scoreTurns(
+      Synth.corpusDF(spark, 40), Decide.Default.copy(targetLang = "pt"))
+    TableIO.writeScoredBucketedTable(scored, "scored_bucketed", nBuckets = 4)
+    try {
+      val agg = spark.table("scored_bucketed")
+        .groupBy("conv_id")
+        .agg(count(lit(1)).as("n"), sum(col("contem_pii").cast("long")).as("p"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed aggregation must not shuffle:\n$plan")
+      // and the numbers are right
+      val viaBucket = agg.orderBy("conv_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val direct = scored.groupBy("conv_id")
+        .agg(count(lit(1)).as("n"), sum(col("contem_pii").cast("long")).as("p"))
+        .orderBy("conv_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(viaBucket.toSeq == direct.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS scored_bucketed")
+  }
+
   test("rule version hash is stable and sensitive") {
     assert(TableIO.ruleVersionHash.length == 16)
     assert(TableIO.ruleVersionHash == TableIO.ruleVersionHash)
