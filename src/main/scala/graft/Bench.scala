@@ -42,15 +42,20 @@ object Bench {
     // reported turns/sec reflects the engine, not host scheduling noise
     // (this host shows 2-4× wall-time swings; see BENCH/BASELINE.md);
     // the other 29 queries run once to keep total bench time bounded
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val reps = if (name == "pipeline_transcripts") 3 else 1
-      name -> (1 to reps).map(_ => timeOnce(name, fn)).min
+      val runs = (1 to reps).map(_ => timeOnce(name, fn))
+      // min over SUCCESSFUL reps only — a rep that dies fast must not
+      // become the reported (inflated) headline time
+      val good = runs.filter(_._2)
+      name -> (if (good.nonEmpty) good.map(_._1).min else runs.map(_._1).min)
     }
 
     // headline throughput: the flagship keep+scrub pipeline, turns/sec.

@@ -321,11 +321,17 @@ object SparkEntry {
     //     bit-identical to list_cosine_similarity over DOUBLE[]
     "q_cosine_neardup" -> ((s, dir) => {
       val base = embeddings(s, dir).select("vec_id", "embedding")
-      val planted = base.select(
-        (col("vec_id") + lit(1000000L)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => (x + sin(col("vec_id") * (i + 1)) * lit(0.02)).cast("float"))
-          .as("embedding"))
+      // two-step select so the perturbation seed is UNAMBIGUOUSLY the new
+      // id (base+1e6): a single select would rely on lateral-column-alias
+      // resolution (col("vec_id") binding to the alias, not the input —
+      // which Spark 4 happens to do, matching the oracle, but implicitly)
+      val planted = base
+        .select((col("vec_id") + lit(1000000L)).as("new_id"), col("embedding"))
+        .select(
+          col("new_id").as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.02)).cast("float"))
+            .as("embedding"))
       val corpus = base.unionByName(planted)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Ann.cosineNearDupPairs(corpus, "vec_id", "embedding", minCos = 0.95)
@@ -513,6 +519,12 @@ object SparkEntry {
          FROM allv a JOIN allv b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY id_a, id_b""",
+    // NOTE (shared convention with q_clean_text / all clean-based oracles):
+    // DuckDB cannot do NFKC or control-char stripping, so the oracle's
+    // clean step is whitespace-collapse only — exact-equal because the
+    // driver documents fixtures contain no NFKC-active/control chars
+    // (verified by scan); a regenerated corpus with such chars would need
+    // the oracle revisited
     "q_quality_score" ->
       """WITH c AS (SELECT doc_id,
            trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean FROM documents),

@@ -149,16 +149,21 @@ object Ann {
       .select("nn_vec").collect()
       .map(_.getSeq[Double](0).toArray)
 
+    // one cosine kernel serves training assignment AND query probing — a
+    // divergence between the two would silently mis-route queries
+    def centroidCos(cj: Array[Double], v: Seq[Double]): Double = {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      val n = math.min(cj.length, v.size)
+      while (i < n) { dot += cj(i) * v(i); nv += v(i) * v(i); nc += cj(i) * cj(i); i += 1 }
+      if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+    }
+
     def assignUdf(cents: Array[Array[Double]]) = udf((v: Seq[Double]) => {
       var best = 0; var bestCos = Double.MinValue
       var j = 0
       while (j < cents.length) {
-        val cj = cents(j)
-        var dot = 0.0; var nv = 0.0; var nc = 0.0
-        var i = 0
-        val n = math.min(cj.length, v.size)
-        while (i < n) { dot += cj(i) * v(i); nv += v(i) * v(i); nc += cj(i) * cj(i); i += 1 }
-        val cos = if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+        val cos = centroidCos(cents(j), v)
         if (cos > bestCos) { bestCos = cos; best = j }
         j += 1
       }
@@ -188,14 +193,7 @@ object Ann {
     // each query probes its nProbe nearest centroids
     val probeUdf = udf((v: Seq[Double]) => {
       val cents = centroids
-      val scored = Array.tabulate(cents.length) { j =>
-        val cj = cents(j)
-        var dot = 0.0; var nv = 0.0; var nc = 0.0
-        var i = 0
-        val n = math.min(cj.length, v.size)
-        while (i < n) { dot += cj(i) * v(i); nv += v(i) * v(i); nc += cj(i) * cj(i); i += 1 }
-        (if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc), j)
-      }
+      val scored = Array.tabulate(cents.length)(j => (centroidCos(cents(j), v), j))
       scored.sortBy(s => (-s._1, s._2)).take(nProbe).map(_._2)
     })
     val q = queries.select(col(idCol).as("query_id"),

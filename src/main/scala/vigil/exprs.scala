@@ -48,6 +48,37 @@ object PiiSchema {
     StructField("sinais", ArrayType(signalType, containsNull = false), nullable = false),
     StructField("scrubbed", StringType, nullable = false)
   ))
+
+  /** The 4 analysis struct values (clean, detalhes, sinais, scrubbed) for
+    * one analyzed turn — the ONE implementation both PiiAnalyzeExpr and the
+    * fused TurnScoreExpr build from, so the two paths cannot drift
+    * (QualityExprSpec asserts their bit-equality). Includes the row-level
+    * optimizations: shared empty arrays, and UTF8String reuse when
+    * clean/scrub left the text unchanged (re-encoding the whole text is
+    * DRAM-write traffic, the thread-scaling limiter).
+    */
+  private[vigil] def analysisValues(
+      u8: UTF8String, raw: String, a: Analysis): Array[Any] = {
+    val det =
+      if (a.detalhes.isEmpty) EmptyArray
+      else new GenericArrayData(a.detalhes.map { d =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
+          d.confianca, d.beg, d.end))
+      }.toArray[Any])
+    val sig =
+      if (a.sinais.isEmpty) EmptyArray
+      else new GenericArrayData(a.sinais.map { s =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
+          s.confianca))
+      }.toArray[Any])
+    val cleanU8 =
+      if (u8 != null && (a.clean eq raw)) u8 else UTF8String.fromString(a.clean)
+    val scrubU8 =
+      if (a.scrubbed eq a.clean) cleanU8 else UTF8String.fromString(a.scrubbed)
+    Array[Any](cleanU8, det, sig, scrubU8)
+  }
 }
 
 /** text → struct(clean, detalhes, sinais, scrubbed) in a single pass. */
@@ -61,30 +92,7 @@ case class PiiAnalyzeExpr(child: Expression)
     val v = child.eval(input)
     val u8 = if (v == null) null else v.asInstanceOf[UTF8String]
     val raw = if (u8 == null) "" else u8.toString
-    val a = PiiCore.detect(raw)
-    val det =
-      if (a.detalhes.isEmpty) PiiSchema.EmptyArray
-      else new GenericArrayData(a.detalhes.map { d =>
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
-          d.confianca, d.beg, d.end))
-      }.toArray[Any])
-    val sig =
-      if (a.sinais.isEmpty) PiiSchema.EmptyArray
-      else new GenericArrayData(a.sinais.map { s =>
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
-          s.confianca))
-      }.toArray[Any])
-    // most turns are already clean and PII-free: TextClean/scrub return
-    // the SAME String instance, so reuse the input UTF8String instead of
-    // re-encoding the full text (2 whole-text copies per row otherwise —
-    // this is DRAM-write traffic, the thread-scaling limiter)
-    val cleanU8 =
-      if (u8 != null && (a.clean eq raw)) u8 else UTF8String.fromString(a.clean)
-    val scrubU8 =
-      if (a.scrubbed eq a.clean) cleanU8 else UTF8String.fromString(a.scrubbed)
-    new GenericInternalRow(Array[Any](cleanU8, det, sig, scrubU8))
+    new GenericInternalRow(PiiSchema.analysisValues(u8, raw, PiiCore.detect(raw)))
   }
 
   override protected def withNewChildInternal(c: Expression): PiiAnalyzeExpr =
@@ -361,30 +369,11 @@ case class TurnScoreExpr(child: Expression)
     val u8 = if (v == null) null else v.asInstanceOf[UTF8String]
     val raw = if (u8 == null) "" else u8.toString
     val a = PiiCore.detect(raw)
-    val det =
-      if (a.detalhes.isEmpty) PiiSchema.EmptyArray
-      else new GenericArrayData(a.detalhes.map { d =>
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(d.tipo), UTF8String.fromString(d.valor),
-          d.confianca, d.beg, d.end))
-      }.toArray[Any])
-    val sig =
-      if (a.sinais.isEmpty) PiiSchema.EmptyArray
-      else new GenericArrayData(a.sinais.map { s =>
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(s.tipo), UTF8String.fromString(s.valor),
-          s.confianca))
-      }.toArray[Any])
-    // same UTF8String-reuse trick as PiiAnalyzeExpr: unchanged text is not
-    // re-encoded
-    val cleanU8 =
-      if (u8 != null && (a.clean eq raw)) u8 else UTF8String.fromString(a.clean)
-    val scrubU8 =
-      if (a.scrubbed eq a.clean) cleanU8 else UTF8String.fromString(a.scrubbed)
+    val analysis = PiiSchema.analysisValues(u8, raw, a)
     val (lang, conf, ppl) = LangModel.scoreBoth(a.clean)
     val stats = TurnStatsExpr.computeValues(a.clean)
-    val out = new Array[Any](7 + stats.length)
-    out(0) = cleanU8; out(1) = det; out(2) = sig; out(3) = scrubU8
+    val out = new Array[Any](4 + 3 + stats.length)
+    System.arraycopy(analysis, 0, out, 0, 4)
     out(4) = UTF8String.fromString(lang); out(5) = conf; out(6) = ppl
     System.arraycopy(stats, 0, out, 7, stats.length)
     new GenericInternalRow(out)

@@ -64,6 +64,11 @@ object Media {
         val isFmt = p(off) == 'f' && p(off + 1) == 'm' && p(off + 2) == 't' && p(off + 3) == ' '
         val isData = p(off) == 'd' && p(off + 1) == 'a' && p(off + 2) == 't' && p(off + 3) == 'a'
         val sz = le32(off + 4)
+        // corrupt-container guard: an unsigned chunk size larger than the
+        // payload would, truncated to Int, stall or reverse the chunk walk
+        // (infinite loop / AIOOBE in an executor task) — treat as
+        // unparseable and fall back to the stub codec instead
+        if (sz < 0 || sz > p.length.toLong) return None
         if (isFmt && off + 20 <= p.length) byteRate = le32(off + 16)
         else if (isData) dataLen = sz
         off += 8 + sz.toInt + (sz.toInt & 1)
