@@ -146,6 +146,24 @@ object Media {
         "n_bytes")
   }
 
+  /** Frame sampling over video payloads: every `stride`-th frame as its
+    * own row (one input row explodes to n_frames/stride rows — at scale
+    * this is the fan-out stage before per-frame feature extraction, so it
+    * stays partition-local with no shuffle). Codec is the stub (16-byte
+    * blocks as "frames"); a real demuxer slots into the same shape.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        StubCodec.sampleFrames(p, stride).zipWithIndex.map {
+          case (frame, i) => (id, i * stride, frame)
+        }
+      })
+      .toDF("media_id", "frame_idx", "frame")
+  }
+
   /** Batched resize of image payloads (partition-local, codec-amortized). */
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     import spark.implicits._

@@ -156,6 +156,18 @@ class TableIOEvalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("width") == 64 && r.getAs[Int]("height") == 48)
       assert(r.getAs[Array[Byte]]("payload").nonEmpty)
     }
+    // frame sampling: stride-2 over the video rows; indices are the
+    // original frame positions and every sampled frame is non-empty
+    val frames = Media.sampleFrames(spark, media, stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 2 == 0)
+      assert(r.getAs[Array[Byte]]("frame").nonEmpty)
+    }
+    val videoIds = media.filter(col("kind") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(frames.map(_.getAs[Long]("media_id")).toSet == videoIds)
   }
 
   test("media header codec: true PNG dims and WAV duration, stub fallback") {
