@@ -330,7 +330,11 @@ object SparkEntry {
         .select(
           col("new_id").as("vec_id"),
           transform(col("embedding"),
-            (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.02)).cast("float"))
+            // 0.005: planted cos ≈ 0.9999 → per-8-bit-band sign-LSH
+            // collision ≈ 0.97, so 4 bands miss ~1e-6 of planted pairs
+            // (0.02 put planted pairs at cos ≈ 0.994 on unit vectors,
+            // where 4-band recall is only ~99.6% — 6 pairs short at sf0.1)
+            (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.005)).cast("float"))
             .as("embedding"))
       val corpus = base.unionByName(planted)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -509,7 +513,7 @@ object SparkEntry {
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
          planted AS (SELECT vec_id + 1000000 AS vec_id,
              list_transform(range(1, 65),
-               i -> (embedding[i] + sin((vec_id+1000000)*i)*0.02)::FLOAT)
+               i -> (embedding[i] + sin((vec_id+1000000)*i)*0.005)::FLOAT)
                AS embedding
            FROM base),
          allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base

@@ -110,13 +110,25 @@ object Dedup {
     * ≥1 band with probability 1-(1-t^r)^b (the S-curve). Default 16×8
     * targets t ≈ 0.8.
     *
+    * Bucket-pair emission is a LAZY typed flatMap, not a UDF returning an
+    * array: a k-member near-dup cluster has C(k,2) pairs, and
+    * materializing them per bucket OOMs executors once clusters reach a
+    * few thousand members (memory is now bounded by the member list, not
+    * the pair count). Each pair is estimated ONCE, in its first colliding
+    * band — later bands detect the earlier collision by comparing the
+    * band slices (cheap) and skip, removing the ×bands duplicate-estimate
+    * work on dense corpora. `maxBucketSize` remains a safety valve for
+    * degenerate buckets (e.g. thousands of byte-identical docs, where
+    * exact dedup is the right tool and all-pairs output is intractable by
+    * construction); within the cap the output is exact.
+    *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ minEst.
     */
   def minhashLsh(
       df: DataFrame, textCol: String, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 8, shingleK: Int = 3,
       seed: Long = 42L, minEst: Double = 0.8,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 100000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigUdf = udf((t: String) =>
       MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed))
@@ -134,34 +146,49 @@ object Dedup {
       .select(col("bandrow.band").as("band"), col("bandrow.bh").as("bh"),
         col("id"), col("sig"))
 
-    // candidate pairs within each (band, bucket); cap degenerate buckets
     val grouped = exploded
       .groupBy("band", "bh")
       .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))), 1, maxBucketSize)
         .as("members"))
       .filter(size(col("members")) > 1)
 
-    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var i = 0
-      while (i < members.size) {
-        var j = i + 1
-        val (idA, sigA) = (members(i).getLong(0), members(i).getSeq[Long](1).toArray)
-        while (j < members.size) {
-          val est = MinHash.estJaccard(sigA, members(j).getSeq[Long](1).toArray)
-          out += ((idA, members(j).getLong(0), est))
-          j += 1
-        }
-        i += 1
-      }
-      out.toSeq
-    })
-
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rpb = rowsPerBand
     grouped
-      .select(explode(pairUdf(col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEst)
+      .select(col("band"), col("members"))
+      .as[(Int, Seq[(Long, Seq[Long])])]
+      .flatMap { case (band, members) =>
+        val ids = members.iterator.map(_._1).toArray
+        val sg = members.iterator.map(_._2.toArray).toArray
+        val n = ids.length
+        (0 until n).iterator.flatMap { i =>
+          ((i + 1) until n).iterator.flatMap { j =>
+            // emitted by an earlier band already?
+            var earlier = false
+            var b = 0
+            while (b < band && !earlier) {
+              var r = 0
+              var eq = true
+              while (r < rpb && eq) {
+                if (sg(i)(b * rpb + r) != sg(j)(b * rpb + r)) eq = false
+                r += 1
+              }
+              if (eq) earlier = true
+              b += 1
+            }
+            if (earlier) Iterator.empty
+            else {
+              val est = MinHash.estJaccard(sg(i), sg(j))
+              if (est >= minEst) Iterator.single((ids(i), ids(j), est))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "est_jaccard")
+      // first-band emission makes pairs unique already; the grouping stays
+      // as a cheap guard for band-hash collisions and capped buckets
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
@@ -202,7 +229,7 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 100000): DataFrame = {
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
     val fpUdf = udf((t: String) => SimHash.fingerprint(t))
@@ -222,25 +249,40 @@ object Dedup {
         .as("members"))
       .filter(size(col("members")) > 1)
 
-    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row], maxD: Int) => {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-      var i = 0
-      while (i < members.size) {
-        var j = i + 1
-        while (j < members.size) {
-          val d = SimHash.hamming(members(i).getLong(1), members(j).getLong(1))
-          if (d <= maxD) out += ((members(i).getLong(0), members(j).getLong(0), d))
-          j += 1
-        }
-        i += 1
-      }
-      out.toSeq
-    })
-
+    // lazy pair iterator with first-matching-block dedup (a qualifying
+    // pair is emitted only by the lowest block whose value it shares) —
+    // memory bounded by the member list, no C(k,2) arrays
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = width
+    val maxD = maxDist
     grouped
-      .select(explode(pairUdf(col("members"), lit(maxDist))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
-        col("p._3").as("hamming"))
+      .select(col("blk"), col("members"))
+      .as[(Int, Seq[(Long, Long)])]
+      .flatMap { case (blk, members) =>
+        val ids = members.iterator.map(_._1).toArray
+        val fp = members.iterator.map(_._2).toArray
+        val mask = (1L << w) - 1
+        val n = ids.length
+        (0 until n).iterator.flatMap { i =>
+          ((i + 1) until n).iterator.flatMap { j =>
+            var earlier = false
+            var b = 0
+            while (b < blk && !earlier) {
+              if (((fp(i) >>> (b * w)) & mask) == ((fp(j) >>> (b * w)) & mask))
+                earlier = true
+              b += 1
+            }
+            if (earlier) Iterator.empty
+            else {
+              val d = SimHash.hamming(fp(i), fp(j))
+              if (d <= maxD) Iterator.single((ids(i), ids(j), d))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "hamming")
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
@@ -258,7 +300,7 @@ object Dedup {
   def candidatePairs(
       df: DataFrame, textCol: String, idCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int,
-      seed: Long, maxBucketSize: Int): DataFrame = {
+      seed: Long, maxBucketSize: Int = 100000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigUdf = udf((t: String) =>
       MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed))
@@ -275,15 +317,19 @@ object Dedup {
       .groupBy("band", "bh")
       .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucketSize).as("ids"))
       .filter(size(col("ids")) > 1)
-    val n = size(col("ids"))
-    // all (i < j) pairs of the sorted bucket ids; `ids` is a real attribute
-    // so the nested lambdas don't re-evaluate anything per element
-    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
-      transform(slice(col("ids"), i + 2, greatest(n - i - 1, lit(0))),
-        b => struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b")))))
+    // lazy pair iterator, NOT a materialized pair array: memory stays
+    // bounded by the member list even for C(k,2)-sized outputs
+    val spark = df.sparkSession
+    import spark.implicits._
     grouped
-      .select(explode(pairs).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        (0 until a.length).iterator.flatMap(i =>
+          ((i + 1) until a.length).iterator.map(j => (a(i), a(j))))
+      }
+      .toDF("id_a", "id_b")
       .distinct()
   }
 
@@ -314,7 +360,7 @@ object Dedup {
   def neardupVerified(
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double, bands: Int = 24, rowsPerBand: Int = 6,
-      seed: Long = 42L, maxBucketSize: Int = 1000,
+      seed: Long = 42L, maxBucketSize: Int = 100000,
       blockCol: Option[String] = None): DataFrame = {
     val cands = minhashLsh(df, textCol, idCol, bands, rowsPerBand,
       shingleK = 1, seed = seed, minEst = math.max(0.0, minJaccard - 0.2),

@@ -1,0 +1,34 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import vigil.dedup.Dedup
+
+/** Isolates why LSH-verified near-dup recall drops at larger scale:
+  * bucket cap, estimate pre-filter, or shingle-vs-verify tokenization.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def count(label: String)(n: => Long): Unit = println(f"$label%-48s $n")
+
+    count("verified pairs (default cap 100k)")(
+      Dedup.neardupVerified(docs, "text", "doc_id", 0.9).count())
+    count("verified pairs (cap 1000 — r2 regression shape)")(
+      Dedup.neardupVerified(docs, "text", "doc_id", 0.9,
+        maxBucketSize = 1000).count())
+    // brute-force truth for the recall ratio (O(n²), test scales only)
+    count("brute-force truth")(
+      Dedup.jaccardPairs(docs.withColumn("g", lit(1)), "text", "doc_id",
+        "g", 0.9).count())
+    spark.stop()
+  }
+}
