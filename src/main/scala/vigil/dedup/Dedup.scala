@@ -92,6 +92,25 @@ object Dedup {
       while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
       same.toDouble / a.length
     }
+
+    /** estJaccard with a threshold early-exit: returns the exact estimate
+      * when it is ≥ minEst, and a negative sentinel as soon as the match
+      * count provably cannot reach the threshold — on mid-similarity
+      * pairs (the candidate bulk on dense corpora) this bails after a
+      * fraction of the signature with the emitted values unchanged.
+      */
+    def estJaccardAtLeast(a: Array[Long], b: Array[Long], minEst: Double): Double = {
+      val n = a.length
+      val needed = math.ceil(minEst * n).toInt
+      var same = 0
+      var i = 0
+      while (i < n) {
+        if (a(i) == b(i)) same += 1
+        if (same + (n - 1 - i) < needed) return -1.0
+        i += 1
+      }
+      same.toDouble / n
+    }
   }
 
   /** (hi·2^64 + lo) mod (2^61 - 1). */
@@ -114,10 +133,11 @@ object Dedup {
     * array: a k-member near-dup cluster has C(k,2) pairs, and
     * materializing them per bucket OOMs executors once clusters reach a
     * few thousand members (memory is now bounded by the member list, not
-    * the pair count). Each pair is estimated ONCE, in its first colliding
-    * band — later bands detect the earlier collision by comparing the
-    * band slices (cheap) and skip, removing the ×bands duplicate-estimate
-    * work on dense corpora. `maxBucketSize` remains a safety valve for
+    * the pair count). Pairs are emitted from EVERY colliding band and
+    * deduplicated by the final grouping — a first-colliding-band skip
+    * would be cheaper but is unsound under bucket caps (a pair sliced out
+    * of its first band's bucket would be skipped by all later bands and
+    * silently lost). `maxBucketSize` remains a safety valve for
     * degenerate buckets (e.g. thousands of byte-identical docs, where
     * exact dedup is the right tool and all-pairs output is intractable by
     * construction); within the cap the output is exact.
@@ -154,41 +174,22 @@ object Dedup {
 
     val spark = df.sparkSession
     import spark.implicits._
-    val rpb = rowsPerBand
     grouped
-      .select(col("band"), col("members"))
-      .as[(Int, Seq[(Long, Seq[Long])])]
-      .flatMap { case (band, members) =>
+      .select(col("members"))
+      .as[Seq[(Long, Seq[Long])]]
+      .flatMap { members =>
         val ids = members.iterator.map(_._1).toArray
         val sg = members.iterator.map(_._2.toArray).toArray
         val n = ids.length
         (0 until n).iterator.flatMap { i =>
           ((i + 1) until n).iterator.flatMap { j =>
-            // emitted by an earlier band already?
-            var earlier = false
-            var b = 0
-            while (b < band && !earlier) {
-              var r = 0
-              var eq = true
-              while (r < rpb && eq) {
-                if (sg(i)(b * rpb + r) != sg(j)(b * rpb + r)) eq = false
-                r += 1
-              }
-              if (eq) earlier = true
-              b += 1
-            }
-            if (earlier) Iterator.empty
-            else {
-              val est = MinHash.estJaccard(sg(i), sg(j))
-              if (est >= minEst) Iterator.single((ids(i), ids(j), est))
-              else Iterator.empty
-            }
+            val est = MinHash.estJaccardAtLeast(sg(i), sg(j), minEst)
+            if (est >= minEst) Iterator.single((ids(i), ids(j), est))
+            else Iterator.empty
           }
         }
       }
       .toDF("id_a", "id_b", "est_jaccard")
-      // first-band emission makes pairs unique already; the grouping stays
-      // as a cheap guard for band-hash collisions and capped buckets
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
@@ -249,36 +250,25 @@ object Dedup {
         .as("members"))
       .filter(size(col("members")) > 1)
 
-    // lazy pair iterator with first-matching-block dedup (a qualifying
-    // pair is emitted only by the lowest block whose value it shares) —
-    // memory bounded by the member list, no C(k,2) arrays
+    // lazy pair iterator — memory bounded by the member list, no C(k,2)
+    // arrays. Every matching block emits; the grouping deduplicates (a
+    // first-matching-block skip would lose pairs sliced out of an earlier
+    // block's capped bucket).
     val spark = df.sparkSession
     import spark.implicits._
-    val w = width
     val maxD = maxDist
     grouped
-      .select(col("blk"), col("members"))
-      .as[(Int, Seq[(Long, Long)])]
-      .flatMap { case (blk, members) =>
+      .select(col("members"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { members =>
         val ids = members.iterator.map(_._1).toArray
         val fp = members.iterator.map(_._2).toArray
-        val mask = (1L << w) - 1
         val n = ids.length
         (0 until n).iterator.flatMap { i =>
           ((i + 1) until n).iterator.flatMap { j =>
-            var earlier = false
-            var b = 0
-            while (b < blk && !earlier) {
-              if (((fp(i) >>> (b * w)) & mask) == ((fp(j) >>> (b * w)) & mask))
-                earlier = true
-              b += 1
-            }
-            if (earlier) Iterator.empty
-            else {
-              val d = SimHash.hamming(fp(i), fp(j))
-              if (d <= maxD) Iterator.single((ids(i), ids(j), d))
-              else Iterator.empty
-            }
+            val d = SimHash.hamming(fp(i), fp(j))
+            if (d <= maxD) Iterator.single((ids(i), ids(j), d))
+            else Iterator.empty
           }
         }
       }

@@ -153,6 +153,7 @@ object Media {
     * blocks as "frames"); a real demuxer slots into the same shape.
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import spark.implicits._
     media.filter(col("kind") === "video")
       .select("media_id", "payload").as[(Long, Array[Byte])]

@@ -7,9 +7,10 @@ import vigil.{Decide, Synth}
   *
   * Runs the flagship keep+scrub pipeline over a synthesized corpus at the
   * parallelism given by SPARK_GRAFT_CPUS, printing one JSON line with
-  * turns/sec. The driver-side scripts/scaling_bench.sh runs this at
-  * local[8] and local[32] on the SAME corpus and computes
-  * eff = (thr_32 / thr_8) / 4 for BENCH/BASELINE.md.
+  * turns/sec. scripts/scaling_bench.sh drives this via spark-submit at
+  * local-cluster[1,8,12g] (N = 1 executor) and local-cluster[4,8,12g]
+  * (4N = 4 executor JVMs) on the SAME corpus and reports per-pair
+  * eff = (thr_4N / thr_N) / 4 for BENCH/BASELINE.md.
   *
   * Args: [nConvs] (default 30000; ~150k turns with the default tail cap).
   */
