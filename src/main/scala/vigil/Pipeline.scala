@@ -147,7 +147,8 @@ object Decide {
     * the scored frame instead of the aggregate+self-join, so the expensive
     * narrow scoring stage runs EXACTLY ONCE with no cache or materialized
     * temp table (decide()'s self-join recomputes it; DecideCached persists
-    * it). Equality-tested against decide() in DecideWindowedSpec.
+    * it). Equality-tested against decide() in PipelineSpec
+    * ("decideWindowed equals decide").
     *
     * Shape: one wide exchange on conv_id (the explicit repartition also
     * satisfies the (conv_id, lang) window's clustering, so both windows
@@ -270,13 +271,19 @@ object Pipeline {
     val scored = Decide.scoreTurns(turns, cfg)
     TableIO.writeScored(spark, scored, path, snapshotId, nBuckets)
 
-    val pruned = TableIO.readScored(spark, path)
+    // both re-reads are snapshot-scoped: earlier snapshots persist under
+    // $path/data (dynamic partition overwrite keeps them), so an unscoped
+    // read would fold THEIR turns into this run's conversation decisions
+    // (wrong majority_lang/pii_density) and duplicate output rows. The
+    // filter is a partition-directory prune (snapshot is a partition
+    // column), not a data scan.
+    val pruned = TableIO.readScored(spark, path, snapshotId)
       .select("conv_id", "turn_idx", "lang", "contem_pii", "toxic")
     val conv = Decide.convDecisions(pruned, cfg)
     conv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/conv")
 
-    TableIO.readScored(spark, path)
+    TableIO.readScored(spark, path, snapshotId)
       .join(spark.read.parquet(s"$path/conv")
         .select("conv_id", "majority_lang", "pii_density", "drop_conversation"),
         Seq("conv_id"))

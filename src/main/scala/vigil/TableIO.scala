@@ -104,6 +104,14 @@ object TableIO {
   def readScored(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/data")
 
+  /** Snapshot-scoped read: partition-prunes to ONE snapshot's directories.
+    * [[Pipeline.run]] must use this — the unscoped read returns every
+    * snapshot ever written (asserted in TableIOEvalSpec), which would
+    * double-count prior snapshots in conversation aggregates.
+    */
+  def readScored(spark: SparkSession, path: String, snapshotId: String): DataFrame =
+    readScored(spark, path).filter(col("snapshot") === snapshotId)
+
   /** Catalog-registered bucketed table of scored turns: `bucketBy(conv_id)`
     * records the hash-bucket layout in the catalog, so every later
     * conv_id-keyed aggregation or join reads co-located buckets and plans

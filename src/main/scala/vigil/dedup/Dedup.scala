@@ -52,8 +52,11 @@ object Dedup {
       })
 
     def shingles(text: String, k: Int): Set[Long] = {
+      // single-space split (not \s+) so candidate tokenization is EXACTLY
+      // the verifier's split(lower(text), " ") — a corpus with tab/newline
+      // whitespace tokenizes identically in both stages (r2 advice)
       val words =
-        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
       if (words.length < k) {
         if (words.isEmpty) Set.empty
         else Set(scala.util.hashing.MurmurHash3.stringHash(words.mkString(" ")).toLong)
@@ -101,7 +104,10 @@ object Dedup {
       */
     def estJaccardAtLeast(a: Array[Long], b: Array[Long], minEst: Double): Double = {
       val n = a.length
-      val needed = math.ceil(minEst * n).toInt
+      // epsilon guard: when minEst*n is an exact integer in reals but the
+      // double product rounds up (0.8*145 → 116.0000000000000064), a pair
+      // exactly at threshold must NOT be dropped by ceil
+      val needed = math.ceil(minEst * n - 1e-9).toInt
       var same = 0
       var i = 0
       while (i < n) {
@@ -110,6 +116,25 @@ object Dedup {
         i += 1
       }
       same.toDouble / n
+    }
+
+    /** Bucket key of band `band`: FNV-style fold of that band's signature
+      * slice. Computed in plain Scala (not a Catalyst hash expression) so
+      * the in-bucket pair loop can recompute ANY band's key from the full
+      * signature — the capped-bucket lookup behind the sound cross-band
+      * skip in [[Dedup.minhashLsh]] depends on that.
+      */
+    def bandHash(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
+      var h = 0xcbf29ce484222325L ^ band.toLong
+      var i = band * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) {
+        h ^= sig(i)
+        h *= 0x100000001b3L
+        h ^= (h >>> 33)
+        i += 1
+      }
+      h
     }
   }
 
@@ -133,14 +158,30 @@ object Dedup {
     * array: a k-member near-dup cluster has C(k,2) pairs, and
     * materializing them per bucket OOMs executors once clusters reach a
     * few thousand members (memory is now bounded by the member list, not
-    * the pair count). Pairs are emitted from EVERY colliding band and
-    * deduplicated by the final grouping — a first-colliding-band skip
-    * would be cheaper but is unsound under bucket caps (a pair sliced out
-    * of its first band's bucket would be skipped by all later bands and
-    * silently lost). `maxBucketSize` remains a safety valve for
+    * the pair count). `maxBucketSize` remains a safety valve for
     * degenerate buckets (e.g. thousands of byte-identical docs, where
     * exact dedup is the right tool and all-pairs output is intractable by
     * construction); within the cap the output is exact.
+    *
+    * Cross-band skip (sound under caps): a true near-dup pair collides in
+    * ~every band, so emitting from every colliding band re-runs the
+    * 144-element estimator up to ×bands per pair. Band b now skips a pair
+    * when an EARLIER band's signature slices match AND that band's bucket
+    * was not capped — the earlier band provably holds both members and
+    * emits the pair itself. A naive first-colliding-band skip (tried and
+    * removed in r2) is unsound exactly when the earlier bucket WAS capped
+    * (the pair may have been sliced out of it); the capped-key set makes
+    * the skip exact. Capped keys come from a cheap cardinality pre-pass
+    * (one extra narrow signature pass + a shuffle of (band,bh,blk) keys
+    * only); the collect is bounded because capped buckets are the rare
+    * degenerate case the cap exists for. At production scale, persist the
+    * input upstream if the double signature pass matters; on dense corpora
+    * the skip saves far more than the pre-pass costs (227 s → see
+    * BENCH/BASELINE.md round 3).
+    *
+    * `blockCol`: optional blocking key folded INTO the bucket key — only
+    * same-block pairs are candidates, buckets get strictly smaller, and
+    * the LSH shuffle is block-partitioned instead of global.
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ minEst.
     */
@@ -148,49 +189,107 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 8, shingleK: Int = 3,
       seed: Long = 42L, minEst: Double = 0.8,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000,
+      blockCol: Option[String] = None,
+      crossBandSkip: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigUdf = udf((t: String) =>
-      MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed))
-    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
-
-    // explode signature into band rows: (band_idx, hash(slice), id, sig)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
-          .as("bh"))
+    val rpb = rowsPerBand
+    val nb = bands
+    val sigUdf = udf { (t: String) =>
+      val sig = MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed)
+      (sig, Array.tabulate(nb)(b => MinHash.bandHash(sig, b, rpb)))
     }
-    val exploded = sigs
-      .withColumn("bandrow", explode(array(bandCols: _*)))
-      .select(col("bandrow.band").as("band"), col("bandrow.bh").as("bh"),
-        col("id"), col("sig"))
+    val blk = blockCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    val sigs = df.select(col(idCol).as("id"), blk.as("blk"),
+      sigUdf(col(textCol)).as("s"))
+    val exploded = sigs.select(col("id"), col("blk"), col("s._1").as("sig"),
+      posexplode(col("s._2")).as(Seq("band", "bh")))
+
+    // capped-bucket keys: cardinality-only pre-pass (no member collection)
+    val spark = df.sparkSession
+    val capped: Set[(Int, Long, String)] =
+      if (!crossBandSkip) Set.empty
+      else exploded
+        .groupBy("band", "bh", "blk").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > maxBucketSize)
+        .select("band", "bh", "blk")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val cappedB = spark.sparkContext.broadcast(capped)
+    val doSkip = crossBandSkip
 
     val grouped = exploded
-      .groupBy("band", "bh")
+      .groupBy("band", "bh", "blk")
       .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))), 1, maxBucketSize)
         .as("members"))
       .filter(size(col("members")) > 1)
 
-    val spark = df.sparkSession
     import spark.implicits._
     grouped
-      .select(col("members"))
-      .as[Seq[(Long, Seq[Long])]]
-      .flatMap { members =>
+      .select(col("band"), col("blk"), col("members"))
+      .as[(Int, String, Seq[(Long, Seq[Long])])]
+      .flatMap { case (band, blkv, members) =>
+        val cap = cappedB.value
+        val noCaps = cap.isEmpty
         val ids = members.iterator.map(_._1).toArray
         val sg = members.iterator.map(_._2.toArray).toArray
         val n = ids.length
         (0 until n).iterator.flatMap { i =>
           ((i + 1) until n).iterator.flatMap { j =>
-            val est = MinHash.estJaccardAtLeast(sg(i), sg(j), minEst)
-            if (est >= minEst) Iterator.single((ids(i), ids(j), est))
-            else Iterator.empty
+            val a = sg(i); val c = sg(j)
+            // cross-band skip: an earlier matching band emits this pair
+            // unless its bucket was capped (pair may be sliced out there)
+            var skip = false
+            if (doSkip) {
+              var b = 0
+              while (!skip && b < band) {
+                var r = b * rpb
+                val end = r + rpb
+                var eq = true
+                while (eq && r < end) { if (a(r) != c(r)) eq = false; r += 1 }
+                if (eq && (noCaps ||
+                    !cap.contains((b, MinHash.bandHash(a, b, rpb), blkv))))
+                  skip = true
+                b += 1
+              }
+            }
+            if (skip) Iterator.empty
+            else {
+              val est = MinHash.estJaccardAtLeast(a, c, minEst)
+              if (est >= minEst) Iterator.single((ids(i), ids(j), est))
+              else Iterator.empty
+            }
           }
         }
       }
       .toDF("id_a", "id_b", "est_jaccard")
+      // dedup across bands: with the skip active a pair is emitted once
+      // unless an earlier matching band was capped; without it, once per
+      // colliding band — either way the grouping collapses duplicates
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Diagnostic: the largest LSH bucket population for a given config.
+    * [[minhashLsh]]'s exactness contract is "exact while no bucket exceeds
+    * maxBucketSize" — DedupAnnSpec gates `lshMaxBucket ≤ cap` on the real
+    * sf0.1 corpus so a density change that silently trips the cap (the r2
+    * 61%-recall class) fails the suite instead of shipping.
+    */
+  def lshMaxBucket(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int, rowsPerBand: Int, shingleK: Int,
+      seed: Long = 42L, blockCol: Option[String] = None): Long = {
+    val numHashes = bands * rowsPerBand
+    val rpb = rowsPerBand
+    val nb = bands
+    val sigUdf = udf { (t: String) =>
+      val sig = MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed)
+      Array.tabulate(nb)(b => MinHash.bandHash(sig, b, rpb))
+    }
+    val blk = blockCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    df.select(blk.as("blk"), sigUdf(col(textCol)).as("bhs"))
+      .select(col("blk"), posexplode(col("bhs")).as(Seq("band", "bh")))
+      .groupBy("band", "bh", "blk").agg(count(lit(1)).as("cnt"))
+      .agg(max("cnt")).collect()(0).getLong(0)
   }
 
   // ---------- SimHash -----------------------------------------------------
@@ -343,9 +442,15 @@ object Dedup {
     * dropped inside the bucket UDF, before it ever becomes shuffle rows
     * (on the dense test corpus that beats id-only [[candidatePairs]] 2×).
     *
-    * `blockCol`: optional blocking key — only pairs agreeing on it are
-    * kept (applied POST-verification so the LSH shuffle stays global;
-    * equivalent to blocking the brute force).
+    * `blockCol`: optional blocking key, folded into the LSH bucket key
+    * (same-block candidates only — strictly smaller buckets and a
+    * block-partitioned shuffle; equivalent to blocking the brute force).
+    *
+    * NOTE on oracle parity: the LSH path is probabilistic (miss ~1.3e-8
+    * per pair at J = 0.9 given the band math above, plus the 8σ prefilter
+    * tail) — exact on the committed fixtures and verified at sf0.001 and
+    * sf0.1 (DedupAnnSpec exactness gates); regenerating the corpus
+    * requires re-running the sf0.1 gate / vigil.tools.RecallProbe.
     */
   def neardupVerified(
       df: DataFrame, textCol: String, idCol: String,
@@ -354,24 +459,18 @@ object Dedup {
       blockCol: Option[String] = None): DataFrame = {
     val cands = minhashLsh(df, textCol, idCol, bands, rowsPerBand,
       shingleK = 1, seed = seed, minEst = math.max(0.0, minJaccard - 0.2),
-      maxBucketSize = maxBucketSize)
+      maxBucketSize = maxBucketSize, blockCol = blockCol)
       .select("id_a", "id_b")
     // verifier tokenization matches jaccardPairs (and its DuckDB oracle):
-    // single-space split of the lowercased text, distinct
-    val blkCols = blockCol.toSeq.map(c => col(c).as("blk"))
-    val toks = df.select(Seq(
+    // single-space split of the lowercased text, distinct — and since the
+    // r3 shingle change, the CANDIDATE tokenization is the same split
+    val toks = df.select(
       col(idCol).as("id"),
       array_distinct(filter(split(lower(col(textCol)), " "), w => length(w) > 0))
-        .as("toks")) ++ blkCols: _*)
-    def side(suffix: String) = toks.select(Seq(
-      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix")) ++
-      blockCol.toSeq.map(_ => col("blk").as(s"blk_$suffix")): _*)
-    val joined = cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
-    val blocked = blockCol match {
-      case Some(_) => joined.filter(col("blk_a") === col("blk_b"))
-      case None => joined
-    }
-    blocked
+        .as("toks"))
+    def side(suffix: String) = toks.select(
+      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"))
+    cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
         (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /

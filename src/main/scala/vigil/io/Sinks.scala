@@ -67,11 +67,13 @@ object Sinks {
       .mkString("{", ", ", "}")
     // reference rounds to 1 decimal with Python round() = HALF_EVEN
     // (main.py:268); NER is contractually disabled in this engine (the
-    // reference's own --no-ner contract), hence the null modelo_ner
-    val pct =
-      if (total == 0) BigDecimal(0.0)
+    // reference's own --no-ner contract), hence the null modelo_ner.
+    // Empty frame: the reference's round() branch is not taken and the
+    // literal int 0 is serialized (no decimal point) — match byte-exactly
+    val pct: String =
+      if (total == 0) "0"
       else BigDecimal(comPii * 100.0 / total)
-        .setScale(1, scala.math.BigDecimal.RoundingMode.HALF_EVEN)
+        .setScale(1, scala.math.BigDecimal.RoundingMode.HALF_EVEN).toString
     val meta =
       s"""{"metadata": {"versao": "$version", "timestamp": "$timestamp",
          |"arquivo_entrada": "$inputName",

@@ -46,6 +46,38 @@ object Media {
       Some((be32(16), be32(20)))
     }
 
+    /** JPEG: SOI (FFD8) then marker segments; the first SOF0/1/2 frame
+      * header (FFC0/C1/C2) carries height (big-endian u16 at segment
+      * offset +5) and width (+7). Other segments are skipped by their
+      * 2-byte length; standalone markers (RSTn/TEM/EOI) have none.
+      */
+    def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+      if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+      var off = 2
+      while (off + 4 <= p.length) {
+        if ((p(off) & 0xff) != 0xff) return None // desynced marker stream
+        val marker = p(off + 1) & 0xff
+        if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          off += 2 // standalone marker, no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // EOI / start-of-scan before any SOF: no dims
+        } else {
+          val len = ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+          // corrupt-container guard (same class as the WAV chunk walk): a
+          // length that cannot fit the payload would stall or overrun
+          if (len < 2 || off + 2 + len > p.length) return None
+          if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+            if (len < 7 || off + 9 > p.length) return None
+            val h = ((p(off + 5) & 0xff) << 8) | (p(off + 6) & 0xff)
+            val w = ((p(off + 7) & 0xff) << 8) | (p(off + 8) & 0xff)
+            return Some((w, h))
+          }
+          off += 2 + len
+        }
+      }
+      None
+    }
+
     /** WAV: RIFF/WAVE container; walk chunks for "fmt " (byte rate at
       * chunk offset +8, i.e. file offset +16) and "data" (payload size);
       * duration = data bytes / byte rate. Chunks are word-aligned.
@@ -131,6 +163,7 @@ object Media {
           kind match {
             case "image" =>
               val (w, h) = HeaderCodec.pngDims(payload)
+                .orElse(HeaderCodec.jpegDims(payload))
                 .getOrElse(StubCodec.imageDims(payload))
               (id, kind, w, h, 0L, 0, payload.length.toLong)
             case "audio" =>

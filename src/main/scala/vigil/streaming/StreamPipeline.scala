@@ -32,7 +32,37 @@ object StreamPipeline {
   def scoreStream(turns: DataFrame, cfg: Decide.Config = Decide.Default): DataFrame =
     Decide.scoreTurns(turns, cfg)
 
-  /** Stateful conversation decisions over a scored stream (Update mode). */
+  private def fold(s0: ConvState,
+      turns: Iterator[(String, String, Int, Int)]): ConvState = {
+    var s = s0
+    turns.foreach { case (_, lang, pii, tox) =>
+      s = ConvState(
+        s.n + 1, s.pii + pii, s.tox + tox,
+        s.langCounts.updated(lang, s.langCounts.getOrElse(lang, 0L) + 1))
+    }
+    s
+  }
+
+  private def decision(convId: String, s: ConvState,
+      cfg: Decide.Config): ConvUpdate = {
+    val (mLang, mCnt) =
+      if (s.langCounts.isEmpty) ("und", 0L)
+      else s.langCounts.maxBy { case (l, c) => (c, l) }
+    val density = if (s.n == 0) 0.0 else s.pii.toDouble / s.n
+    val drop =
+      (mLang != cfg.targetLang &&
+        s.n > 0 && mCnt.toDouble / s.n >= cfg.minMajorityFrac) ||
+        density > cfg.maxConvPiiDensity
+    ConvUpdate(convId, s.n, mLang, density, drop)
+  }
+
+  /** Stateful conversation decisions over a scored stream (Update mode),
+    * NO state eviction: state lives for every conversation ever seen.
+    * Right for bounded replays and tests (any late turn is still folded);
+    * WRONG as the always-on production shape at transcript scale — use
+    * [[convDecisionsStreamEvicting]] there, which bounds the state store
+    * to conversations active within the watermark horizon.
+    */
   def convDecisionsStream(
       scored: DataFrame, cfg: Decide.Config = Decide.Default): Dataset[ConvUpdate] = {
     val spark = scored.sparkSession
@@ -44,22 +74,58 @@ object StreamPipeline {
       .groupByKey(_._1)
       .mapGroupsWithState[ConvState, ConvUpdate](GroupStateTimeout.NoTimeout) {
         case (convId, turns, state: GroupState[ConvState]) =>
-          var s = state.getOption.getOrElse(ConvState(0, 0, 0, Map.empty))
-          turns.foreach { case (_, lang, pii, tox) =>
-            s = ConvState(
-              s.n + 1, s.pii + pii, s.tox + tox,
-              s.langCounts.updated(lang, s.langCounts.getOrElse(lang, 0L) + 1))
-          }
+          val s = fold(state.getOption.getOrElse(ConvState(0, 0, 0, Map.empty)), turns)
           state.update(s)
-          val (mLang, mCnt) =
-            if (s.langCounts.isEmpty) ("und", 0L)
-            else s.langCounts.maxBy { case (l, c) => (c, l) }
-          val density = if (s.n == 0) 0.0 else s.pii.toDouble / s.n
-          val drop =
-            (mLang != cfg.targetLang &&
-              s.n > 0 && mCnt.toDouble / s.n >= cfg.minMajorityFrac) ||
-              density > cfg.maxConvPiiDensity
-          ConvUpdate(convId, s.n, mLang, density, drop)
+          decision(convId, s, cfg)
+      }
+  }
+
+  /** The production shape of [[convDecisionsStream]]: event-time state
+    * eviction keyed to the watermark. A conversation idle past
+    * max(last event time, watermark) + idleGapMs is finalized — its
+    * decision is emitted one last time and its state REMOVED, so the
+    * state store scales with conversations live inside the horizon, not
+    * with every conversation ever seen (the r2 `weak` finding: NoTimeout
+    * state grows unboundedly at 10^12-turn scale). A turn arriving after
+    * eviction (but above the watermark) re-keys the conversation with
+    * FRESH state — the documented trade-off of bounded state; rows below
+    * the watermark are dropped by the engine before the stateful
+    * operator, exactly as in [[piiRateWindows]].
+    */
+  def convDecisionsStreamEvicting(
+      scored: DataFrame, cfg: Decide.Config = Decide.Default,
+      watermarkDelay: String = "10 minutes",
+      idleGapMs: Long = 30L * 60 * 1000): Dataset[ConvUpdate] = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .withWatermark("ts", watermarkDelay)
+      .select(col("conv_id"), col("lang"),
+        col("contem_pii").cast("int"), col("toxic").cast("int"), col("ts"))
+      .as[(String, String, Int, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ConvState, ConvUpdate](GroupStateTimeout.EventTimeTimeout) {
+        case (convId, turns, state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            decision(convId, s, cfg) // final emission; state evicted
+          } else {
+            var maxTs = Long.MinValue
+            val s = fold(
+              state.getOption.getOrElse(ConvState(0, 0, 0, Map.empty)),
+              turns.map { case (cid, lang, pii, tox, ts) =>
+                maxTs = math.max(maxTs, ts.getTime)
+                (cid, lang, pii, tox)
+              })
+            state.update(s)
+            // idle horizon rides the LATER of last-seen event time and the
+            // current watermark (setTimeoutTimestamp must exceed the
+            // watermark or the engine rejects it)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs()) + idleGapMs)
+            decision(convId, s, cfg)
+          }
       }
   }
 

@@ -1,0 +1,35 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times individual SparkEntry queries exactly as graft.Bench does
+  * (noop-materialized, same session config), without running the full
+  * bench. Usage: QueryTime <sfDir> <queryName> [queryName ...] [reps=N]
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.collectFirst { case s if s.startsWith("reps=") =>
+      s.stripPrefix("reps=").toInt }.getOrElse(1)
+    val names = args.drop(1).filterNot(_.startsWith("reps="))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-24s ${times.min}%.2f s (min of $reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

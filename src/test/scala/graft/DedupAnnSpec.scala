@@ -152,6 +152,75 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("estJaccardAtLeast keeps a pair exactly at the threshold (ceil boundary)") {
+    // minEst*n an exact integer in reals but rounded up in double:
+    // 0.8*145 = 116.0000000000000064 → naive ceil demands 117 and drops a
+    // pair with exactly 116/145 matches (r2 advice; epsilon guard)
+    val n = 145
+    val a = Array.tabulate(n)(i => i.toLong)
+    val b = Array.tabulate(n)(i => if (i < 116) i.toLong else -1L - i)
+    val est = Dedup.MinHash.estJaccardAtLeast(a, b, 0.8)
+    assert(est >= 0.8, s"boundary pair dropped: est=$est (116/145=${116.0 / 145})")
+    assert(est == 116.0 / 145)
+  }
+
+  test("cross-band skip is exact: skip-on equals skip-off, with and without caps") {
+    // the r2 lesson: a first-colliding-band skip silently loses pairs
+    // sliced out of an earlier band's CAPPED bucket. The r3 capped-aware
+    // skip must emit the identical pair set as no-skip at ANY cap — under
+    // a tiny cap both modes lose the same (documented) sliced-out pairs,
+    // never different ones.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(cap: Int, skip: Boolean) =
+      Dedup.minhashLsh(docs, "text", "doc_id", bands = 24, rowsPerBand = 6,
+        shingleK = 1, minEst = 0.7, maxBucketSize = cap, crossBandSkip = skip)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (cap <- Seq(2, 8, 100000)) {
+      val on = pairs(cap, skip = true)
+      val off = pairs(cap, skip = false)
+      assert(on == off,
+        s"cap=$cap: skip-on ${on.size} pairs != skip-off ${off.size}; " +
+          s"missing=${(off -- on).take(3)} extra=${(on -- off).take(3)}")
+    }
+  }
+
+  test("sf0.1 density gate: no LSH bucket approaches the cap on real data") {
+    // the exactness contract is "exact while no bucket exceeds the cap" —
+    // the r2 regression (61% of true pairs silently dropped) was exactly
+    // a density/cap interaction invisible at sf0.01. Gate the real sf0.1
+    // corpus with 10× headroom so growth trips the suite before the cap.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val maxBucket = Dedup.lshMaxBucket(docs, "text", "doc_id",
+      bands = 24, rowsPerBand = 6, shingleK = 1)
+    assert(maxBucket * 10 <= 100000,
+      s"largest LSH bucket $maxBucket is within 10× of the 100k cap — " +
+        "neardupVerified exactness is at risk; re-run vigil.tools.RecallProbe")
+  }
+
+  test("sf0.1-equivalent density: neardupVerified equals brute force on big clusters") {
+    // constructed corpus with the sf0.1 cluster shape (hundreds of
+    // near-dup members per cluster — the density where the r2 cap bug
+    // lived), small enough for in-suite brute force
+    val words = (0 until 60).map(i => s"w$i")
+    val docsSeq = (0 until 4).flatMap { c =>
+      (0 until 120).map { m =>
+        val toks = words.updated(m % 60, s"c${c}m$m").mkString(" ")
+        ((c * 1000 + m).toLong, s"cluster$c $toks")
+      }
+    } ++ (0 until 100).map(i =>
+      ((9000 + i).toLong, (0 until 40).map(j => s"unique${i}_$j").mkString(" ")))
+    val docs = docsSeq.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = pairSet(docs.withColumn("g", lit(1)).transform(d =>
+      Dedup.jaccardPairs(d, "text", "doc_id", "g", 0.9)))
+    val fast = pairSet(Dedup.neardupVerified(docs, "text", "doc_id", 0.9))
+    assert(brute.size > 20000, s"vacuous density test: only ${brute.size} true pairs")
+    assert(fast == brute, s"${fast.size} vs ${brute.size}; " +
+      s"missing=${(brute -- fast).take(3)} extra=${(fast -- brute).take(3)}")
+  }
+
   test("neardupVerified equals brute-force jaccardPairs on real testdata") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =

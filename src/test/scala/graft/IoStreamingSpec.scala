@@ -251,4 +251,47 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(last.except(batch).isEmpty && batch.except(last).isEmpty,
       "post-restart conversation decisions must equal the batch decisions")
   }
+
+  test("streaming eviction: idle conversation state is dropped and re-keyed fresh") {
+    val srcDir = Files.createTempDirectory("vigil_evict_src").toString
+    def turn(ts: String, text: String) =
+      vigil.Turn("a", 0, "user", text, "", java.sql.Timestamp.valueOf(ts))
+    def write(rows: Seq[vigil.Turn]): Unit = {
+      import spark.implicits._
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val ok = "gostaria de saber os prazos do processo"
+    // A: conversation 'a' gets 2 turns at ~10:00
+    write(Seq(turn("2026-01-01 10:00:00", ok), turn("2026-01-01 10:01:00", ok)))
+
+    val schema = { import spark.implicits._; Seq(turn("2026-01-01 10:00:00", ok)).toDF().schema }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamPipeline
+      .convDecisionsStreamEvicting(StreamPipeline.scoreStream(stream, cfg), cfg,
+        watermarkDelay = "10 minutes", idleGapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("evict_stream")
+      .outputMode(OutputMode.Update).start()
+    q.processAllAvailable()
+    // B: unrelated conversation far in the future advances the watermark to
+    // 11:50 — past 'a''s idle horizon (10:01 + 30min), so 'a' is finalized
+    // and evicted in the trailing no-data micro-batch
+    write(Seq(turn("2026-01-01 12:00:00", ok).copy(conv_id = "b")))
+    q.processAllAvailable()
+    // C: a new turn for 'a' ABOVE the watermark must re-key with FRESH
+    // state (n_turns restarts at 1, not 3)
+    write(Seq(turn("2026-01-01 11:55:00", ok)))
+    q.processAllAvailable()
+    q.stop()
+
+    val aCounts = spark.table("evict_stream")
+      .filter(col("conv_id") === "a")
+      .select("n_turns").collect().map(_.getLong(0)).toSeq.sorted
+    assert(aCounts.contains(1L),
+      s"re-keyed arrival must restart from fresh state, got updates $aCounts")
+    assert(!aCounts.contains(3L),
+      s"evicted state must not be folded into the late re-key, got $aCounts")
+    assert(aCounts.count(_ == 2L) >= 2,
+      s"the timeout must re-emit the final decision on eviction, got $aCounts")
+  }
 }

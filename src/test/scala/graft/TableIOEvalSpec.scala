@@ -188,16 +188,37 @@ class TableIOEvalSpec extends AnyFunSuite {
     val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + fmt.length + data.length) ++
       "WAVE".getBytes("US-ASCII") ++ fmt ++ data
 
+    // minimal JPEG: SOI, APP0 (skipped by length), DQT (skipped), SOF0
+    // with height 333 / width 217, then EOI — exercises the segment walk
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array[Byte](0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++
+        payload
+    val sof0 = Array[Byte](8, // precision
+      (333 >> 8).toByte, (333 & 0xff).toByte, // height
+      (217 >> 8).toByte, (217 & 0xff).toByte, // width
+      3) // components
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, "JFIF ".getBytes("US-ASCII") ++ Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)) ++
+      seg(0xdb, new Array[Byte](65)) ++
+      seg(0xc0, sof0) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+
     assert(Media.HeaderCodec.pngDims(png).contains((640, 480)))
     assert(Media.HeaderCodec.wavDurationMs(wav).contains(2000L)) // 32000/16000
+    assert(Media.HeaderCodec.jpegDims(jpeg).contains((217, 333)))
     assert(Media.HeaderCodec.pngDims("not a png".getBytes).isEmpty)
     assert(Media.HeaderCodec.wavDurationMs("not a wav".getBytes).isEmpty)
+    assert(Media.HeaderCodec.jpegDims("not a jpeg".getBytes).isEmpty)
+    // truncated mid-segment: the corrupt-length guard must bail, not loop
+    assert(Media.HeaderCodec.jpegDims(jpeg.take(8)).isEmpty)
 
     // end to end through the Spark plumbing: real headers → true values
     val media = Seq(
       (0L, "image", png, "f", png.length.toLong),
       (1L, "audio", wav, "f", wav.length.toLong),
-      (2L, "image", "raw text".getBytes, "f", 8L) // falls back to stub
+      (2L, "image", "raw text".getBytes, "f", 8L), // falls back to stub
+      (3L, "image", jpeg, "f", jpeg.length.toLong)
     ).toDF("media_id", "kind", "payload", "source", "declared_len")
       .select(col("media_id"), col("kind"), col("payload"),
         struct(col("source"), col("declared_len")).as("meta"))
@@ -206,6 +227,27 @@ class TableIOEvalSpec extends AnyFunSuite {
     assert(f(1).getAs[Long]("duration_ms") == 2000L)
     val (sw, sh) = Media.StubCodec.imageDims("raw text".getBytes)
     assert(f(2).getAs[Int]("width") == sw && f(2).getAs[Int]("height") == sh)
+    assert(f(3).getAs[Int]("width") == 217 && f(3).getAs[Int]("height") == 333)
+  }
+
+  test("Pipeline.run is snapshot-scoped: a rerun does not fold prior snapshots") {
+    val dir = Files.createTempDirectory("vigil_snap_scope").toString
+    val cfg = Decide.Default.copy(targetLang = "pt")
+    val corpus = Synth.corpusDF(spark, 12)
+    val r1 = vigil.Pipeline.run(spark, corpus, dir, "snap-1", cfg)
+    val n1 = r1.count()
+    assert(n1 == corpus.count())
+    // rerun at the SAME path with a NEW snapshot id: prior snapshot's rows
+    // persist on disk (append semantics per snapshot) but must not leak
+    // into this run's conversation decisions or returned frame
+    val r2 = vigil.Pipeline.run(spark, corpus, dir, "snap-2", cfg)
+    assert(r2.count() == n1, "returned frame must cover ONLY the new snapshot")
+    val batch = Decide.convDecisions(Decide.scoreTurns(corpus, cfg), cfg)
+      .select("conv_id", "majority_lang", "pii_density", "drop_conversation")
+    val got = r2.select("conv_id", "majority_lang", "pii_density",
+      "drop_conversation").distinct()
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+      "conversation decisions must be computed from the current snapshot only")
   }
 
   test("J2 suffix merge + SQL function registration") {
