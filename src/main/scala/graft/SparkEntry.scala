@@ -60,6 +60,10 @@ object SparkEntry {
   private val PhoneRe = "\\(\\d{2}\\)\\s*\\d{4,5}-?\\d{4}"
   private val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
   private val CpfRe = "\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}"
+  // keyword-"detection" families for the review-banding slice (the
+  // documents corpus has no PII literals; these hit thousands of times)
+  private val KwARe = "spark|stream|scan"
+  private val KwBRe = "table|query"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- P6 keep/drop predicate shape (SQL-expressible slice) ------------
@@ -190,6 +194,46 @@ object SparkEntry {
     // --- H1-H6 review triage over the transcript corpus ------------------
     "q_review_triage" -> ((s, dir) => {
       Review.reviewTable(Decide.scoreTurns(transcripts(s, dir), PtCfg))
+    }),
+    // --- H1+W1+W2 oracle-paired slice: confidence banding, consolidation,
+    //     priority sort over SQL-derivable details (regexp-extracted
+    //     emails/CPFs; deterministic per-doc score spanning all 3 bands).
+    //     Hosts the REAL Review code: scoreBandReason + ReasonRank/
+    //     PriorityRank maps (human_review.py:241-290,486-516) -------------
+    "q_review_bands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      // detail source: keyword "detections" (the documents corpus carries
+      // no PII literals, so PII regexes would make the slice vacuous);
+      // the banding/consolidation/sort semantics under test are identical
+      def det(re: String, tipo: String) =
+        d.select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit(re), lit(0))).as("valor"))
+          .withColumn("tipo_pii", lit(tipo))
+      val items = det(KwARe, "kw_infra").unionByName(det(KwBRe, "kw_sql"))
+        // deterministic score sweeping 0.70–0.99 per (doc, valor):
+        // exercises score_baixo (<0.80, alta), score_medio ([0.80,0.95),
+        // baixa) AND the ≥0.95 high-confidence drop (not reviewed at all)
+        .withColumn("score",
+          round(lit(0.70) +
+            pmod(col("doc_id") + length(col("valor")), lit(30)) / lit(100.0), 2))
+        .withColumn("r", Review.scoreBandReason(col("score")))
+        .filter(col("r").isNotNull)
+        .withColumn("motivo", col("r.motivo"))
+        .withColumn("prioridade", col("r.prioridade"))
+      // W1 consolidation: one row per (doc, lower(valor)), smallest reason
+      // rank wins (repeated extractions of the same value collapse)
+      val w = Window.partitionBy(col("doc_id"), lower(col("valor")))
+        .orderBy(
+          coalesce(element_at(typedLit(Review.ReasonRank), col("motivo")), lit(99)).asc,
+          col("tipo_pii").asc, col("valor").asc)
+      items
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("doc_id", "tipo_pii", "valor", "score", "motivo", "prioridade")
+        // W2 export sort: alta → media → baixa, stable within priority
+        .orderBy(
+          coalesce(element_at(typedLit(Review.PriorityRank), col("prioridade")), lit(9)).asc,
+          col("doc_id").asc, col("tipo_pii").asc, col("valor").asc)
     }),
     // --- L4 toxicity lexicon ---------------------------------------------
     "q_toxicity" -> ((s, dir) => {
@@ -471,6 +515,39 @@ object SparkEntry {
            [CAST(event_id % 8 AS INT) + 1]))
            IN ('true','1','1.0','sim','yes','s','y','verdadeiro') AS b
          FROM events ORDER BY event_id""",
+    // H1 banding thresholds + W1 rank map + W2 priority order inlined as
+    // SQL constants (normative values: Review.Config / ReasonRank /
+    // PriorityRank); banding applies to the ROUNDED score on both sides
+    "q_review_bands" ->
+      s"""WITH det AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '$KwARe')) AS valor,
+             'kw_infra' AS tipo_pii FROM documents
+           UNION ALL
+           SELECT doc_id, unnest(regexp_extract_all(text, '$KwBRe')) AS valor,
+             'kw_sql' AS tipo_pii FROM documents),
+         banded AS (
+           SELECT doc_id, tipo_pii, valor,
+             round(0.70 + ((doc_id + len(valor)) % 30)/100.0, 2) AS score
+           FROM det),
+         reasons AS (
+           SELECT doc_id, tipo_pii, valor, score,
+             CASE WHEN score < 0.80 THEN 'score_baixo'
+                  WHEN score < 0.95 THEN 'score_medio' END AS motivo,
+             CASE WHEN score < 0.80 THEN 'alta'
+                  WHEN score < 0.95 THEN 'baixa' END AS prioridade
+           FROM banded WHERE score < 0.95),
+         cons AS (
+           SELECT doc_id, tipo_pii, valor, score, motivo, prioridade,
+             row_number() OVER (PARTITION BY doc_id, lower(valor) ORDER BY
+               (CASE motivo WHEN 'score_medio' THEN 5
+                 WHEN 'score_baixo' THEN 6 ELSE 99 END) ASC,
+               tipo_pii ASC, valor ASC) AS rn
+           FROM reasons)
+         SELECT doc_id, tipo_pii, valor, score, motivo, prioridade FROM cons
+         WHERE rn = 1
+         ORDER BY (CASE prioridade WHEN 'alta' THEN 0 WHEN 'media' THEN 1
+             WHEN 'baixa' THEN 2 ELSE 9 END) ASC,
+           doc_id ASC, tipo_pii ASC, valor ASC""",
     "q_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, source,
            list_distinct(list_filter(string_split(lower(text), ' '),

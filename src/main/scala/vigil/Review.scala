@@ -138,6 +138,18 @@ object Review {
   private def reasonStruct(motivo: Column, prioridade: Column): Column =
     struct(motivo.as("motivo"), prioridade.as("prioridade"))
 
+  /** H1 confidence banding as a (motivo, prioridade) struct, null when the
+    * score is high-confidence (≥ highConfidenceThreshold — such detections
+    * are NOT reviewed; human_review.py:305-312): score < low →
+    * score_baixo/alta, low ≤ score < high → score_medio/baixa. Shared by
+    * [[reviewTable]] and the oracle-paired q_review_bands slice.
+    */
+  def scoreBandReason(score: Column, cfg: Config = Default): Column =
+    when(score < cfg.lowConfidenceThreshold,
+      reasonStruct(lit("score_baixo"), lit("alta")))
+      .when(score < cfg.highConfidenceThreshold,
+        reasonStruct(lit("score_medio"), lit("baixa")))
+
   /** From a Decide.scoreTurns frame, produce the consolidated review table:
     * (conv_id, turn_idx, prioridade, tipo_pii, valor_detectado, score,
     * motivo, texto_trecho, explicacao), sorted alta→media→baixa, stable.
@@ -177,11 +189,9 @@ object Review {
     // score band first, then artistic (context + known artist), academic,
     // journalistic, public-official, legal, authorship
     val reasons = array(
-      when(col("score") < cfg.lowConfidenceThreshold,
-        reasonStruct(lit("score_baixo"), lit("alta"))),
-      when(col("score") >= cfg.lowConfidenceThreshold &&
-        col("score") < cfg.highConfidenceThreshold,
-        reasonStruct(lit("score_medio"), lit("baixa"))),
+      // the two score-band whens are mutually exclusive, so hosting them in
+      // one array slot keeps the filtered emission order identical
+      scoreBandReason(col("score"), cfg),
       when(isName && col("f_artistic"),
         reasonStruct(lit("contexto_artistico"), lit("alta"))),
       when(isName && knownArtist,
