@@ -19,14 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Cosine similarity of two float-array columns via built-ins. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
-  }
+  /** Cosine similarity of two vector columns (upcast to array<double>).
+    * One flat-loop Catalyst expression ([[vigil.CosineSimExpr]]) — the same
+    * sequential fold as the higher-order-function formulation it replaces
+    * (bit-identical, incl. DuckDB list_cosine_similarity hash-parity), but
+    * ~30 µs/pair cheaper: the HOF lambda interpreter re-entered per element
+    * and was 5.5 s of q_cosine_neardup's 9 s wall at sf0.1.
+    */
+  def cosine(a: Column, b: Column): Column = vigil.functions.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector (excluding self-match by
     * id). Queries should be a small bounded set — it is broadcast.
@@ -82,6 +82,31 @@ object Ann {
     math.max(minBands, math.min(maxBands, b))
   }
 
+  /** Smallest hamming budget m such that a pair at designCos disagrees on
+    * more than m of the totalBits signature bits with probability ≤
+    * targetMiss. Each hyperplane separates the pair independently with
+    * p = θ/π, so disagreements ~ Binomial(totalBits, p); walk the pmf until
+    * the remaining tail is ≤ targetMiss. Used by [[cosineNearDupPairs]] to
+    * prune in-bucket candidate pairs BEFORE the exact-cosine verify: a
+    * band collision conditions on ≥bandBits agreeing bits, so the bound is
+    * conservative for survivors, and the overall miss is union-bounded by
+    * band-miss + hamming-miss ≤ 2·targetMiss.
+    */
+  def maxDisagreeFor(
+      totalBits: Int, designCos: Double, targetMiss: Double): Int = {
+    val p = math.acos(math.min(1.0, math.max(-1.0, designCos))) / math.Pi
+    if (p <= 0.0) return 0
+    var pmf = math.pow(1.0 - p, totalBits) // P(k=0)
+    var cum = pmf
+    var k = 0
+    while (cum < 1.0 - targetMiss && k < totalBits) {
+      pmf = pmf * (totalBits - k).toDouble / (k + 1).toDouble * p / (1.0 - p)
+      k += 1
+      cum += pmf
+    }
+    k
+  }
+
   /** Per-band sign-LSH keys: bands × bandBits hyperplanes; band b's key
     * packs its own bandBits sign bits into one long (no 64-bit total
     * budget — width scales with corpus size without shrinking the band
@@ -90,7 +115,7 @@ object Ann {
     * float→double upcast is exact, so keys are identical either way).
     */
   private def withBandKeys(df: DataFrame, vecCol: String, bandBits: Int,
-      bands: Int, dim: Int, seed: Long): DataFrame = {
+      bands: Int, dim: Int, seed: Long, keepSig: Boolean = false): DataFrame = {
     val planes = hyperplanes(bands * bandBits, dim, seed)
     val bb = bandBits
     val nb = bands
@@ -110,9 +135,11 @@ object Ann {
         key
       }
     })
-    df.withColumn("__keys", keysUdf(col(vecCol).cast("array<double>")))
+    val exploded = df
+      .withColumn("__keys", keysUdf(col(vecCol).cast("array<double>")))
       .select(col("*"), posexplode(col("__keys")).as(Seq("band", "bkey")))
-      .drop("__keys")
+    if (keepSig) exploded.withColumnRenamed("__keys", "sig")
+    else exploded.drop("__keys")
   }
 
   /** LSH-bucketed top-k: candidates share ≥1 signature band, re-ranked by
@@ -265,27 +292,61 @@ object Ann {
     *    must either accept that or pass designCos = minCos (many more
     *    bands). The test corpora have no pairs between 0.51 and 0.9999,
     *    which is what makes the DuckDB oracle hash-exact.
-    *  - only ids ride the candidate-dedup exchange; vectors are re-joined
-    *    AFTER dropDuplicates (the r2 shape shipped both 64-dim vectors
-    *    through the shuffle).
+    *  - only (id, packed signature) rides the candidate exchange (~8+8·nb
+    *    bytes vs the 512-byte vector); candidate pairs are emitted by a
+    *    LAZY in-bucket iterator after ONE groupBy on (band, bkey) — not a
+    *    self-join, which would compute the banding twice and shuffle both
+    *    sides — then deduplicated on ids and only THEN joined back to the
+    *    vectors (the r2 shape shipped both 64-dim vectors through the
+    *    dedup shuffle). `maxBucketSize` is the same degenerate-data valve
+    *    as in Dedup.minhashLsh (memory stays bounded by the member list
+    *    either way; the cap bounds in-bucket CPU).
+    *  - in-bucket pairs are PREFILTERED on full-signature hamming distance
+    *    before any exchange or cosine: a pair at designCos disagrees on
+    *    > [[maxDisagreeFor]] of the nb·bb bits with prob ≤ targetMiss
+    *    (overall miss ≤ band-miss + hamming-miss = 2·targetMiss), while a
+    *    random in-bucket collider carries ~(nb-1)·bb/2 disagreements and is
+    *    dropped by nb·bb xor+popcounts instead of a 64-dim cosine. At sf0.1
+    *    this cut 185k candidate pairs to ~2k real ones — the exact-verify
+    *    join goes from the dominant cost to noise, and the saving GROWS
+    *    with corpus size (candidates ∝ n·targetBucket, real dups ∝ n).
     */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, bandBits: Int = 0, bands: Int = 0, dim: Int = 64,
       seed: Long = 42L, designCos: Double = 0.9999,
-      targetMiss: Double = 1e-7): DataFrame = {
+      targetMiss: Double = 1e-7, maxBucketSize: Int = 100000): DataFrame = {
     val bb = if (bandBits > 0) bandBits else bandBitsFor(corpus.count())
     val nb = if (bands > 0) bands else bandsFor(bb, designCos, targetMiss)
+    val maxDis = maxDisagreeFor(nb * bb, designCos, targetMiss)
     val keyed = withBandKeys(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "vec", bb, nb, dim, seed)
-      .select(col("band"), col("bkey"), col("id"))
-    val a = keyed.as("a"); val b = keyed.as("b")
-    val pairIds = a
-      .join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      "vec", bb, nb, dim, seed, keepSig = true)
+      .select(col("band"), col("bkey"), col("id"), col("sig"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pairIds = keyed
+      .groupBy("band", "bkey")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))),
+        1, maxBucketSize).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("ms")).as[Seq[(Long, Seq[Long])]]
+      .flatMap { ms =>
+        val ids = ms.iterator.map(_._1).toArray
+        val sigs = ms.iterator.map(_._2.toArray).toArray
+        (0 until ids.length).iterator.flatMap { i =>
+          ((i + 1) until ids.length).iterator.flatMap { j =>
+            val sa = sigs(i); val sb = sigs(j)
+            var dis = 0; var b = 0
+            while (b < sa.length && dis <= maxDis) {
+              dis += java.lang.Long.bitCount(sa(b) ^ sb(b)); b += 1
+            }
+            if (dis <= maxDis) Iterator.single((ids(i), ids(j))) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__n")).drop("__n")
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
     pairIds
       .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))

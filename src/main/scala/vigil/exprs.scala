@@ -388,6 +388,47 @@ object TurnScoreExpr {
       TurnStatsExpr.schema.fields)
 }
 
+/** Cosine similarity of two array<double> columns in ONE flat loop.
+  *
+  * Bit-identical to the higher-order-function formulation it replaces
+  * (`aggregate(zip_with(a,b,_*_), 0.0, _+_) / (sqrt(Σx²) · sqrt(Σy²))`):
+  * the accumulation is the same sequential left fold in the same order, the
+  * denominator multiplies the two sqrts (NOT sqrt of the product — a
+  * one-ulp difference that would break DuckDB list_cosine_similarity
+  * hash-parity, proven bit-identical for the fold shape in r2), and
+  * zero-norm inputs yield 0.0. The HOF path re-enters the lambda
+  * interpreter per ELEMENT (~30 µs per 64-dim pair — 5.5 s of the 9 s
+  * q_cosine_neardup wall at sf0.1 went to it); this is a plain while loop.
+  * Null array or length mismatch → null, null element → null (zip_with
+  * parity).
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -398,4 +439,7 @@ object functions {
     VigilShim.column(WinnowFingerprintExpr(expr(c), k, w))
   def turn_stats(c: Column): Column = VigilShim.column(TurnStatsExpr(expr(c)))
   def turn_score(c: Column): Column = VigilShim.column(TurnScoreExpr(expr(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    VigilShim.column(CosineSimExpr(expr(a.cast("array<double>")),
+      expr(b.cast("array<double>"))))
 }

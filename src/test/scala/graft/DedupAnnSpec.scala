@@ -124,6 +124,60 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(dups.contains((0L, 1L)))
   }
 
+  test("CosineSimExpr is bit-identical to the HOF fold it replaced") {
+    // the normative formulation the flat-loop expression must reproduce:
+    // sequential left folds, denominator = product of the two sqrts
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+      val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
+      when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val diff = pairs
+      .select(Ann.cosine(col("va"), col("vb")).as("flat"),
+        hofCosine(col("va"), col("vb")).as("hof"))
+      .filter(col("flat") =!= col("hof")) // bit-level: NaN-free unit-ish vecs
+      .count()
+    assert(diff == 0L, "flat-loop cosine must be bit-identical to the HOF fold")
+    // null / length-mismatch / zero-norm parity with the HOF semantics
+    val edge = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0, 2.0, 3.0))), // length mismatch
+      (None, Some(Seq(1.0))),                          // null side
+      (Some(Seq(0.0, 0.0)), Some(Seq(1.0, 1.0)))       // zero norm
+    ).toDF("a", "b")
+      .select(Ann.cosine(col("a"), col("b")).as("c")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    assert(edge(2).getDouble(0) == 0.0)
+  }
+
+  test("maxDisagreeFor: binomial tail budget is sound and tight") {
+    // designCos 0.9999 over 40 bits: p = acos/π ≈ 0.0045, so the budget is
+    // small but nonzero; a pair AT designCos must pass with prob ≥ 1-miss
+    val m = Ann.maxDisagreeFor(40, 0.9999, 1e-7)
+    assert(m >= 2 && m <= 10, s"budget $m out of plausible range")
+    // exact tail check: P(Binom(40, p) > m) <= 1e-7 and > at m-1 (tight)
+    val p = math.acos(0.9999) / math.Pi
+    def tailAbove(k: Int): Double = {
+      val probs = (0 to 40).map(i =>
+        (BigDecimal(spire(40, i)) * BigDecimal(math.pow(p, i)) *
+          BigDecimal(math.pow(1 - p, 40 - i))).toDouble)
+      probs.drop(k + 1).sum
+    }
+    def spire(n: Int, k: Int): Double =
+      (1 to k).map(i => (n - k + i).toDouble / i).product
+    assert(tailAbove(m) <= 1e-7)
+    assert(tailAbove(m - 1) > 1e-7, "budget must be the smallest sufficient m")
+    // perfect similarity needs no budget; orthogonal similarity ~ half bits
+    assert(Ann.maxDisagreeFor(40, 1.0, 1e-7) == 0)
+    assert(Ann.maxDisagreeFor(40, 0.0, 0.5) >= 19)
+  }
+
   test("ivf: full probe equals brute force; partial probe is rank-consistent") {
     // double-cast once so brute (no internal cast) and ivf (casts inside)
     // compute bit-identical cosines
