@@ -20,25 +20,43 @@ ROUNDS="${2:-3}"
 sbt -batch package >/dev/null
 JAR=target/scala-2.13/vigilpiidetectorspark_2.13-0.1.0.jar
 
-run() { # $1 = executors, $2 = total cores
+run() { # $1 = executors, $2 = total cores, $3 = arg (NCONVS or calib)
   SPARK_GRAFT_MASTER=submit SPARK_GRAFT_CPUS="$2" /opt/spark/bin/spark-submit \
     --master "local-cluster[$1,8,12288]" --driver-memory 8g \
-    --class vigil.tools.ScalingBench "$JAR" "$NCONVS" 2>/dev/null | grep '^{'
+    --class vigil.tools.ScalingBench "$JAR" "$3" 2>/dev/null | grep '^{'
 }
 
-RNS=(); R4NS=()
+# each round interleaves job-N, job-4N, calib-N, calib-4N in ONE window so
+# the calibration samples the same host conditions as the job pair it
+# normalizes (the pure-CPU calib isolates 8-core-active vs 32-core-active
+# host asymmetry — turbo/DRAM — that a real multi-host cluster lacks)
+RNS=(); R4NS=(); CNS=(); C4NS=()
 for i in $(seq 1 "$ROUNDS"); do
-  RNS+=("$(run 1 8)")
-  R4NS+=("$(run 4 32)")
+  RNS+=("$(run 1 8 "$NCONVS")")
+  R4NS+=("$(run 4 32 "$NCONVS")")
+  CNS+=("$(run 1 8 calib)")
+  C4NS+=("$(run 4 32 calib)")
 done
-printf '%s\n' "${RNS[@]}" "${R4NS[@]}"
-python3 - "${RNS[@]}" "${R4NS[@]}" <<EOF
-import json, sys
+printf '%s\n' "${RNS[@]}" "${R4NS[@]}" "${CNS[@]}" "${C4NS[@]}"
+python3 - "${RNS[@]}" "${R4NS[@]}" "${CNS[@]}" "${C4NS[@]}" <<EOF
+import json, statistics, sys
 rs = [json.loads(a) for a in sys.argv[1:]]
-tn = [r["turns_per_sec"] for r in rs if r["cpus"] == 8]
-t4n = [r["turns_per_sec"] for r in rs if r["cpus"] == 32]
-for a, b in zip(tn, t4n):
-    print(f"pair: thr_N={a:.0f}  thr_4N={b:.0f}  eff={(b/a)/4:.3f}")
+tn = [r["turns_per_sec"] for r in rs if r.get("bench") == "scaling" and r["cpus"] == 8]
+t4n = [r["turns_per_sec"] for r in rs if r.get("bench") == "scaling" and r["cpus"] == 32]
+cn = [r["steps_per_sec"] for r in rs if r.get("bench") == "calib" and r["cpus"] == 8]
+c4n = [r["steps_per_sec"] for r in rs if r.get("bench") == "calib" and r["cpus"] == 32]
+effs = [(b / a) / 4 for a, b in zip(tn, t4n)]
+ceffs = [(b / a) / 4 for a, b in zip(cn, c4n)]
+for i, (e, c) in enumerate(zip(effs, ceffs)):
+    print(f"pair {i+1}: thr_N={tn[i]:.0f}  thr_4N={t4n[i]:.0f}  eff={e:.3f}  "
+          f"calib_eff={c:.3f}  eff_norm={e / c:.3f}")
+# median-of-pairs is the headline (cancels the anti-correlated window
+# drift a single pair rides); normalized eff divides out the host's
+# 8-vs-32-active-core asymmetry measured in the SAME window
+print(f"median: pair_eff={statistics.median(effs):.3f}  "
+      f"calib_eff={statistics.median(ceffs):.3f}  "
+      f"eff_norm={statistics.median([e / c for e, c in zip(effs, ceffs)]):.3f}"
+      f"  (gate: >= 0.8)")
 print(f"capacity: thr_N={max(tn):.0f}  thr_4N={max(t4n):.0f}  "
-      f"eff={(max(t4n)/max(tn))/4:.3f}  (gate: >= 0.8)")
+      f"eff={(max(t4n)/max(tn))/4:.3f}")
 EOF

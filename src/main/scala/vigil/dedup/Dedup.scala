@@ -200,8 +200,14 @@ object Dedup {
       (sig, Array.tabulate(nb)(b => MinHash.bandHash(sig, b, rpb)))
     }
     val blk = blockCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    // persisted: the capped pre-pass below is a second ACTION over the
+    // signature frame, and without the cache it re-runs the whole MinHash
+    // UDF pass (the narrow-stage cost, ×2). The cache holds (id, blk,
+    // 144-long sig, band hashes) ≈ 1.3 KB/doc — spill-to-disk bounded,
+    // freed by the ContextCleaner once the returned frame is unreachable.
     val sigs = df.select(col(idCol).as("id"), blk.as("blk"),
       sigUdf(col(textCol)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sigs.select(col("id"), col("blk"), col("s._1").as("sig"),
       posexplode(col("s._2")).as(Seq("band", "bh")))
 
@@ -463,18 +469,27 @@ object Dedup {
       .select("id_a", "id_b")
     // verifier tokenization matches jaccardPairs (and its DuckDB oracle):
     // single-space split of the lowercased text, distinct — and since the
-    // r3 shingle change, the CANDIDATE tokenization is the same split
+    // r3 shingle change, the CANDIDATE tokenization is the same split.
+    // Sorted so the per-pair intersection is ONE allocation-free merge walk
+    // (sorted_intersect_size) instead of array_intersect+array_union hash
+    // sets — the per-candidate verify cost that dominated at 1M pairs; the
+    // sort runs once per DOCUMENT. |A∪B| = |A|+|B|-|A∩B| gives the same
+    // integer sizes, hence bit-identical jaccard doubles (oracle parity).
     val toks = df.select(
       col(idCol).as("id"),
-      array_distinct(filter(split(lower(col(textCol)), " "), w => length(w) > 0))
-        .as("toks"))
+      array_sort(array_distinct(
+        filter(split(lower(col(textCol)), " "), w => length(w) > 0))).as("toks"))
+      .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
-      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"))
+      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),
+      col("n").as(s"n_$suffix"))
     cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+      .withColumn("inter",
+        vigil.functions.sorted_intersect_size(col("toks_a"), col("toks_b")))
       .select(
         col("id_a"), col("id_b"),
-        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -487,23 +502,27 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
+    // sorted token sets: per-pair intersection size is one merge walk
+    // (see neardupVerified — same kernel, same oracle-parity argument)
     val toks = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(filter(split(lower(col(textCol)), " "), w => length(w) > 0))
-        .as("toks"))
+      array_sort(array_distinct(
+        filter(split(lower(col(textCol)), " "), w => length(w) > 0))).as("toks"))
       .withColumn("n", size(col("toks")))
     val a = toks.as("a")
     val b = toks.as("b")
     // lossless length prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so
     // J ≥ t requires the set sizes to be within a factor t — this prunes
-    // most candidate pairs before the O(len) intersect/union work
+    // most candidate pairs before the O(len) intersect work
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
           lit(minJaccard) * greatest(col("a.n"), col("b.n")))
+      .withColumn("inter",
+        vigil.functions.sorted_intersect_size(col("a.toks"), col("b.toks")))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("a.n") + col("b.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -429,6 +429,48 @@ case class CosineSimExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSimExpr = copy(left = l, right = r)
 }
 
+/** |A ∩ B| of two SORTED string arrays in one merge walk.
+  *
+  * The dedup verifier computes word-set Jaccard for every LSH candidate
+  * pair; `array_intersect`/`array_union` build a hash set AND materialize a
+  * result array per pair (~10-20 µs on ~300-token documents — the dominant
+  * cost of q_neardup_verified at 1M candidate pairs). With both inputs
+  * sorted (one `array_sort` per DOCUMENT, amortized over all its pairs)
+  * the intersection SIZE is a linear merge of UTF8String comparisons with
+  * zero allocation, and |A ∪ B| = |A| + |B| - |A ∩ B| needs no second
+  * pass. Inputs MUST be sorted and duplicate-free (the verifier's
+  * array_sort ∘ array_distinct projection guarantees it); null array →
+  * null, null element → treated as smallest (array_sort order).
+  */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var same = 0
+    while (i < nx && j < ny) {
+      val xi = x.getUTF8String(i); val yj = y.getUTF8String(j)
+      val c =
+        if (xi == null) { if (yj == null) 0 else -1 }
+        else if (yj == null) 1
+        else xi.compareTo(yj)
+      if (c == 0) { same += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    same
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectSizeExpr =
+    copy(left = l, right = r)
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -442,4 +484,6 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     VigilShim.column(CosineSimExpr(expr(a.cast("array<double>")),
       expr(b.cast("array<double>"))))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    VigilShim.column(SortedIntersectSizeExpr(expr(a), expr(b)))
 }

@@ -12,10 +12,18 @@ import vigil.{Decide, Synth}
   * (4N = 4 executor JVMs) on the SAME corpus and reports per-pair
   * eff = (thr_4N / thr_N) / 4 for BENCH/BASELINE.md.
   *
-  * Args: [nConvs] (default 30000; ~150k turns with the default tail cap).
+  * Args: [nConvs] (default 30000; ~150k turns with the default tail cap),
+  * or `calib` — a pure-CPU register-only workload (fixed task count ×
+  * fixed xorshift iterations, no DRAM traffic, no shuffle) run at the
+  * same two configs. Its pair efficiency isolates the HOST asymmetry
+  * between an 8-core-active and a 32-core-active window (turbo clocks,
+  * shared LLC/DRAM) that a real N- vs 4N-host cluster does not share;
+  * eff_normalized = eff_job / eff_calib is the cluster-shaped number
+  * (methodology in BENCH/BASELINE.md).
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("calib")) { calibMain(); return }
     val nConvs = if (args.nonEmpty) args(0).toInt else 30000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_MASTER=submit → respect spark-submit's --master (e.g.
@@ -79,6 +87,50 @@ object ScalingBench {
       s"""{"bench":"scaling","cpus":$cpus,"n_convs":$nConvs,""" +
         s""""n_turns":$nTurns,"times_sec":[${times.mkString(",")}],""" +
         s""""best_sec":$best,"turns_per_sec":$thr}""")
+    spark.stop()
+  }
+
+  /** Pure-CPU calibration leg: 640 tasks × 2^26 xorshift64 steps each —
+    * register-only (no allocation, no DRAM streaming, no shuffle), so with
+    * perfect core scaling wall time is ∝ 1/cores and pair eff is 1.0.
+    * Whatever it measures short of 1.0 is host-environment asymmetry
+    * (8-core turbo vs 32-core all-core clocks, co-tenant noise), not
+    * engine behavior.
+    */
+  private def calibMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder0 = SparkSession.builder()
+    val builder =
+      if (sys.env.get("SPARK_GRAFT_MASTER").contains("submit")) builder0
+      else builder0.master(s"local[$cpus]")
+    val spark = builder
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tasks = 640
+    val iters = 1L << 26
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val acc = spark.sparkContext.parallelize(1 to tasks, tasks).map { s =>
+        var x = 0x9e3779b97f4a7c15L + s
+        var i = 0L
+        while (i < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        x
+      }.reduce(_ ^ _)
+      if (acc == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    val times = Seq(once(), once(), once())
+    val best = times.min
+    println(
+      s"""{"bench":"calib","cpus":$cpus,"tasks":$tasks,""" +
+        s""""times_sec":[${times.mkString(",")}],"best_sec":$best,""" +
+        s""""steps_per_sec":${tasks * iters / best}}""")
     spark.stop()
   }
 }

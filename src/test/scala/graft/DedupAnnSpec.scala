@@ -156,6 +156,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(edge(2).getDouble(0) == 0.0)
   }
 
+  test("sorted_intersect_size equals array_intersect size on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        array_sort(array_distinct(filter(split(lower(col("text")), " "),
+          w => length(w) > 0))).as("toks"))
+    val pairs = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id") && col("b.doc_id") <= col("a.doc_id") + 7)
+      .select(col("a.toks").as("ta"), col("b.toks").as("tb"))
+    val diff = pairs.select(
+        vigil.functions.sorted_intersect_size(col("ta"), col("tb")).as("fast"),
+        size(array_intersect(col("ta"), col("tb"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0L, "merge-walk intersect size must equal array_intersect")
+    // edge cases: empty side, disjoint, identical
+    val edge = Seq(
+      (Seq[String](), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"))
+    ).toDF("a", "b")
+      .select(vigil.functions.sorted_intersect_size(col("a"), col("b")).as("s"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 0, 3))
+  }
+
   test("maxDisagreeFor: binomial tail budget is sound and tight") {
     // designCos 0.9999 over 40 bits: p = acos/π ≈ 0.0045, so the budget is
     // small but nonzero; a pair AT designCos must pass with prob ≥ 1-miss
