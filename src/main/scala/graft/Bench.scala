@@ -41,7 +41,7 @@ object Bench {
     // the flagship (headline-throughput) query is timed best-of-3 so the
     // reported turns/sec reflects the engine, not host scheduling noise
     // (this host shows 2-4× wall-time swings; see BENCH/BASELINE.md);
-    // the other 29 queries run once to keep total bench time bounded
+    // every other query runs once to keep total bench time bounded
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =

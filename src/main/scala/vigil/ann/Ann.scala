@@ -299,8 +299,8 @@ object Ann {
     *    sides — then deduplicated on ids and only THEN joined back to the
     *    vectors (the r2 shape shipped both 64-dim vectors through the
     *    dedup shuffle). `maxBucketSize` is the same degenerate-data valve
-    *    as in Dedup.minhashLsh (memory stays bounded by the member list
-    *    either way; the cap bounds in-bucket CPU).
+    *    as in Dedup.minhashLsh, applied before aggregation so both the
+    *    agg buffer AND the in-bucket CPU are bounded by the cap.
     *  - in-bucket pairs are PREFILTERED on full-signature hamming distance
     *    before any exchange or cosine: a pair at designCos disagrees on
     *    > [[maxDisagreeFor]] of the nb·bb bits with prob ≤ targetMiss
@@ -325,10 +325,17 @@ object Ann {
       .select(col("band"), col("bkey"), col("id"), col("sig"))
     val spark = corpus.sparkSession
     import spark.implicits._
+    // pre-aggregation cap (see Dedup.minhashLsh): row_number over the same
+    // bucket key keeps the cap-smallest ids with a spillable sort — the
+    // agg buffer is bounded by the cap, not the degenerate bucket size —
+    // and the window's partitioning satisfies the groupBy (1 exchange)
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey")).orderBy(col("id"))
     val pairIds = keyed
+      .withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= maxBucketSize)
       .groupBy("band", "bkey")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))),
-        1, maxBucketSize).as("ms"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(col("ms")).as[Seq[(Long, Seq[Long])]]
       .flatMap { ms =>

@@ -157,11 +157,15 @@ object Dedup {
     * Bucket-pair emission is a LAZY typed flatMap, not a UDF returning an
     * array: a k-member near-dup cluster has C(k,2) pairs, and
     * materializing them per bucket OOMs executors once clusters reach a
-    * few thousand members (memory is now bounded by the member list, not
-    * the pair count). `maxBucketSize` remains a safety valve for
-    * degenerate buckets (e.g. thousands of byte-identical docs, where
-    * exact dedup is the right tool and all-pairs output is intractable by
-    * construction); within the cap the output is exact.
+    * few thousand members. `maxBucketSize` is applied BEFORE the member
+    * aggregation (row_number over the bucket key — a spillable sort on
+    * the same single exchange), so executor memory is bounded by the CAP
+    * even for a degenerate billion-member bucket (slice-after-collect
+    * would have materialized it in the agg buffer first). The cap is a
+    * safety valve for degenerate buckets (e.g. thousands of
+    * byte-identical docs, where exact dedup is the right tool and
+    * all-pairs output is intractable by construction); within the cap
+    * the output is exact.
     *
     * Cross-band skip (sound under caps): a true near-dup pair collides in
     * ~every band, so emitting from every colliding band re-runs the
@@ -223,10 +227,19 @@ object Dedup {
     val cappedB = spark.sparkContext.broadcast(capped)
     val doSkip = crossBandSkip
 
+    // cap BEFORE aggregating: slice(sort_array(collect_list)) would
+    // materialize the whole degenerate bucket in the agg buffer before
+    // slicing (unbounded memory exactly when the cap matters). row_number
+    // over the same bucket key keeps the cap-smallest ids — identical
+    // members — with a SPILLABLE sort, and the window's hash partitioning
+    // satisfies the groupBy, so it is still ONE exchange.
+    val wcap = Window.partitionBy(col("band"), col("bh"), col("blk"))
+      .orderBy(col("id"))
     val grouped = exploded
+      .withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= maxBucketSize)
       .groupBy("band", "bh", "blk")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))), 1, maxBucketSize)
-        .as("members"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
       .filter(size(col("members")) > 1)
 
     import spark.implicits._
@@ -350,9 +363,13 @@ object Dedup {
       .withColumn("br", explode(array(blockCols: _*)))
       .select(col("br.blk").as("blk"), col("br.bv").as("bv"), col("id"), col("fp"))
 
-    val grouped = exploded.groupBy("blk", "bv")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("fp")))), 1, maxBucketSize)
-        .as("members"))
+    // pre-aggregation cap (see minhashLsh): bounded agg memory, 1 exchange
+    val wcap = Window.partitionBy(col("blk"), col("bv")).orderBy(col("id"))
+    val grouped = exploded
+      .withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= maxBucketSize)
+      .groupBy("blk", "bv")
+      .agg(sort_array(collect_list(struct(col("id"), col("fp")))).as("members"))
       .filter(size(col("members")) > 1)
 
     // lazy pair iterator — memory bounded by the member list, no C(k,2)
@@ -406,11 +423,15 @@ object Dedup {
           (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
           .as("bh"))
     }
+    // pre-aggregation cap (see minhashLsh): bounded agg memory, 1 exchange
+    val wcap = Window.partitionBy(col("band"), col("bh")).orderBy(col("id"))
     val grouped = sigs
       .withColumn("bandrow", explode(array(bandCols: _*)))
       .select(col("bandrow.band").as("band"), col("bandrow.bh").as("bh"), col("id"))
+      .withColumn("__rn", row_number().over(wcap))
+      .filter(col("__rn") <= maxBucketSize)
       .groupBy("band", "bh")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucketSize).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     // lazy pair iterator, NOT a materialized pair array: memory stays
     // bounded by the member list even for C(k,2)-sized outputs
