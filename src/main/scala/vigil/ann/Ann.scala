@@ -163,13 +163,23 @@ object Ann {
     val c = withBandKeys(
       corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
       "nn_vec", bb, bands, dim, seed)
+      .select("band", "bkey", "nn_id")
     val q = withBandKeys(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "q_vec", bb, bands, dim, seed)
+      .select("band", "bkey", "query_id")
+    // ids only through the band join AND the multi-band dedup exchange;
+    // both vectors re-join AFTER dropDuplicates (the r2 shape shipped the
+    // two dim-sized vectors through every shuffle — at 100× corpus the
+    // candidate stream is the big intermediate, so its row width matters)
     val cands = c.join(q, Seq("band", "bkey"))
       .filter(col("query_id") =!= col("nn_id"))
-      .select("query_id", "q_vec", "nn_id", "nn_vec")
+      .select("query_id", "nn_id")
       .dropDuplicates("query_id", "nn_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
+        Seq("nn_id"))
       .withColumn("cos", cosine(col("q_vec"), col("nn_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nn_id").asc)

@@ -262,6 +262,19 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("plan: bucket window-cap and member aggregation share ONE exchange") {
+    // the pre-aggregation row_number cap claims to add NO exchange: its
+    // window partitions on the same (band, bh, blk) key the groupBy needs,
+    // so the physical plan must contain exactly one bucket-keyed exchange
+    // (a second would mean the window and the aggregation each shuffle)
+    val pairs = Dedup.minhashLsh(corpus, "text", "doc_id", minEst = 0.8)
+    val phys = pairs.queryExecution.executedPlan.toString
+    val bucketExchanges = "hashpartitioning\\(band".r.findAllIn(phys).size
+    assert(bucketExchanges == 1,
+      s"expected 1 bucket-keyed exchange, saw $bucketExchanges:\n" +
+        phys.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("sf0.1 density gate: no LSH bucket approaches the cap on real data") {
     // the exactness contract is "exact while no bucket exceeds the cap" —
     // the r2 regression (61% of true pairs silently dropped) was exactly
