@@ -212,16 +212,24 @@ object Ann {
       col(vecCol).cast("array<double>").as("nn_vec"))
 
     // deterministic init: the vector whose id hashes smallest per residue
-    // class seeds centroid j (no Random, stable across runs/partitionings)
-    var centroids: Array[Array[Double]] = c
+    // class seeds centroid j (no Random, stable across runs/partitionings).
+    // min_by over the (hk, id) struct picks the SAME winner as the old
+    // row_number window but as a map-side-combined aggregation — no full
+    // window sort-shuffle of the corpus just to select nCentroids rows.
+    val seedRows = c
       .withColumn("cid", pmod(hash(col("nn_id"), lit(seed)), lit(nCentroids)))
       .withColumn("hk", hash(col("nn_id"), lit(seed + 1)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("cid").orderBy(col("hk"), col("nn_id"))))
-      .filter(col("rn") === 1)
-      .orderBy("cid")
-      .select("nn_vec").collect()
-      .map(_.getSeq[Double](0).toArray)
+      .groupBy("cid")
+      .agg(min_by(col("nn_vec"), struct(col("hk"), col("nn_id"))).as("v"))
+      .collect()
+    var centroids: Array[Array[Double]] = new Array(nCentroids)
+    seedRows.foreach(r => centroids(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    // an empty residue class (tiny corpus) seeds from the first non-empty
+    // one — deterministic, and Lloyd reassigns it immediately
+    val firstSeed = centroids.find(_ != null).getOrElse(
+      throw new IllegalArgumentException("ivfTopK: empty corpus"))
+    (0 until nCentroids).foreach(j =>
+      if (centroids(j) == null) centroids(j) = firstSeed)
 
     // one cosine kernel serves training assignment AND query probing — a
     // divergence between the two would silently mis-route queries

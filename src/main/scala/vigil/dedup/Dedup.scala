@@ -204,14 +204,18 @@ object Dedup {
       (sig, Array.tabulate(nb)(b => MinHash.bandHash(sig, b, rpb)))
     }
     val blk = blockCol.map(c => col(c).cast("string")).getOrElse(lit(""))
-    // persisted: the capped pre-pass below is a second ACTION over the
-    // signature frame, and without the cache it re-runs the whole MinHash
-    // UDF pass (the narrow-stage cost, ×2). The cache holds (id, blk,
-    // 144-long sig, band hashes) ≈ 1.3 KB/doc — spill-to-disk bounded,
-    // freed by the ContextCleaner once the returned frame is unreachable.
-    val sigs = df.select(col(idCol).as("id"), blk.as("blk"),
+    // persisted (only when the skip's pre-pass exists): the capped
+    // pre-pass below is a second ACTION over the signature frame, and
+    // without the cache it re-runs the whole MinHash UDF pass (the
+    // narrow-stage cost, ×2). The cache holds (id, blk, 144-long sig,
+    // band hashes) ≈ 1.3 KB/doc — spill-to-disk bounded, freed by the
+    // ContextCleaner once the returned frame is unreachable.
+    val sigs0 = df.select(col(idCol).as("id"), blk.as("blk"),
       sigUdf(col(textCol)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs =
+      if (crossBandSkip)
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
     val exploded = sigs.select(col("id"), col("blk"), col("s._1").as("sig"),
       posexplode(col("s._2")).as(Seq("band", "bh")))
 

@@ -103,4 +103,47 @@ class PropertySpec extends AnyFunSuite {
         Dedup.SimHash.hamming(fa, fb) == Dedup.SimHash.hamming(fb, fa)
     })
   }
+
+  // ---- expression kernels, evaluated directly via Literal (no Spark job) --
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+
+  private val tokenSet: Gen[Seq[String]] = Gen.chooseNum(0, 40)
+    .flatMap(n => Gen.listOfN(n, word))
+    // ASCII vocab: Scala String order == Spark UTF8String binary order,
+    // so the test's sort matches what array_sort produces in production
+    .map(_.distinct.sorted)
+
+  test("sorted_intersect_size equals Set intersection size (property)") {
+    check(Prop.forAll(tokenSet, tokenSet) { (a, b) =>
+      val e = vigil.SortedIntersectSizeExpr(
+        Literal.create(a, ArrayType(StringType)),
+        Literal.create(b, ArrayType(StringType)))
+      e.eval(InternalRow.empty) == (a.toSet & b.toSet).size
+    })
+  }
+
+  private val vec: Gen[Seq[Double]] = Gen.listOfN(16,
+    Gen.chooseNum(-1000000, 1000000).map(_ / 1000.0))
+
+  test("CosineSimExpr equals the sequential reference fold (property)") {
+    def ref(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    check(Prop.forAll(vec, vec) { (a, b) =>
+      def cos(x: Seq[Double], y: Seq[Double]) = vigil.CosineSimExpr(
+        Literal.create(x, ArrayType(DoubleType)),
+        Literal.create(y, ArrayType(DoubleType))).eval(InternalRow.empty)
+      // bit-exact vs the reference fold, and symmetric (element products
+      // and the two norms are order-independent across the swap)
+      cos(a, b) == ref(a, b) && cos(a, b) == cos(b, a)
+    })
+  }
 }
