@@ -12,8 +12,8 @@ object Sources {
   val MaxJsonRecords: Long = 100000L
   /** S4 parity constant (constants.py:9-10). Meaningless at Spark scale —
     * partition planning replaces it — kept for configuration parity with
-    * the reference. S1 (xlsx) is documented out of scope: no xlsx
-    * datasource ships in /opt/spark/jars.
+    * the reference, and ENFORCED per file on the xlsx path (the one place
+    * a whole file must be decompressed as a unit).
     */
   val MaxFileSizeMb: Int = 500
   /** Keys probed, in order, for the keyed-object JSON shape
@@ -71,6 +71,49 @@ object Sources {
     require(n <= MaxJsonRecords,
       s"JSON input exceeds MAX_JSON_RECORDS=$MaxJsonRecords")
     requireTextColumn(base, textColumn)
+  }
+
+  /** S1: XLSX via the pure-JVM [[Xlsx]] kernel (reference:
+    * `pd.read_excel`, main.py:91-92 — first sheet, row 1 = header, S4
+    * size guard). The glob's files parse IN PARALLEL (`binaryFiles` +
+    * `flatMap`, one task per file — an xlsx deflate stream is not
+    * splittable below file granularity, the same boundary every columnar
+    * reader has for zipped formats); only the first file's header is read
+    * on the driver, to fix the schema. All columns surface as strings —
+    * the engine consumes a text column, and numeric literals keep their
+    * lexical form.
+    */
+  def xlsx(spark: SparkSession, path: String, textColumn: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(hconf)
+    val statuses = fs.globStatus(new Path(path)) match {
+      case null | Array() => throw new IllegalArgumentException(
+        s"Arquivo não encontrado: $path")
+      case s => s.filter(st => st.isFile)
+    }
+    statuses.foreach { st =>
+      require(st.getLen <= MaxFileSizeMb.toLong * 1024 * 1024,
+        f"Arquivo muito grande (${st.getLen / (1024.0 * 1024)}%.0f MB). " +
+          s"Limite: $MaxFileSizeMb MB.")
+    }
+    // schema from the first file (lexicographic, deterministic)
+    val first = statuses.map(_.getPath).minBy(_.toString)
+    val header = {
+      val in = fs.open(first)
+      try Xlsx.parse(in)._1 finally in.close()
+    }
+    require(header.nonEmpty, s"xlsx sem cabeçalho: $first")
+    val schema = org.apache.spark.sql.types.StructType(header.map(h =>
+      org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+    val rows = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        try Xlsx.parse(in)._2.iterator.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r))
+        finally in.close()
+      }
+    requireTextColumn(spark.createDataFrame(rows, schema), textColumn)
   }
 
   /** Parquet (the native path). */

@@ -1,0 +1,165 @@
+package vigil.io
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+/** Pure-JVM XLSX reader (closes SURVEY §2.1 S1 — the reference loads
+  * `.xlsx` via `pd.read_excel`, /root/reference/main.py:91-92; no xlsx
+  * datasource jar ships in /opt/spark/jars, but XLSX is a zip of XML and
+  * the JDK carries both `java.util.zip` and StAX).
+  *
+  * Scope matches the reference's usage: FIRST worksheet, row 1 = header,
+  * every value surfaced as a string (the engine consumes a text column;
+  * numeric literals keep their lexical form). Supported cell types:
+  * shared strings (`t="s"`), inline strings (`t="inlineStr"`), formula
+  * strings (`t="str"`), booleans (`t="b"` → true/false) and raw numbers.
+  * Worksheet resolution takes `xl/worksheets/sheet1.xml` (the first sheet
+  * as written by every mainstream producer); rich-text shared strings
+  * concatenate their runs. Entirely streaming: one pass over the zip,
+  * SAX-free constant-memory XML pulls.
+  */
+object Xlsx {
+
+  /** Parse one workbook: (header, data rows), all strings, missing cells
+    * null, rows right-padded to the header width.
+    */
+  def parse(in: InputStream): (Vector[String], Vector[Vector[String]]) = {
+    var shared: Vector[String] = Vector.empty
+    var sheetBytes: Array[Byte] = null
+    var sharedBytes: Array[Byte] = null
+    val zin = new ZipInputStream(in)
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        e.getName match {
+          case "xl/sharedStrings.xml" => sharedBytes = zin.readAllBytes()
+          case "xl/worksheets/sheet1.xml" => sheetBytes = zin.readAllBytes()
+          case _ =>
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    require(sheetBytes != null, "xlsx: no xl/worksheets/sheet1.xml entry")
+    if (sharedBytes != null) shared = parseSharedStrings(sharedBytes)
+    val rows = parseSheet(sheetBytes, shared)
+    if (rows.isEmpty) (Vector.empty, Vector.empty)
+    else {
+      val header = rows.head
+      val width = header.length
+      (header,
+        rows.tail.map(r =>
+          if (r.length >= width) r.take(width)
+          else r ++ Vector.fill(width - r.length)(null: String)))
+    }
+  }
+
+  private val xmlFactory = {
+    val f = XMLInputFactory.newInstance()
+    // hardening: the reference trusts its input file the same way, but
+    // entity expansion has no place in a data path
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f
+  }
+
+  /** `<si>` items; rich-text runs concatenate their `<t>` children. */
+  private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
+    val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => inSi = true; cur.clear()
+              case "t" if inSi => inT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => inSi = false; out += cur.toString
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Column index from an A1-style reference ("BC12" → 54). */
+  def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def parseSheet(
+      bytes: Array[Byte], shared: Vector[String]): Vector[Vector[String]] = {
+    val r = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val rows = Vector.newBuilder[Vector[String]]
+    var row: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    val text = new StringBuilder
+    def endCell(): Unit = if (cellCol >= 0) {
+      while (row.length <= cellCol) row += null
+      val raw = text.toString
+      row(cellCol) = cellType match {
+        case "s" =>
+          val idx = raw.trim.toInt
+          if (idx >= 0 && idx < shared.length) shared(idx) else null
+        case "b" => if (raw.trim == "1") "true" else "false"
+        case _ => raw // inlineStr/str text or a number's lexical form
+      }
+      cellCol = -1
+    }
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => row = scala.collection.mutable.ArrayBuffer.empty
+              case "c" =>
+                val ref = r.getAttributeValue(null, "r")
+                // files may omit r= — fall back to positional append
+                cellCol = if (ref != null) colIndex(ref) else row.length
+                val t = r.getAttributeValue(null, "t")
+                cellType = if (t == null) "" else t
+                text.clear()
+              case "v" => inV = true
+              case "t" if cellType == "inlineStr" => inIsT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV || inIsT) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" => inV = false
+              case "t" => inIsT = false
+              case "c" => endCell()
+              case "row" =>
+                rows += row.toVector
+                row = null
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    rows.result()
+  }
+}

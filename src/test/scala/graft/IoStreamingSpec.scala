@@ -22,6 +22,74 @@ class IoStreamingSpec extends AnyFunSuite {
 
   private val cfg = Decide.Default.copy(targetLang = "pt")
 
+  /** Minimal real xlsx (zip of XML) — what openpyxl/Excel emit, reduced to
+    * the entries the reader touches plus a content-types decoy it must
+    * skip.
+    */
+  private def writeXlsx(path: String, shared: Seq[String],
+      sheetXml: String): Unit = {
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      zout.putNextEntry(new java.util.zip.ZipEntry(name))
+      zout.write(body.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="x"/>""")
+    if (shared.nonEmpty)
+      entry("xl/sharedStrings.xml",
+        s"""<?xml version="1.0"?><sst count="${shared.size}">""" +
+          shared.map(s => s"<si><t>$s</t></si>").mkString + "</sst>")
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$sheetXml</sheetData></worksheet>""")
+    zout.close()
+  }
+
+  test("xlsx source: shared/inline/number/bool cells, missing cells, glob") {
+    assert(vigil.io.Xlsx.colIndex("A1") == 0)
+    assert(vigil.io.Xlsx.colIndex("Z9") == 25)
+    assert(vigil.io.Xlsx.colIndex("AA3") == 26)
+    assert(vigil.io.Xlsx.colIndex("BC12") == 54)
+
+    val dir = Files.createTempDirectory("vigil_xlsx").toString
+    // shared strings for header + one value; B2 inline, C2 number, D2
+    // bool, E2 MISSING (padded null), one rich-text shared string
+    writeXlsx(s"$dir/a.xlsx",
+      Seq("ID", "Texto", "Num", "Flag", "Extra", "solicito dados"),
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>""" +
+        """<c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>""" +
+        """<c r="E1" t="s"><v>4</v></c></row>""" +
+        """<row r="2"><c r="A2"><v>7</v></c>""" +
+        """<c r="B2" t="inlineStr"><is><t>texto inline</t></is></c>""" +
+        """<c r="C2"><v>3.25</v></c><c r="D2" t="b"><v>1</v></c></row>""" +
+        """<row r="3"><c r="A3"><v>8</v></c><c r="B3" t="s"><v>5</v></c>""" +
+        """<c r="C3"><v>42</v></c><c r="D3" t="b"><v>0</v></c>""" +
+        """<c r="E3" t="str"><v>form</v></c></row>""")
+    val df = Sources.xlsx(spark, s"$dir/a.xlsx", "Texto")
+    assert(df.columns.toSeq == Seq("ID", "Texto", "Num", "Flag", "Extra"))
+    val rows = df.orderBy("ID").collect()
+    assert(rows.length == 2)
+    assert(rows(0).toSeq == Seq("7", "texto inline", "3.25", "true", null))
+    assert(rows(1).toSeq == Seq("8", "solicito dados", "42", "false", "form"))
+
+    // second file, same header: glob unions in parallel (one task each)
+    writeXlsx(s"$dir/b.xlsx", Seq("ID", "Texto", "Num", "Flag", "Extra"),
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>""" +
+        """<c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>""" +
+        """<c r="E1" t="s"><v>4</v></c></row>""" +
+        """<row r="2"><c r="A2"><v>9</v></c>""" +
+        """<c r="B2" t="inlineStr"><is><t>outro</t></is></c></row>""")
+    assert(Sources.xlsx(spark, s"$dir/*.xlsx", "Texto").count() == 3)
+
+    intercept[IllegalArgumentException] {
+      Sources.xlsx(spark, s"$dir/a.xlsx", "Missing")
+    }
+    intercept[IllegalArgumentException] {
+      Sources.xlsx(spark, s"$dir/nope.xlsx", "Texto")
+    }
+  }
+
   test("csv source + encoding fallback + text-column validation") {
     val dir = Files.createTempDirectory("vigil_src").toString
     // a latin-1 file: 'coração' encoded ISO-8859-1 is invalid UTF-8
