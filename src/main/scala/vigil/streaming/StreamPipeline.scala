@@ -150,6 +150,25 @@ object StreamPipeline {
       .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("n_turns"), col("pii_rate"), col("n_toxic"))
 
+  /** Streaming exact dedup — the streaming face of `Dedup.exact` for an
+    * at-least-once ingest (replayed turn events, retried producers).
+    * `dropDuplicatesWithinWatermark` keeps one row per key and EVICTS the
+    * key's state once the watermark passes its last-seen event time plus
+    * the delay, so state scales with keys live inside the horizon — the
+    * plain streaming `dropDuplicates` keeps every key forever (the same
+    * unbounded-state trap as NoTimeout conversation state). Duplicates
+    * arriving within the horizon dedupe exactly; a duplicate replayed
+    * AFTER its key was evicted re-emits (the documented at-least-once →
+    * approximately-exactly-once trade of bounded state; size the delay to
+    * the producer's retry window).
+    */
+  def dedupStream(
+      turns: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).
     */

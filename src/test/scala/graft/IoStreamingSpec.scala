@@ -362,4 +362,39 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(aCounts.count(_ == 2L) >= 2,
       s"the timeout must re-emit the final decision on eviction, got $aCounts")
   }
+
+  test("streaming dedup: replayed keys within the watermark emit once") {
+    val srcDir = Files.createTempDirectory("vigil_sdedup_src").toString
+    def turn(id: Int, ts: String) =
+      vigil.Turn("c", id, "user", s"texto $id", "",
+        java.sql.Timestamp.valueOf(ts))
+    def write(rows: Seq[vigil.Turn]): Unit = {
+      import spark.implicits._
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    write(Seq(turn(1, "2026-01-01 10:00:00"), turn(2, "2026-01-01 10:00:30")))
+
+    val schema = { import spark.implicits._
+      Seq(turn(1, "2026-01-01 10:00:00")).toDF().schema }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamPipeline
+      .dedupStream(stream, Seq("conv_id", "turn_idx"),
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup_stream")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // an at-least-once producer replays turn 1 (same key) in a later
+    // micro-batch, within the watermark horizon → suppressed; turn 3 is new
+    write(Seq(turn(1, "2026-01-01 10:00:00"), turn(3, "2026-01-01 10:01:00")))
+    q.processAllAvailable()
+    write(Seq(turn(2, "2026-01-01 10:00:30"))) // second replay, still inside
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("sdedup_stream")
+      .select("turn_idx").collect().map(_.getInt(0)).toSeq.sorted
+    assert(ids == Seq(1, 2, 3),
+      s"each key must be emitted exactly once within the horizon, got $ids")
+  }
 }
