@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""DuckDB oracle gate over a graft.Verify dump.
+
+Replicates the driver's correctness compare (sort columns by name,
+row/schema/value equality) at ANY scale factor — the driver only gates
+sf0.01, and three scale-recall bugs were caught only by re-running this
+at sf0.1 (see CLAUDE.md / BENCH/BASELINE.md).
+
+Usage:
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_out"
+  python3 scripts/oracle_gate.py /root/testdata/sf0.1 /tmp/verify_out [query ...]
+
+With no query names, every entry in oracle_sql.json is compared (the
+global q_neardup_verified brute at sf0.1 takes several minutes in
+DuckDB). Exits non-zero on any mismatch.
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["documents", "events", "lineitem", "orders", "customer",
+          "region", "nation", "part", "supplier", "embeddings"]
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    names = sys.argv[3:] or sorted(oracle)
+    bad = []
+    for name in names:
+        exp = con.execute(oracle[name]).fetchdf()
+        got = pd.concat([pd.read_parquet(p) for p in
+                         sorted(glob.glob(f"{out}/{name}/*.parquet"))])
+        exp = exp[sorted(exp.columns)].reset_index(drop=True)
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        ok = exp.equals(got)
+        print(name, "OK" if ok else "MISMATCH", len(exp), len(got), flush=True)
+        if not ok:
+            bad.append(name)
+    print("MISMATCH:", bad if bad else "none", "| compared", len(names))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

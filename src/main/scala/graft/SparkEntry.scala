@@ -398,12 +398,17 @@ object SparkEntry {
     }),
     // --- composite quality score over metric columns (rows-only) ---------
     "q_quality_score" -> ((s, dir) => {
-      val base = docs(s, dir)
+      // rides the fused TurnStatsExpr (ONE pass over the cleaned text);
+      // the normative column-algebra path (Quality.metricsFromWords) is
+      // bit-equality-locked to it per row in QualityExprSpec, so the
+      // DuckDB oracle pairs identically against either — and the fused
+      // kernel is ~3× faster (HOF lambdas re-enter the interpreter per
+      // word; see BENCH/BASELINE.md)
+      docs(s, dir)
         .withColumn("clean", vf.clean_text(col("text")))
-        .withColumn("__words", Quality.words(col("clean")))
-      val withMetrics = Quality.metricsFromWords(col("clean"), col("__words"))
-        .foldLeft(base) { case (df, (name, c)) => df.withColumn(name, c) }
-      withMetrics.select(col("doc_id"), TextStats.qualityScore().as("score"))
+        .withColumn("st", vf.turn_stats(col("clean")))
+        .select(col("doc_id"), col("st.*"))
+        .select(col("doc_id"), TextStats.qualityScore().as("score"))
         .orderBy("doc_id")
     })
   )
