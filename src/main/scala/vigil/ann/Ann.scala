@@ -71,15 +71,30 @@ object Ann {
     * p_band = (1-θ/π)^bits and miss = (1-p_band)^bands. Recall decays
     * S-curve-fashion below designCos — pairs AT a lower decision
     * threshold have strictly worse recall (document per call site).
+    *
+    * THROWS instead of silently clamping when maxBands cannot reach the
+    * recall target (e.g. designCos = minCos = 0.95 with wide corpus-scaled
+    * bands): a quietly degraded miss rate is the same
+    * silent-recall-loss bug class as the r2 bucket-cap hole, and it would
+    * be invisible to the oracle gates (fixtures only carry pairs at
+    * cos ≈ 0.9999). Callers must widen maxBands, lower targetMiss, or
+    * raise designCos deliberately.
     */
   private[ann] def bandsFor(
       bandBits: Int, designCos: Double, targetMiss: Double,
-      minBands: Int = 4, maxBands: Int = 32): Int = {
+      minBands: Int = 4, maxBands: Int = 64): Int = {
     val pBand = math.pow(1.0 - math.acos(designCos) / math.Pi, bandBits)
     val b =
       if (pBand >= 1.0) minBands
       else math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt
-    math.max(minBands, math.min(maxBands, b))
+    require(b <= maxBands, {
+      val achieved = math.pow(1.0 - pBand, maxBands)
+      f"bandsFor: $b bands needed for miss <= $targetMiss at " +
+        f"designCos=$designCos with $bandBits-bit keys, but maxBands=" +
+        f"$maxBands only reaches miss ~= $achieved%.2e — raise maxBands, " +
+        "relax targetMiss, or raise designCos"
+    })
+    math.max(minBands, b)
   }
 
   /** Smallest hamming budget m such that a pair at designCos disagrees on
@@ -343,19 +358,12 @@ object Ann {
       .select(col("band"), col("bkey"), col("id"), col("sig"))
     val spark = corpus.sparkSession
     import spark.implicits._
-    // pre-aggregation cap (see Dedup.minhashLsh): row_number over the same
-    // bucket key keeps the cap-smallest ids with a spillable sort — the
-    // agg buffer is bounded by the cap, not the degenerate bucket size —
-    // and the window's partitioning satisfies the groupBy (1 exchange)
-    val wcap = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    val pairIds = keyed
-      .withColumn("__rn", row_number().over(wcap))
-      .filter(col("__rn") <= maxBucketSize)
-      .groupBy("band", "bkey")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(col("ms")).as[Seq[(Long, Seq[Long])]]
+    // the shared capped-bucket shape (one exchange, cap-bounded agg
+    // memory) — see Dedup.cappedSortedMembers
+    val pairIds = vigil.dedup.Dedup.cappedSortedMembers(
+      keyed, Seq("band", "bkey"),
+      struct(col("id"), col("sig")), maxBucketSize)
+      .select(col("members")).as[Seq[(Long, Seq[Long])]]
       .flatMap { ms =>
         val ids = ms.iterator.map(_._1).toArray
         val sigs = ms.iterator.map(_._2.toArray).toArray

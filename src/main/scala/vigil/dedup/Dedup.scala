@@ -208,14 +208,11 @@ object Dedup {
     // pre-pass below is a second ACTION over the signature frame, and
     // without the cache it re-runs the whole MinHash UDF pass (the
     // narrow-stage cost, ×2). The cache holds (id, blk, 144-long sig,
-    // band hashes) ≈ 1.3 KB/doc — spill-to-disk bounded, freed by the
-    // ContextCleaner once the returned frame is unreachable.
+    // band hashes) ≈ 1.3 KB/doc, spill-to-disk bounded; [[persistSigs]]
+    // caps the session at ONE live signature cache.
     val sigs0 = df.select(col(idCol).as("id"), blk.as("blk"),
       sigUdf(col(textCol)).as("s"))
-    val sigs =
-      if (crossBandSkip)
-        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sigs0
+    val sigs = if (crossBandSkip) persistSigs(sigs0) else sigs0
     val exploded = sigs.select(col("id"), col("blk"), col("s._1").as("sig"),
       posexplode(col("s._2")).as(Seq("band", "bh")))
 
@@ -231,20 +228,8 @@ object Dedup {
     val cappedB = spark.sparkContext.broadcast(capped)
     val doSkip = crossBandSkip
 
-    // cap BEFORE aggregating: slice(sort_array(collect_list)) would
-    // materialize the whole degenerate bucket in the agg buffer before
-    // slicing (unbounded memory exactly when the cap matters). row_number
-    // over the same bucket key keeps the cap-smallest ids — identical
-    // members — with a SPILLABLE sort, and the window's hash partitioning
-    // satisfies the groupBy, so it is still ONE exchange.
-    val wcap = Window.partitionBy(col("band"), col("bh"), col("blk"))
-      .orderBy(col("id"))
-    val grouped = exploded
-      .withColumn("__rn", row_number().over(wcap))
-      .filter(col("__rn") <= maxBucketSize)
-      .groupBy("band", "bh", "blk")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
-      .filter(size(col("members")) > 1)
+    val grouped = cappedSortedMembers(exploded, Seq("band", "bh", "blk"),
+      struct(col("id"), col("sig")), maxBucketSize)
 
     import spark.implicits._
     grouped
@@ -289,6 +274,52 @@ object Dedup {
       // unless an earlier matching band was capped; without it, once per
       // colliding band — either way the grouping collapses duplicates
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** THE capped-bucket member shape, shared by every bucketed candidate
+    * generator (MinHash-LSH, SimHash, id-only candidates, and the
+    * embedding sign-LSH in vigil.ann.Ann): cap membership BEFORE
+    * aggregating via row_number over the bucket key — the cap-smallest
+    * members by `member` order (deterministic: `member` starts with the
+    * unique id) — so the agg buffer is bounded by the cap even for a
+    * degenerate billion-member bucket, the window sort is spillable, and
+    * the window's hash partitioning satisfies the groupBy (ONE exchange;
+    * plan-asserted in DedupAnnSpec). slice-after-collect_list would
+    * materialize the whole bucket first — the bug class this helper
+    * exists to prevent from reappearing in any one variant.
+    * Returns keyCols + `members` (sorted array), buckets of ≥2 only.
+    */
+  def cappedSortedMembers(
+      df: DataFrame, keyCols: Seq[String], member: Column,
+      cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("__m", member)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("__m"))))
+      .filter(col("__rn") <= cap)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("__m"))).as("members"))
+      .filter(size(col("members")) > 1)
+  }
+
+  /** At most ONE signature cache lives per session. `Dataset.persist`
+    * registers a strong reference in the session CacheManager that only
+    * `unpersist` releases — the ContextCleaner does NOT free Dataset
+    * caches when the frame becomes unreachable — so without this bound
+    * every [[minhashLsh]] call would leak its cache for the session
+    * lifetime (specs, Bench loops, services). Evicting the previous
+    * cache is always safe: a frame still holding it merely recomputes if
+    * re-consumed. Concurrent minhashLsh jobs in one session degrade to
+    * recompute, not corruption.
+    */
+  private val lastSigCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def persistSigs(df: DataFrame): DataFrame = {
+    val cached =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastSigCache.getAndSet(cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    cached
   }
 
   /** Diagnostic: the largest LSH bucket population for a given config.
@@ -367,14 +398,8 @@ object Dedup {
       .withColumn("br", explode(array(blockCols: _*)))
       .select(col("br.blk").as("blk"), col("br.bv").as("bv"), col("id"), col("fp"))
 
-    // pre-aggregation cap (see minhashLsh): bounded agg memory, 1 exchange
-    val wcap = Window.partitionBy(col("blk"), col("bv")).orderBy(col("id"))
-    val grouped = exploded
-      .withColumn("__rn", row_number().over(wcap))
-      .filter(col("__rn") <= maxBucketSize)
-      .groupBy("blk", "bv")
-      .agg(sort_array(collect_list(struct(col("id"), col("fp")))).as("members"))
-      .filter(size(col("members")) > 1)
+    val grouped = cappedSortedMembers(exploded, Seq("blk", "bv"),
+      struct(col("id"), col("fp")), maxBucketSize)
 
     // lazy pair iterator — memory bounded by the member list, no C(k,2)
     // arrays. Every matching block emits; the grouping deduplicates (a
@@ -427,22 +452,17 @@ object Dedup {
           (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
           .as("bh"))
     }
-    // pre-aggregation cap (see minhashLsh): bounded agg memory, 1 exchange
-    val wcap = Window.partitionBy(col("band"), col("bh")).orderBy(col("id"))
-    val grouped = sigs
-      .withColumn("bandrow", explode(array(bandCols: _*)))
-      .select(col("bandrow.band").as("band"), col("bandrow.bh").as("bh"), col("id"))
-      .withColumn("__rn", row_number().over(wcap))
-      .filter(col("__rn") <= maxBucketSize)
-      .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val grouped = cappedSortedMembers(
+      sigs
+        .withColumn("bandrow", explode(array(bandCols: _*)))
+        .select(col("bandrow.band").as("band"), col("bandrow.bh").as("bh"), col("id")),
+      Seq("band", "bh"), col("id"), maxBucketSize)
     // lazy pair iterator, NOT a materialized pair array: memory stays
     // bounded by the member list even for C(k,2)-sized outputs
     val spark = df.sparkSession
     import spark.implicits._
     grouped
-      .select(col("ids"))
+      .select(col("members"))
       .as[Seq[Long]]
       .flatMap { ids =>
         val a = ids.toArray

@@ -97,21 +97,28 @@ object Sources {
         f"Arquivo muito grande (${st.getLen / (1024.0 * 1024)}%.0f MB). " +
           s"Limite: $MaxFileSizeMb MB.")
     }
-    // schema from the first file (lexicographic, deterministic)
+    // schema from the first file's header ONLY (lexicographic,
+    // deterministic): a streaming header parse — full row materialization
+    // waits for the executors
     val first = statuses.map(_.getPath).minBy(_.toString)
-    val header = {
-      val in = fs.open(first)
-      try Xlsx.parse(in)._1 finally in.close()
-    }
+    val header = Xlsx.parseHeader(() => fs.open(first))
     require(header.nonEmpty, s"xlsx sem cabeçalho: $first")
     val schema = org.apache.spark.sql.types.StructType(header.map(h =>
       org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+    val expected = header
     val rows = spark.sparkContext.binaryFiles(path)
-      .flatMap { case (_, pds) =>
+      .flatMap { case (file, pds) =>
         val in = pds.open()
-        try Xlsx.parse(in)._2.iterator.map(r =>
-          org.apache.spark.sql.Row.fromSeq(r))
-        finally in.close()
+        try {
+          val (h, data) = Xlsx.parse(in)
+          // every file must carry the schema header VERBATIM — rows bind
+          // positionally, so a reordered or shifted header would silently
+          // fill columns with the wrong fields
+          require(h == expected,
+            s"xlsx header mismatch in $file: expected " +
+              s"[${expected.mkString(", ")}], got [${h.mkString(", ")}]")
+          data.iterator.map(r => org.apache.spark.sql.Row.fromSeq(r))
+        } finally in.close()
       }
     requireTextColumn(spark.createDataFrame(rows, schema), textColumn)
   }

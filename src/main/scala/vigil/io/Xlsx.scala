@@ -54,6 +54,146 @@ object Xlsx {
     }
   }
 
+  /** Header row only, constant memory: streams the sheet XML straight off
+    * the zip stream and STOPS after the first row; shared-string headers
+    * trigger a second streaming pass that captures only the referenced
+    * indices. Never materializes data rows — the driver uses this to fix
+    * the schema (a near-cap workbook would otherwise be fully parsed
+    * driver-side, single-threaded, before any task starts — and then
+    * parsed again executor-side). Produces exactly [[parse]]'s header.
+    */
+  def parseHeader(open: () => InputStream): Vector[String] = {
+    var cells: Vector[(Int, String, String)] = Vector.empty
+    val in1 = open()
+    try {
+      val zin = new ZipInputStream(in1)
+      var e = zin.getNextEntry
+      var found = false
+      while (e != null && !found) {
+        if (e.getName == "xl/worksheets/sheet1.xml") {
+          cells = parseFirstRow(zin)
+          found = true
+        } else e = zin.getNextEntry
+      }
+      require(found, "xlsx: no xl/worksheets/sheet1.xml entry")
+    } finally in1.close()
+    val needed = cells.collect { case (_, "s", raw) => raw.trim.toInt }.toSet
+    val shared: Map[Int, String] =
+      if (needed.isEmpty) Map.empty
+      else {
+        val in2 = open()
+        try {
+          val zin = new ZipInputStream(in2)
+          var e = zin.getNextEntry
+          var out: Map[Int, String] = Map.empty
+          var hit = false
+          while (e != null && !hit) {
+            if (e.getName == "xl/sharedStrings.xml") {
+              out = pickSharedStrings(zin, needed)
+              hit = true
+            } else e = zin.getNextEntry
+          }
+          out
+        } finally in2.close()
+      }
+    if (cells.isEmpty) Vector.empty
+    else {
+      val width = cells.map(_._1).max + 1
+      val out = Array.fill[String](width)(null)
+      cells.foreach { case (c, t, raw) =>
+        out(c) = t match {
+          case "s" => shared.getOrElse(raw.trim.toInt, null)
+          case "b" => if (raw.trim == "1") "true" else "false"
+          case _ => raw
+        }
+      }
+      out.toVector
+    }
+  }
+
+  /** First `<row>`'s cells as (colIdx, type, rawText); stops reading at
+    * its `</row>` — constant memory regardless of workbook size.
+    */
+  private def parseFirstRow(in: InputStream): Vector[(Int, String, String)] = {
+    val r = xmlFactory.createXMLStreamReader(in)
+    val out = Vector.newBuilder[(Int, String, String)]
+    var cellCol = -1
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    var nCells = 0
+    val text = new StringBuilder
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "c" =>
+                val ref = r.getAttributeValue(null, "r")
+                cellCol = if (ref != null) colIndex(ref) else nCells
+                val t = r.getAttributeValue(null, "t")
+                cellType = if (t == null) "" else t
+                text.clear()
+              case "v" => inV = true
+              case "t" if cellType == "inlineStr" => inIsT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV || inIsT) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" => inV = false
+              case "t" => inIsT = false
+              case "c" =>
+                if (cellCol >= 0) { out += ((cellCol, cellType, text.toString)); nCells += 1 }
+                cellCol = -1
+              case "row" => return out.result() // FIRST row only
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      out.result()
+    } finally r.close()
+  }
+
+  /** Only the `<si>` items whose index is in `needed`; stops once all are
+    * captured.
+    */
+  private def pickSharedStrings(
+      in: InputStream, needed: Set[Int]): Map[Int, String] = {
+    val r = xmlFactory.createXMLStreamReader(in)
+    var out = Map.empty[Int, String]
+    val cur = new StringBuilder
+    var idx = -1
+    var inSi = false
+    var inT = false
+    try {
+      while (r.hasNext && out.size < needed.size) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => idx += 1; inSi = true; cur.clear()
+              case "t" if inSi => inT = true
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT && needed.contains(idx)) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" =>
+                inSi = false
+                if (needed.contains(idx)) out += (idx -> cur.toString)
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      out
+    } finally r.close()
+  }
+
   private val xmlFactory = {
     val f = XMLInputFactory.newInstance()
     // hardening: the reference trusts its input file the same way, but

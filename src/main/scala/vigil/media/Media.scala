@@ -56,6 +56,12 @@ object Media {
       var off = 2
       while (off + 4 <= p.length) {
         if ((p(off) & 0xff) != 0xff) return None // desynced marker stream
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        // marker byte — consume them or the first fill byte's successor
+        // (0xFF) would be misread as the marker and its follower as a
+        // length high byte, desyncing the walk on spec-legal files
+        while (off + 4 <= p.length && (p(off + 1) & 0xff) == 0xff) off += 1
+        if (off + 4 > p.length) return None
         val marker = p(off + 1) & 0xff
         if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
           off += 2 // standalone marker, no length field

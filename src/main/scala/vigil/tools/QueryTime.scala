@@ -9,9 +9,15 @@ import org.apache.spark.sql.SparkSession
 object QueryTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    require(new java.io.File(sfDir).isDirectory,
+      s"first arg must be the sf dir (got '$sfDir') — usage: " +
+        "QueryTime <sfDir> <queryName> [queryName ...] [reps=N]")
     val reps = args.collectFirst { case s if s.startsWith("reps=") =>
       s.stripPrefix("reps=").toInt }.getOrElse(1)
     val names = args.drop(1).filterNot(_.startsWith("reps="))
+    require(names.nonEmpty, "no query names given — nothing to time")
+    names.foreach(n => require(graft.SparkEntry.queries.contains(n),
+      s"unknown query '$n'; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -180,6 +180,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(edge == Seq(0, 0, 3))
   }
 
+  test("unreachable recall target throws instead of silently clamping") {
+    // designCos = decision threshold (0.95) with wide 20-bit band keys
+    // needs ~128 bands for miss <= 1e-7 — far past maxBands. The old code
+    // clamped to maxBands silently (≈1.75% miss per threshold-level pair,
+    // invisible to the oracle gates); now it must refuse loudly.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Ann.cosineNearDupPairs(emb, "vec_id", "embedding", minCos = 0.95,
+        bandBits = 20, designCos = 0.95)
+    }
+    assert(ex.getMessage.contains("raise maxBands"))
+  }
+
   test("maxDisagreeFor: binomial tail budget is sound and tight") {
     // designCos 0.9999 over 40 bits: p = acos/π ≈ 0.0045, so the budget is
     // small but nonzero; a pair AT designCos must pass with prob ≥ 1-miss

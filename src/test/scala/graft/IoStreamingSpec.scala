@@ -88,6 +88,36 @@ class IoStreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sources.xlsx(spark, s"$dir/nope.xlsx", "Texto")
     }
+
+    // the streaming header-only parse must produce exactly parse()'s header
+    val hPath = new org.apache.hadoop.fs.Path(s"$dir/a.xlsx")
+    val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val streamed = vigil.io.Xlsx.parseHeader(() => hfs.open(hPath))
+    val full = {
+      val in = new java.io.FileInputStream(s"$dir/a.xlsx")
+      try vigil.io.Xlsx.parse(in)._1 finally in.close()
+    }
+    assert(streamed == full && streamed == Vector("ID", "Texto", "Num", "Flag", "Extra"))
+
+    // a glob file with a REORDERED header must fail loudly, not bind rows
+    // positionally to the wrong columns
+    val dir2 = Files.createTempDirectory("vigil_xlsx_mismatch").toString
+    writeXlsx(s"$dir2/a.xlsx", Seq("ID", "Texto"),
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c>""" +
+        """<c r="B2" t="inlineStr"><is><t>ok</t></is></c></row>""")
+    writeXlsx(s"$dir2/b.xlsx", Seq("Texto", "ID"),
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>swapped</t></is></c>""" +
+        """<c r="B2"><v>2</v></c></row>""")
+    val ex = intercept[Exception] {
+      Sources.xlsx(spark, s"$dir2/*.xlsx", "Texto").count()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("header mismatch"),
+      s"expected a header-mismatch failure, got: $messages")
   }
 
   test("csv source + encoding fallback + text-column validation") {

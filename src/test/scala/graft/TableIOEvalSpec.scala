@@ -212,6 +212,15 @@ class TableIOEvalSpec extends AnyFunSuite {
     assert(Media.HeaderCodec.jpegDims("not a jpeg".getBytes).isEmpty)
     // truncated mid-segment: the corrupt-length guard must bail, not loop
     assert(Media.HeaderCodec.jpegDims(jpeg.take(8)).isEmpty)
+    // T.81 B.1.1.2 fill bytes: extra 0xFF padding before markers is legal
+    // and must not desync the walk
+    val filled = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xff.toByte) ++ // two fill bytes before the APP0 marker
+      seg(0xe0, "JFIF ".getBytes("US-ASCII") ++ Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)) ++
+      Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte) ++ // fill before SOF
+      seg(0xc0, sof0) ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    assert(Media.HeaderCodec.jpegDims(filled).contains((217, 333)))
 
     // end to end through the Spark plumbing: real headers → true values
     val media = Seq(
