@@ -268,19 +268,24 @@ object Ann {
     })
 
     // Lloyd iterations: assign → per-centroid mean in ONE map-side-combined
-    // aggregation (dim avg columns per centroid — no posexplode shuffle,
-    // one job per iteration; the collect is nCentroids×dim doubles)
+    // aggregation. vector_sum (a flat-loop TypedImperativeAggregate) + a
+    // row count replace the old 64 separate avg columns — one buffer add
+    // per row instead of 64 element_at extractions, and no 64-column
+    // codegen stage compiled per iteration (compile time dominated the
+    // small-corpus wall). The collect stays nCentroids×dim doubles.
     var it = 0
     while (it < iterations) {
       val assigned = c.withColumn("cid", assignUdf(centroids)(col("nn_vec")))
       val means = assigned
         .groupBy("cid")
-        .agg(array((0 until dim).map(i =>
-          avg(element_at(col("nn_vec"), i + 1))): _*).as("m"))
+        .agg(vigil.functions.vector_sum(col("nn_vec"), dim).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = centroids.clone()
       means.foreach { r =>
-        next(r.getInt(0)) = r.getSeq[Double](1).toArray
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        next(r.getInt(0)) = Array.tabulate(dim)(i => s(i) / n)
       }
       centroids = next
       it += 1

@@ -471,6 +471,71 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Element-wise sum of fixed-dim array<double> vectors — one
+  * TypedImperativeAggregate with a flat-loop update instead of `dim`
+  * separate avg/sum columns (the IVF centroid step aggregated 64 avg
+  * columns PER Lloyd iteration: a fresh 64-column codegen stage each
+  * time, with per-column `element_at` extraction; this is one buffer add
+  * per row). Partial buffers merge element-wise, exactly like the
+  * per-column partial sums they replace. Null or wrong-length inputs are
+  * skipped (matching avg's null-skipping); an empty group yields the
+  * zero vector.
+  */
+case class VectorSumAgg(
+    child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Double]] {
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vector_sum"
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (a.numElements() == dim) {
+        var i = 0
+        while (i < dim) { buf(i) += a.getDouble(i); i += 1 }
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < dim) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(dim * 8)
+    var i = 0
+    while (i < dim) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): VectorSumAgg = copy(child = cs.head)
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -486,4 +551,7 @@ object functions {
       expr(b.cast("array<double>"))))
   def sorted_intersect_size(a: Column, b: Column): Column =
     VigilShim.column(SortedIntersectSizeExpr(expr(a), expr(b)))
+  def vector_sum(v: Column, dim: Int): Column =
+    VigilShim.column(VectorSumAgg(expr(v.cast("array<double>")), dim)
+      .toAggregateExpression())
 }

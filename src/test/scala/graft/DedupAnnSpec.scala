@@ -215,6 +215,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(Ann.maxDisagreeFor(40, 0.0, 0.5) >= 19)
   }
 
+  test("vector_sum aggregate equals per-element sum columns") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("g", pmod(col("vec_id"), lit(4)))
+    val fast = emb.groupBy("g")
+      .agg(vigil.functions.vector_sum(col("v"), 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ref = emb.groupBy("g")
+      .agg(array((0 until 64).map(i =>
+        sum(element_at(col("v"), i + 1))): _*).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fast.keySet == ref.keySet)
+    // same partial/merge shape as per-column sums → equal to fp noise
+    fast.foreach { case (g, s) =>
+      s.zip(ref(g)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"group $g diverges: $a vs $b")
+      }
+    }
+  }
+
   test("ivf: full probe equals brute force; partial probe is rank-consistent") {
     // double-cast once so brute (no internal cast) and ivf (casts inside)
     // compute bit-identical cosines
