@@ -296,6 +296,82 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized exactness: neardupVerified equals brute on fuzz corpora") {
+    // beyond the fixed fixtures: random corpora with random dup clusters,
+    // LSH-candidates + exact verify must equal brute-force all-pairs at
+    // the threshold on EVERY seed (miss prob ~1.3e-8/pair by the band
+    // math — deterministic in practice; a real miss here is a bug)
+    val vocab = Array("dados", "processo", "prazo", "resposta", "pedido",
+      "governo", "cidade", "solicito", "documento", "informa", "lei",
+      "portal", "acesso", "publico", "sistema", "registro")
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val rng = new scala.util.Random(seed)
+      def freshDoc() =
+        Seq.fill(12 + rng.nextInt(25))(vocab(rng.nextInt(vocab.length)))
+          .mkString(" ")
+      def mutate(t: String) = { // near-dup: swap one word
+        val w = t.split(" ")
+        w(rng.nextInt(w.length)) = vocab(rng.nextInt(vocab.length))
+        w.mkString(" ")
+      }
+      val docsRaw = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      while (docsRaw.length < 120) {
+        val base = freshDoc()
+        docsRaw += ((id, base)); id += 1
+        val clones = rng.nextInt(4) // 0-3 near-dups per base
+        (0 until clones).foreach { _ =>
+          docsRaw += ((id, if (rng.nextBoolean()) base else mutate(base)))
+          id += 1
+        }
+      }
+      val df = docsRaw.toSeq.toDF("doc_id", "text")
+        .withColumn("blk", lit("all"))
+      def norm(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e12))).toSet
+      val fast = norm(Dedup.neardupVerified(df, "text", "doc_id",
+        minJaccard = 0.8).select("id_a", "id_b", "jaccard").collect())
+      val brute = norm(Dedup.jaccardPairs(df, "text", "doc_id", "blk",
+        minJaccard = 0.8).select("id_a", "id_b", "jaccard").collect())
+      assert(fast == brute,
+        s"seed $seed: LSH-verified (${fast.size}) != brute (${brute.size}); " +
+          s"missing ${(brute -- fast).take(3)}, extra ${(fast -- brute).take(3)}")
+    }
+  }
+
+  test("randomized exactness: cosineNearDupPairs finds every planted pair") {
+    for (seed <- Seq(5, 19)) {
+      val rng = new scala.util.Random(seed)
+      val base = (0L until 150L).map { i =>
+        (i, Seq.fill(64)(rng.nextGaussian()))
+      }
+      // planted near-dups: tiny deterministic perturbation (cos ≈ 0.9999+)
+      val planted = base.map { case (i, v) =>
+        (i + 1000L, v.map(x => x + rng.nextGaussian() * 0.003))
+      }
+      val df = (base ++ planted).toDF("vec_id", "embedding")
+      val pairs = Ann.cosineNearDupPairs(df, "vec_id", "embedding",
+        minCos = 0.95, seed = 42L + seed)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact truth by brute force over all C(300,2) pairs
+      val all = (base ++ planted).map { case (i, v) => (i, v.toArray) }
+      def cos(a: Array[Double], b: Array[Double]) = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < 64) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val truth = (for {
+        x <- all.indices.iterator; y <- (x + 1 until all.length).iterator
+        if cos(all(x)._2, all(y)._2) >= 0.95
+      } yield (math.min(all(x)._1, all(y)._1), math.max(all(x)._1, all(y)._1))).toSet
+      assert(pairs == truth,
+        s"seed $seed: found ${pairs.size}, truth ${truth.size}; " +
+          s"missing ${(truth -- pairs).take(3)}")
+    }
+  }
+
   test("plan: bucket window-cap and member aggregation share ONE exchange") {
     // the pre-aggregation row_number cap claims to add NO exchange: its
     // window partitions on the same (band, bh, blk) key the groupBy needs,
