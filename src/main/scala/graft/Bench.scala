@@ -38,10 +38,12 @@ object Bench {
         vigil.Decide.Default.copy(targetLang = "pt")))
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
-    // the flagship (headline-throughput) query is timed best-of-3 so the
-    // reported turns/sec reflects the engine, not host scheduling noise
-    // (this host shows 2-4× wall-time swings; see BENCH/BASELINE.md);
-    // every other query runs once to keep total bench time bounded
+    // every query is timed min-of-2 (the flagship best-of-3): this host
+    // shows 2-4× wall-time swings (see BENCH/BASELINE.md), and a single
+    // bad window on a one-shot run becomes the round's official number
+    // (r3: 155 s driver artifact vs 38.6 s re-run on identical code).
+    // The warm sum of all queries is ~29 s, so a second pass is cheap.
+    // All runs are kept in the JSON (`spread`) so the noise is visible.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -49,9 +51,11 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = if (name == "pipeline_transcripts") 3 else 1
-      val runs = (1 to reps).map(_ => timeOnce(name, fn))
+    val runsByQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val reps = if (name == "pipeline_transcripts") 3 else 2
+      name -> (1 to reps).map(_ => timeOnce(name, fn))
+    }
+    val results = runsByQuery.map { case (name, runs) =>
       // min over SUCCESSFUL reps only — a rep that dies fast must not
       // become the reported (inflated) headline time
       val good = runs.filter(_._2)
@@ -72,9 +76,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every individual run time (name-sorted, run order), so the artifact
+    // itself shows the per-query noise spread instead of hiding it
+    val spread = runsByQuery.map { case (k, runs) =>
+      "\"" + k + "\":[" + runs.map(r => f"${r._1}%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""spread":$spread,""" +
         s""""sf":"$sfDir","pipeline_turns":$nTurns,""" +
         s""""pipeline_turns_per_sec":$turnsPerSec,"cpus":$cpus}""")
     spark.stop()

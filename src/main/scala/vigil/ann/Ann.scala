@@ -223,8 +223,14 @@ object Ann {
       nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 2,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val spark = corpus.sparkSession
+    // null vectors can never be neighbors, but they WOULD crash the assign
+    // UDF and could be picked as a centroid seed — drop them at the door.
+    // Ragged (wrong-length) vectors stay: every kernel below folds over
+    // min(length, dim), and the centroid denominator counts only the rows
+    // vector_sum actually folded.
     val c = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("nn_vec"))
+      .filter(col("nn_vec").isNotNull)
 
     // deterministic init: the vector whose id hashes smallest per residue
     // class seeds centroid j (no Random, stable across runs/partitionings).
@@ -276,16 +282,22 @@ object Ann {
     var it = 0
     while (it < iterations) {
       val assigned = c.withColumn("cid", assignUdf(centroids)(col("nn_vec")))
+      // denominator = rows vector_sum actually folded: VectorSumAgg.update
+      // skips null/wrong-length vectors, so count(lit(1)) would divide by
+      // rows that never entered the sum and bias centroids toward zero
+      // (the per-column avg() this replaced excluded nulls natively)
       val means = assigned
         .groupBy("cid")
         .agg(vigil.functions.vector_sum(col("nn_vec"), dim).as("s"),
-          count(lit(1)).as("n"))
+          count(when(col("nn_vec").isNotNull && size(col("nn_vec")) === dim, 1)).as("n"))
         .collect()
       val next = centroids.clone()
       means.foreach { r =>
         val s = r.getSeq[Double](1)
         val n = r.getLong(2).toDouble
-        next(r.getInt(0)) = Array.tabulate(dim)(i => s(i) / n)
+        // a centroid whose cluster held only skipped vectors keeps its
+        // previous position instead of collapsing to 0/0 = NaN
+        if (n > 0) next(r.getInt(0)) = Array.tabulate(dim)(i => s(i) / n)
       }
       centroids = next
       it += 1
@@ -354,6 +366,16 @@ object Ann {
       minCos: Double, bandBits: Int = 0, bands: Int = 0, dim: Int = 64,
       seed: Long = 42L, designCos: Double = 0.9999,
       targetMiss: Double = 1e-7, maxBucketSize: Int = 100000): DataFrame = {
+    // the recall guarantee holds at designCos, NOT at minCos: pairs in
+    // (minCos, designCos) ride the LSH S-curve down. The scaladoc says so,
+    // but minCos reads like a completeness threshold — surface the design
+    // point at RUN time so a caller on a real corpus sees the trade
+    if (designCos > minCos)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"cosineNearDupPairs: recall is designed at cos=$designCos%.4f " +
+          f"(miss ≤ ${2 * targetMiss}%.1e) but the decision threshold is " +
+          f"minCos=$minCos%.4f — pairs between them have DEGRADED recall; " +
+          "pass designCos = minCos for full recall at the threshold (more bands)")
     val bb = if (bandBits > 0) bandBits else bandBitsFor(corpus.count())
     val nb = if (bands > 0) bands else bandsFor(bb, designCos, targetMiss)
     val maxDis = maxDisagreeFor(nb * bb, designCos, targetMiss)

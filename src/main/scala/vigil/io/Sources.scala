@@ -92,6 +92,10 @@ object Sources {
         s"Arquivo não encontrado: $path")
       case s => s.filter(st => st.isFile)
     }
+    // the glob may have matched only directories — same friendly error as
+    // no match at all (minBy over an empty array would throw UnsupportedOp)
+    if (statuses.isEmpty)
+      throw new IllegalArgumentException(s"Arquivo não encontrado: $path")
     statuses.foreach { st =>
       require(st.getLen <= MaxFileSizeMb.toLong * 1024 * 1024,
         f"Arquivo muito grande (${st.getLen / (1024.0 * 1024)}%.0f MB). " +
@@ -103,6 +107,11 @@ object Sources {
     val first = statuses.map(_.getPath).minBy(_.toString)
     val header = Xlsx.parseHeader(() => fs.open(first))
     require(header.nonEmpty, s"xlsx sem cabeçalho: $first")
+    // a header cell can resolve to null (empty/missing shared string) —
+    // that must fail here, not as a null StructField name downstream
+    require(header.forall(_ != null),
+      s"xlsx cabeçalho com célula vazia em $first: " +
+        header.map(h => if (h == null) "<null>" else h).mkString(", "))
     val schema = org.apache.spark.sql.types.StructType(header.map(h =>
       org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
     val expected = header

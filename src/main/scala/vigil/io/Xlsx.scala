@@ -121,7 +121,12 @@ object Xlsx {
     var cellType = ""
     var inV = false
     var inIsT = false
-    var nCells = 0
+    // positional fallback for cells lacking r=: the next column is the
+    // PADDED width so far (max cellCol+1 over ended cells) — exactly what
+    // parseSheet's `row.length` fallback resolves to after endCell's
+    // padding. A plain cell COUNT diverges as soon as explicit refs skip
+    // columns, and header vs data would then disagree on positions.
+    var width = 0
     val text = new StringBuilder
     try {
       while (r.hasNext) {
@@ -130,7 +135,7 @@ object Xlsx {
             r.getLocalName match {
               case "c" =>
                 val ref = r.getAttributeValue(null, "r")
-                cellCol = if (ref != null) colIndex(ref) else nCells
+                cellCol = if (ref != null) colIndex(ref) else width
                 val t = r.getAttributeValue(null, "t")
                 cellType = if (t == null) "" else t
                 text.clear()
@@ -145,7 +150,10 @@ object Xlsx {
               case "v" => inV = false
               case "t" => inIsT = false
               case "c" =>
-                if (cellCol >= 0) { out += ((cellCol, cellType, text.toString)); nCells += 1 }
+                if (cellCol >= 0) {
+                  out += ((cellCol, cellType, text.toString))
+                  width = math.max(width, cellCol + 1)
+                }
                 cellCol = -1
               case "row" => return out.result() // FIRST row only
               case _ =>

@@ -264,6 +264,33 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf: null and ragged vectors don't poison centroids or results") {
+    // VectorSumAgg.update skips null/wrong-length vectors; the centroid
+    // denominator must count only folded rows (r3 advice) and a cluster
+    // with zero valid members must keep its previous centroid, not 0/0
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val polluted = emb
+      .withColumn("embedding",
+        when(pmod(col("vec_id"), lit(7)) === 0, lit(null).cast("array<double>"))
+          .when(pmod(col("vec_id"), lit(11)) === 3, slice(col("embedding"), 1, 5))
+          .otherwise(col("embedding")))
+    val q = emb.filter(col("vec_id") < 5 && pmod(col("vec_id"), lit(7)) =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val full = rows(Ann.ivfTopK(polluted, q, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 8))
+    assert(full.forall(t => !t._4.isNaN), "no NaN cosines from polluted rows")
+    // full probe over the polluted corpus ≡ brute force over it: invalid
+    // rows may enter candidates but can never outrank a valid neighbor
+    val brute = rows(Ann.bruteForceTopK(polluted.filter(col("embedding").isNotNull),
+      q, "vec_id", "embedding", k = 3))
+    assert(full.map(t => (t._1, t._2, t._3)).toSeq ==
+      brute.map(t => (t._1, t._2, t._3)).toSeq,
+      "full probe over polluted corpus must match brute force")
+  }
+
   test("estJaccardAtLeast keeps a pair exactly at the threshold (ceil boundary)") {
     // minEst*n an exact integer in reals but rounded up in double:
     // 0.8*145 = 116.0000000000000064 → naive ceil demands 117 and drops a

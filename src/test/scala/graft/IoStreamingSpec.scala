@@ -120,6 +120,44 @@ class IoStreamingSpec extends AnyFunSuite {
       s"expected a header-mismatch failure, got: $messages")
   }
 
+  test("xlsx edge cases: ref-less header cells, dir-only glob, null header") {
+    def is(s: String) = s"""t="inlineStr"><is><t>$s</t></is>"""
+    // header mixing explicit refs (out of order, skipping columns) with
+    // ref-less cells: the ref-less fallback must resolve to the PADDED
+    // width (parseSheet's row.length), not the raw cell count — else the
+    // driver-side header disagrees with the executor-side parse of the
+    // very same row and the source rejects its own first file
+    val dir = Files.createTempDirectory("vigil_xlsx_refless").toString
+    writeXlsx(s"$dir/mix.xlsx", Seq.empty,
+      s"""<row r="1"><c ${is("a")}</c><c r="C1" ${is("c")}</c>""" +
+        s"""<c ${is("d")}</c><c r="B1" ${is("b")}</c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c>""" +
+        """<c r="C2"><v>3</v></c><c r="D2"><v>4</v></c></row>""")
+    val df = Sources.xlsx(spark, s"$dir/mix.xlsx", "a")
+    assert(df.columns.toSeq == Seq("a", "b", "c", "d"))
+    assert(df.collect().head.toSeq == Seq("1", "2", "3", "4"))
+
+    // a glob that matches ONLY directories → the friendly not-found error,
+    // not minBy's UnsupportedOperationException
+    val dir2 = Files.createTempDirectory("vigil_xlsx_dirglob").toString
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir2/sub.xlsx"))
+    val ex = intercept[IllegalArgumentException] {
+      Sources.xlsx(spark, s"$dir2/*.xlsx", "Texto")
+    }
+    assert(ex.getMessage.contains("Arquivo não encontrado"))
+
+    // a header cell resolving to null (column B skipped in row 1) must
+    // fail with the friendly header error, not a null StructField name
+    val dir3 = Files.createTempDirectory("vigil_xlsx_nullhdr").toString
+    writeXlsx(s"$dir3/gap.xlsx", Seq.empty,
+      s"""<row r="1"><c r="A1" ${is("ID")}</c><c r="C1" ${is("Texto")}</c></row>""" +
+        """<row r="2"><c r="A2"><v>1</v></c><c r="C2"><v>x</v></c></row>""")
+    val ex2 = intercept[IllegalArgumentException] {
+      Sources.xlsx(spark, s"$dir3/gap.xlsx", "Texto")
+    }
+    assert(ex2.getMessage.contains("cabeçalho"))
+  }
+
   test("csv source + encoding fallback + text-column validation") {
     val dir = Files.createTempDirectory("vigil_src").toString
     // a latin-1 file: 'coração' encoded ISO-8859-1 is invalid UTF-8
