@@ -235,6 +235,27 @@ object SparkEntry {
           coalesce(element_at(typedLit(Review.PriorityRank), col("prioridade")), lit(9)).asc,
           col("doc_id").asc, col("tipo_pii").asc, col("valor").asc)
     }),
+    // --- H4 snippet extraction (oracle-paired): the REAL Review.snippetExpr
+    //     (±100 chars, ellipses, first-2·window fallback) over the same
+    //     SQL-derivable keyword detections as q_review_bands, plus a
+    //     planted not-present value on every 5th doc so the fallback
+    //     branch is exercised, not just reachable ------------------------
+    "q_review_snippet" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def det(re: String) =
+        d.select(col("doc_id"), col("text"),
+          explode(regexp_extract_all(col("text"), lit(re), lit(0))).as("valor"))
+      val missing = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"),
+          lit("valor ausente zz").as("valor"))
+      det(KwARe).unionByName(det(KwBRe)).unionByName(missing)
+        .dropDuplicates("doc_id", "valor")
+        .withColumn("trecho",
+          Review.snippetExpr(col("text"), col("valor"),
+            Review.Default.contextWindow))
+        .select("doc_id", "valor", "trecho")
+        .orderBy("doc_id", "valor")
+    }),
     // --- L4 toxicity lexicon ---------------------------------------------
     "q_toxicity" -> ((s, dir) => {
       docs(s, dir).select(
@@ -341,15 +362,54 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
-    // --- LSH-bucketed ANN (the scale path, rows-only) --------------------
+    // --- LSH-bucketed ANN (the scale path, oracle-paired) ----------------
+    //     provable-recall configuration: each query vector gets 5 planted
+    //     perturbed copies (cos ≈ 0.9996..0.99998 to their source, all far
+    //     above the ~0.51 background), and bands = 0 derives the band
+    //     count from designCos = 0.999 at targetMiss = 1e-7 — every true
+    //     top-5 neighbor enters the candidate set with miss ≤ 5e-6 over
+    //     the 50 planted pairs, so the LSH output EQUALS the brute-force
+    //     top-5 the DuckDB twin computes. Same float-perturb + double-cast
+    //     convention as q_cosine_neardup (bit-identical cosines).
     "q_ann_lsh" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      // two-step selects: the copy id must UNAMBIGUOUSLY be the new id
+      // (lateral-column-alias hazard, same as q_cosine_neardup)
+      val planted = base
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(5))).as("j"))
+        .select((col("vec_id") + col("j") * lit(1000000L)).as("new_id"),
+          col("j"), col("embedding"))
+        .select(
+          col("new_id").as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + sin(col("new_id") * (i + 1)) *
+              (col("j") * lit(0.002))).cast("float"))
+            .as("embedding"))
+      val corpus = base.unionByName(planted)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.lshTopK(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, bands = 0, designCos = 0.999)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
-    // --- IVF posting-list ANN (the other scale path, rows-only) ----------
+    // --- IVF posting-list ANN, full probe (oracle-paired) ----------------
+    //     nProbe = nCentroids degenerates to exact search THROUGH the IVF
+    //     machinery (Lloyd training, posting lists, probe join) — output
+    //     equals brute force, so the DuckDB twin is the q_ann_topk brute
+    //     SQL over a different query slice
     "q_ann_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.ivfTopK(emb,
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nCentroids = 8, nProbe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    // --- IVF partial probe (the approximate scale shape, rows-only) ------
+    "q_ann_ivf_probe" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
@@ -389,6 +449,22 @@ object SparkEntry {
     //     (oracle-paired: output identical to brute-force all-pairs ≥ t)
     "q_neardup_verified" -> ((s, dir) => {
       Dedup.neardupVerified(docs(s, dir), "text", "doc_id", minJaccard = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+    // --- incremental verified near-dup (oracle-paired): a new batch
+    //     (every 3rd doc) deduped against the rest of the corpus via its
+    //     signature table — emits exactly the batch-touching slice of the
+    //     brute-force pairs, never corpus×corpus. In production
+    //     corpusSigs is a stored table appended per ingest; here it is
+    //     computed in-query at fixture scale ---------------------------
+    "q_neardup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val corpusSigs = Dedup.computeSignatures(corpus, "text", "doc_id",
+        bands = 24, rowsPerBand = 6, shingleK = 1)
+      Dedup.neardupVerifiedIncremental(corpusSigs, corpus, batch,
+        "text", "doc_id", minJaccard = 0.9)
         .orderBy("id_a", "id_b")
     }),
     // --- multimodal plumbing (stubbed codec, real batching, rows-only) ---
@@ -553,6 +629,42 @@ object SparkEntry {
          ORDER BY (CASE prioridade WHEN 'alta' THEN 0 WHEN 'media' THEN 1
              WHEN 'baixa' THEN 2 ELSE 9 END) ASC,
            doc_id ASC, tipo_pii ASC, valor ASC""",
+    // H4 snippet twin: strpos/substr/length are character-based in DuckDB
+    // exactly like instr/substring/length in Spark (and Python str
+    // indexing in human_review.py:388-410)
+    "q_review_snippet" ->
+      s"""WITH det AS (
+           SELECT doc_id, text,
+             unnest(regexp_extract_all(text, '$KwARe')) AS valor
+           FROM documents
+           UNION ALL
+           SELECT doc_id, text,
+             unnest(regexp_extract_all(text, '$KwBRe')) AS valor
+           FROM documents
+           UNION ALL
+           SELECT doc_id, text, 'valor ausente zz' AS valor
+           FROM documents WHERE doc_id % 5 = 0),
+         d AS (SELECT DISTINCT doc_id, text, valor FROM det),
+         pos AS (
+           SELECT doc_id, text, valor,
+             strpos(lower(text), lower(valor)) AS p,
+             length(text) AS len_t, length(valor) AS len_v
+           FROM d),
+         idx AS (
+           SELECT doc_id, text, valor, p, len_t,
+             greatest(p - 1 - 100, 0) AS s0,
+             least(p - 1 + len_v + 100, len_t) AS e0
+           FROM pos)
+         SELECT doc_id, valor,
+           CASE WHEN p > 0 THEN
+             (CASE WHEN s0 > 0 THEN '...' ELSE '' END) ||
+             substr(text, CAST(s0 + 1 AS INT), CAST(e0 - s0 AS INT)) ||
+             (CASE WHEN e0 < len_t THEN '...' ELSE '' END)
+           ELSE
+             substr(text, 1, 200) ||
+             (CASE WHEN len_t > 200 THEN '...' ELSE '' END)
+           END AS trecho
+         FROM idx ORDER BY doc_id, valor""",
     "q_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, source,
            list_distinct(list_filter(string_split(lower(text), ' '),
@@ -577,9 +689,60 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
          ORDER BY id_a, id_b""",
+    // batch-touching slice of the global brute-force pairs: the
+    // incremental path must find every pair with ≥1 member in the batch
+    // (doc_id % 3 = 0) and must NOT emit corpus×corpus pairs
+    "q_neardup_incremental" ->
+      """WITH t AS (SELECT doc_id,
+           list_distinct(list_filter(string_split(lower(text), ' '),
+             w -> len(w) > 0)) AS toks FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+           AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+         ORDER BY id_a, id_b""",
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+                 list_cosine_similarity(q.v, e.v) AS cos
+               FROM e JOIN q ON q.vec_id <> e.vec_id)
+         SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, nn_id ASC) AS rank,
+           nn_id, cos
+         FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // brute-force twin of the recall-designed LSH top-k over the same
+    // deterministically planted corpus (5 perturbed copies per query):
+    // with bands derived for designCos 0.999 at miss 1e-7, the LSH
+    // candidate set provably contains every true top-5 neighbor, so the
+    // exact re-rank equals this exhaustive top-5
+    "q_ann_lsh" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         planted AS (SELECT vec_id + j*1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (embedding[i] + sin((vec_id + j*1000000)*i)*(0.002*j))::FLOAT)
+               AS embedding
+           FROM base, range(1, 6) t(j) WHERE vec_id < 10),
+         allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+                  UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM planted),
+         q AS (SELECT vec_id, v FROM allv WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+                 list_cosine_similarity(q.v, e.v) AS cos
+               FROM allv e JOIN q ON q.vec_id <> e.vec_id)
+         SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, nn_id ASC) AS rank,
+           nn_id, cos
+         FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // full-probe IVF degenerates to exact search → the brute twin over
+    // the [10, 20) query slice
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id >= 10 AND vec_id < 20),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
                  list_cosine_similarity(q.v, e.v) AS cos
                FROM e JOIN q ON q.vec_id <> e.vec_id)

@@ -150,6 +150,31 @@ object Review {
       .when(score < cfg.highConfidenceThreshold,
         reasonStruct(lit("score_medio"), lit("baixa")))
 
+  /** H4 snippet extraction (human_review.py:388-410): ±window characters
+    * around the FIRST case-insensitive occurrence of `valor` in `text`,
+    * with '...' ellipses on each truncated side; when the value does not
+    * occur verbatim, fall back to the first 2·window characters (plus
+    * '...' if the text is longer). All positions are CHARACTER-based
+    * (instr/substring/length), matching Python str indexing — and DuckDB
+    * strpos/substr/length, which is what the q_review_snippet oracle
+    * pairs against.
+    */
+  def snippetExpr(text: Column, valor: Column, window: Int): Column = {
+    val p = instr(lower(text), lower(valor)) // 1-based; 0 = not found
+    val textLen = length(text)
+    val valLen = length(valor)
+    val startIdx = greatest(p - 1 - window, lit(0)) // 0-based
+    val endIdx = least(p - 1 + valLen + window, textLen)
+    val found = concat(
+      when(startIdx > 0, lit("...")).otherwise(lit("")),
+      substring(text, (startIdx + 1).cast("int"), (endIdx - startIdx).cast("int")),
+      when(endIdx < textLen, lit("...")).otherwise(lit("")))
+    val notFound = concat(
+      substring(text, 1, window * 2),
+      when(textLen > window * 2, lit("...")).otherwise(lit("")))
+    when(p > 0, found).otherwise(notFound)
+  }
+
   /** From a Decide.scoreTurns frame, produce the consolidated review table:
     * (conv_id, turn_idx, prioridade, tipo_pii, valor_detectado, score,
     * motivo, texto_trecho, explicacao), sorted alta→media→baixa, stable.
@@ -230,20 +255,8 @@ object Review {
       .drop("rn")
 
     // H4 snippet: ±window chars around first case-insensitive occurrence
-    val win = cfg.contextWindow
-    val p = instr(lower(col("clean")), lowerValor) // 1-based; 0 = not found
-    val textLen = length(col("clean"))
-    val valLen = length(col("valor_detectado"))
-    val startIdx = greatest(p - 1 - win, lit(0)) // 0-based
-    val endIdx = least(p - 1 + valLen + win, textLen)
-    val found = concat(
-      when(startIdx > 0, lit("...")).otherwise(lit("")),
-      substring(col("clean"), (startIdx + 1).cast("int"), (endIdx - startIdx).cast("int")),
-      when(endIdx < textLen, lit("...")).otherwise(lit("")))
-    val notFound = concat(
-      substring(col("clean"), 1, win * 2),
-      when(textLen > win * 2, lit("...")).otherwise(lit("")))
-    val trecho = when(p > 0, found).otherwise(notFound)
+    val trecho = snippetExpr(col("clean"), col("valor_detectado"),
+      cfg.contextWindow)
 
     consolidated
       .withColumn("texto_trecho", regexp_replace(trecho, "\n", " "))

@@ -168,20 +168,30 @@ object Ann {
     * (barely sublinear). Wider bands cost recall for mid-similarity
     * neighbors (S-curve: p_band = (1-θ/π)^bits); the default 8 bands buy
     * back ~2× the collision chance of the old 4.
+    *
+    * bands ≤ 0 derives the band COUNT from an explicit recall design
+    * point instead ([[bandsFor]]): a neighbor at cos ≥ designCos enters
+    * the candidate set with miss ≤ targetMiss, so when every true top-k
+    * neighbor sits at ≥ designCos the LSH output EQUALS the brute-force
+    * top-k (up to the union-bounded miss) — the provable-recall
+    * configuration the oracle pairing runs. Throws (never clamps) when
+    * the target is unreachable, like every recall knob in this package.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bandBits: Int = 0, bands: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, designCos: Double = 0.999,
+      targetMiss: Double = 1e-7): DataFrame = {
     val bb = if (bandBits > 0) bandBits else bandBitsFor(corpus.count())
+    val nBands = if (bands > 0) bands else bandsFor(bb, designCos, targetMiss)
     val c = withBandKeys(
       corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
-      "nn_vec", bb, bands, dim, seed)
+      "nn_vec", bb, nBands, dim, seed)
       .select("band", "bkey", "nn_id")
     val q = withBandKeys(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "q_vec", bb, bands, dim, seed)
+      "q_vec", bb, nBands, dim, seed)
       .select("band", "bkey", "query_id")
     // ids only through the band join AND the multi-band dedup exchange;
     // both vectors re-join AFTER dropDuplicates (the r2 shape shipped the

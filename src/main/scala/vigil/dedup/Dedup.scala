@@ -195,29 +195,96 @@ object Dedup {
       seed: Long = 42L, minEst: Double = 0.8,
       maxBucketSize: Int = 100000,
       blockCol: Option[String] = None,
-      crossBandSkip: Boolean = true): DataFrame = {
+      crossBandSkip: Boolean = true,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    // precomputedSigs (a [[computeSignatures]] frame, same bands/rows/
+    // shingle/seed/block params) skips the MinHash UDF pass entirely —
+    // the production shape when signatures live in a table (df/textCol
+    // are then only documentation). When WE compute them and the skip's
+    // cardinality pre-pass will re-consume the frame, persist: without
+    // the cache the second action re-runs the whole UDF pass. The cache
+    // holds (id, blk, 144-long sig) ≈ 1.2 KB/doc, spill-to-disk bounded;
+    // [[persistSigs]] caps the session at ONE live signature cache.
+    val sigs0 = precomputedSigs.getOrElse(computeSignatures(
+      df, textCol, idCol, bands, rowsPerBand, shingleK, seed, blockCol))
+    val sigs = if (crossBandSkip && precomputedSigs.isEmpty) persistSigs(sigs0)
+      else sigs0
+    lshPairs(sigs.withColumn("is_new", lit(true)), bands, rowsPerBand,
+      minEst, maxBucketSize, crossBandSkip, onlyNew = false)
+  }
+
+  /** The stable signature frame consumed by [[minhashLsh]]
+    * (`precomputedSigs`) and [[minhashLshIncremental]]: one row per
+    * document, `(id: long, blk: string, sig: array<long>)`. Write it to a
+    * table and append each ingest batch's frame — the MinHash UDF pass is
+    * the dominant narrow-stage cost of LSH dedup, and a recurring ingest
+    * should pay it once per document EVER, not once per run. Band hashes
+    * are NOT stored: they re-derive from `sig` in nb·rpb integer ops per
+    * row (noise next to a parquet scan), and leaving them out keeps the
+    * stored schema independent of the banding so the same table serves a
+    * re-banding (same numHashes) without a rewrite.
+    */
+  def computeSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 16, rowsPerBand: Int = 8, shingleK: Int = 3,
+      seed: Long = 42L, blockCol: Option[String] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
+    val sigUdf = udf((t: String) =>
+      MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed))
+    val blk = blockCol.map(c => col(c).cast("string")).getOrElse(lit(""))
+    df.select(col(idCol).as("id"), blk.as("blk"),
+      sigUdf(col(textCol)).as("sig"))
+  }
+
+  /** Incremental near-dup: pairs of a NEW batch against an existing
+    * corpus signature table, without recomputing corpus signatures — the
+    * operation a recurring ingest actually runs. Emits exactly the
+    * (new×corpus ∪ new×new) slice of what a from-scratch [[minhashLsh]]
+    * over the union would emit (spec-asserted, caps included): the union
+    * rides the same buckets, same caps, same cross-band skip; pairs with
+    * BOTH members in the corpus are suppressed before any estimator work.
+    *
+    * Both inputs are [[computeSignatures]] frames with the SAME
+    * bands/rowsPerBand/shingle/seed/block parameters; ids must be unique
+    * across the union (re-ingesting an id produces self-pairs). The pair
+    * stage scans its input twice when crossBandSkip (cardinality
+    * pre-pass) — corpus signatures come from a table (cheap rescan by
+    * design), and callers should persist `newSigs` if they also append
+    * it to that table in the same job. At 100 TB the corpus sig table is
+    * the only big input, and it is NEVER recomputed or cached here.
+    */
+  def minhashLshIncremental(
+      corpusSigs: DataFrame, newSigs: DataFrame,
+      bands: Int = 16, rowsPerBand: Int = 8, minEst: Double = 0.8,
+      maxBucketSize: Int = 100000,
+      crossBandSkip: Boolean = true): DataFrame = {
+    val union = corpusSigs.select(col("id"), col("blk"), col("sig"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newSigs.select(col("id"), col("blk"), col("sig"))
+        .withColumn("is_new", lit(true)))
+    lshPairs(union, bands, rowsPerBand, minEst, maxBucketSize,
+      crossBandSkip, onlyNew = true)
+  }
+
+  /** Shared LSH pair stage over a signature frame (id, blk, sig, is_new).
+    * onlyNew suppresses corpus×corpus pairs (both members is_new = false)
+    * before any estimator or skip work — the incremental contract.
+    */
+  private def lshPairs(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int, minEst: Double,
+      maxBucketSize: Int, crossBandSkip: Boolean,
+      onlyNew: Boolean): DataFrame = {
     val rpb = rowsPerBand
     val nb = bands
-    val sigUdf = udf { (t: String) =>
-      val sig = MinHash.signature(if (t == null) "" else t, numHashes, shingleK, seed)
-      (sig, Array.tabulate(nb)(b => MinHash.bandHash(sig, b, rpb)))
+    val bhsUdf = udf { (sig: Seq[Long]) =>
+      val a = sig.toArray
+      Array.tabulate(nb)(b => MinHash.bandHash(a, b, rpb))
     }
-    val blk = blockCol.map(c => col(c).cast("string")).getOrElse(lit(""))
-    // persisted (only when the skip's pre-pass exists): the capped
-    // pre-pass below is a second ACTION over the signature frame, and
-    // without the cache it re-runs the whole MinHash UDF pass (the
-    // narrow-stage cost, ×2). The cache holds (id, blk, 144-long sig,
-    // band hashes) ≈ 1.3 KB/doc, spill-to-disk bounded; [[persistSigs]]
-    // caps the session at ONE live signature cache.
-    val sigs0 = df.select(col(idCol).as("id"), blk.as("blk"),
-      sigUdf(col(textCol)).as("s"))
-    val sigs = if (crossBandSkip) persistSigs(sigs0) else sigs0
-    val exploded = sigs.select(col("id"), col("blk"), col("s._1").as("sig"),
-      posexplode(col("s._2")).as(Seq("band", "bh")))
+    val exploded = sigs.select(col("id"), col("blk"), col("sig"),
+      col("is_new"), posexplode(bhsUdf(col("sig"))).as(Seq("band", "bh")))
 
     // capped-bucket keys: cardinality-only pre-pass (no member collection)
-    val spark = df.sparkSession
+    val spark = sigs.sparkSession
     val capped: Set[(Int, Long, String)] =
       if (!crossBandSkip) Set.empty
       else exploded
@@ -227,44 +294,52 @@ object Dedup {
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
     val cappedB = spark.sparkContext.broadcast(capped)
     val doSkip = crossBandSkip
+    val newOnly = onlyNew
 
+    // member struct leads with the unique id, so adding is_new does not
+    // change the cap ordering — incremental slicing under caps is
+    // IDENTICAL to from-scratch slicing over the same union
     val grouped = cappedSortedMembers(exploded, Seq("band", "bh", "blk"),
-      struct(col("id"), col("sig")), maxBucketSize)
+      struct(col("id"), col("sig"), col("is_new")), maxBucketSize)
 
     import spark.implicits._
     grouped
       .select(col("band"), col("blk"), col("members"))
-      .as[(Int, String, Seq[(Long, Seq[Long])])]
+      .as[(Int, String, Seq[(Long, Seq[Long], Boolean)])]
       .flatMap { case (band, blkv, members) =>
         val cap = cappedB.value
         val noCaps = cap.isEmpty
         val ids = members.iterator.map(_._1).toArray
         val sg = members.iterator.map(_._2.toArray).toArray
+        val nw = members.iterator.map(_._3).toArray
         val n = ids.length
         (0 until n).iterator.flatMap { i =>
           ((i + 1) until n).iterator.flatMap { j =>
-            val a = sg(i); val c = sg(j)
-            // cross-band skip: an earlier matching band emits this pair
-            // unless its bucket was capped (pair may be sliced out there)
-            var skip = false
-            if (doSkip) {
-              var b = 0
-              while (!skip && b < band) {
-                var r = b * rpb
-                val end = r + rpb
-                var eq = true
-                while (eq && r < end) { if (a(r) != c(r)) eq = false; r += 1 }
-                if (eq && (noCaps ||
-                    !cap.contains((b, MinHash.bandHash(a, b, rpb), blkv))))
-                  skip = true
-                b += 1
-              }
-            }
-            if (skip) Iterator.empty
+            if (newOnly && !nw(i) && !nw(j)) Iterator.empty
             else {
-              val est = MinHash.estJaccardAtLeast(a, c, minEst)
-              if (est >= minEst) Iterator.single((ids(i), ids(j), est))
-              else Iterator.empty
+              val a = sg(i); val c = sg(j)
+              // cross-band skip: an earlier matching band emits this pair
+              // unless its bucket was capped (pair may be sliced out there)
+              var skip = false
+              if (doSkip) {
+                var b = 0
+                while (!skip && b < band) {
+                  var r = b * rpb
+                  val end = r + rpb
+                  var eq = true
+                  while (eq && r < end) { if (a(r) != c(r)) eq = false; r += 1 }
+                  if (eq && (noCaps ||
+                      !cap.contains((b, MinHash.bandHash(a, b, rpb), blkv))))
+                    skip = true
+                  b += 1
+                }
+              }
+              if (skip) Iterator.empty
+              else {
+                val est = MinHash.estJaccardAtLeast(a, c, minEst)
+                if (est >= minEst) Iterator.single((ids(i), ids(j), est))
+                else Iterator.empty
+              }
             }
           }
         }
@@ -524,6 +599,55 @@ object Dedup {
       col(idCol).as("id"),
       array_sort(array_distinct(
         filter(split(lower(col(textCol)), " "), w => length(w) > 0))).as("toks"))
+      .withColumn("n", size(col("toks")))
+    def side(suffix: String) = toks.select(
+      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),
+      col("n").as(s"n_$suffix"))
+    cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+      .withColumn("inter",
+        vigil.functions.sorted_intersect_size(col("toks_a"), col("toks_b")))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Incremental verified near-dup: [[minhashLshIncremental]] candidates
+    * (new×corpus ∪ new×new only) verified with the same exact word-set
+    * Jaccard merge walk as [[neardupVerified]] — output identical to the
+    * new-touching slice of a from-scratch run over the union.
+    *
+    * Scale shape: the corpus contributes its (stored) signature table to
+    * candidate generation and only the rows that actually appear in a
+    * candidate pair are re-read for tokenization — the join pulls
+    * candidate ids first, so corpus text is never tokenized corpus-wide
+    * per batch. `corpusText` is the text table matching `corpusSigs`
+    * (idCol/textCol columns); signatures must have been computed with the
+    * same bands/rowsPerBand/seed and shingleK = 1 (the verifier's
+    * tokenization contract, see [[neardupVerified]]).
+    */
+  def neardupVerifiedIncremental(
+      corpusSigs: DataFrame, corpusText: DataFrame, newBatch: DataFrame,
+      textCol: String, idCol: String, minJaccard: Double,
+      bands: Int = 24, rowsPerBand: Int = 6, seed: Long = 42L,
+      maxBucketSize: Int = 100000,
+      blockCol: Option[String] = None): DataFrame = {
+    val newSigs = computeSignatures(newBatch, textCol, idCol, bands,
+      rowsPerBand, shingleK = 1, seed = seed, blockCol = blockCol)
+    val cands = minhashLshIncremental(corpusSigs, newSigs, bands,
+      rowsPerBand, minEst = math.max(0.0, minJaccard - 0.2),
+      maxBucketSize = maxBucketSize)
+      .select("id_a", "id_b")
+    val allText = corpusText
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .unionByName(newBatch.select(col(idCol).as("id"), col(textCol).as("t")))
+    // tokenize ONLY rows that appear in some candidate pair
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val toks = allText.join(candIds, Seq("id"))
+      .select(col("id"), array_sort(array_distinct(
+        filter(split(lower(col("t")), " "), w => length(w) > 0))).as("toks"))
       .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
       col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),

@@ -264,6 +264,63 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash dedup equals the new-touching slice of from-scratch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    for (cap <- Seq(100000, 3)) {
+      val scratch = toSet(Dedup.minhashLsh(docs, "text", "doc_id",
+        bands = 24, rowsPerBand = 6, shingleK = 1, minEst = 0.7,
+        maxBucketSize = cap))
+      val corpusSigs = Dedup.computeSignatures(corpus, "text", "doc_id",
+        bands = 24, rowsPerBand = 6, shingleK = 1)
+      val newSigs = Dedup.computeSignatures(batch, "text", "doc_id",
+        bands = 24, rowsPerBand = 6, shingleK = 1)
+      val inc = toSet(Dedup.minhashLshIncremental(corpusSigs, newSigs,
+        bands = 24, rowsPerBand = 6, minEst = 0.7, maxBucketSize = cap))
+      val expected = scratch.filter(p => batchIds(p._1) || batchIds(p._2))
+      assert(inc == expected,
+        s"cap=$cap: incremental must equal the batch-touching slice " +
+          s"(missing=${(expected -- inc).take(3)}, extra=${(inc -- expected).take(3)})")
+      assert(inc.forall(p => batchIds(p._1) || batchIds(p._2)),
+        "no corpus×corpus pair may be emitted")
+      assert(expected.nonEmpty, "fixture must actually exercise the slice")
+    }
+
+    // precomputedSigs short-circuit: identical output to the internal pass
+    val allSigs = Dedup.computeSignatures(docs, "text", "doc_id",
+      bands = 24, rowsPerBand = 6, shingleK = 1)
+    val viaPre = toSet(Dedup.minhashLsh(docs, "text", "doc_id",
+      bands = 24, rowsPerBand = 6, shingleK = 1, minEst = 0.7,
+      precomputedSigs = Some(allSigs)))
+    val direct = toSet(Dedup.minhashLsh(docs, "text", "doc_id",
+      bands = 24, rowsPerBand = 6, shingleK = 1, minEst = 0.7))
+    assert(viaPre == direct)
+  }
+
+  test("recall-designed lshTopK recovers every planted neighbor in rank order") {
+    // q_ann_lsh's oracle pairing rests on this: with bands derived from
+    // designCos = 0.999 at miss 1e-7, each query's top-5 must be EXACTLY
+    // its 5 planted copies (all at cos ≥ ~0.9996, far above the ~0.51
+    // background) — full recall, no background impostor. The rank ORDER
+    // among the copies is data-dependent (the sin perturbation is not
+    // monotone in j per direction) and is proven against brute force by
+    // the DuckDB oracle, not here.
+    val got = SparkEntry.queries("q_ann_lsh")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 50, s"10 queries × top-5, got ${got.length}")
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val expected = (1 to 5).map(j => qid + j * 1000000L).toSet
+      assert(rows.map(_._3).toSet == expected,
+        s"query $qid top-5 must be its planted copies, got ${rows.toSeq}")
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
   test("ivf: null and ragged vectors don't poison centroids or results") {
     // VectorSumAgg.update skips null/wrong-length vectors; the centroid
     // denominator must count only folded rows (r3 advice) and a cluster
