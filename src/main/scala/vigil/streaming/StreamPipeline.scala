@@ -169,6 +169,38 @@ object StreamPipeline {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming near-dup suppression — the streaming face of the MinHash
+    * dedup family: each row's full MinHash signature (same kernel and
+    * parameters as `Dedup.minhashLsh`/`Dedup.computeSignatures`) becomes
+    * the dedup key, so a document whose shingle set matches one already
+    * seen within the watermark horizon is dropped even when the raw bytes
+    * differ (reordered words at shingleK = 1, re-encoded whitespace after
+    * cleaning — the re-post shape an ingest stream actually sees).
+    * Signature equality is the J ≈ 1 point of the S-curve: strictly
+    * stronger than one-band LSH collision, so no false suppression beyond
+    * the signature collision rate. State is the signature key only (the
+    * array, not the text) and is EVICTED once the watermark passes its
+    * last-seen event time plus the delay — same bounded-state contract,
+    * and the same approximately-exactly-once trade, as [[dedupStream]].
+    * First arrival within the horizon wins; the emitted schema is the
+    * input schema unchanged.
+    */
+  def neardupStream(
+      turns: DataFrame, textCol: String,
+      watermarkDelay: String = "10 minutes",
+      bands: Int = 16, rowsPerBand: Int = 8, shingleK: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigUdf = udf((t: String) =>
+      vigil.dedup.Dedup.MinHash.signature(
+        if (t == null) "" else t, numHashes, shingleK, seed))
+    turns
+      .withColumn("__minhash_sig", sigUdf(col(textCol)))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__minhash_sig")
+      .drop("__minhash_sig")
+  }
+
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).
     */

@@ -465,4 +465,56 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1, 2, 3),
       s"each key must be emitted exactly once within the horizon, got $ids")
   }
+
+  test("streaming near-dup: signature-equal re-posts within the horizon dedupe like batch") {
+    val srcDir = Files.createTempDirectory("vigil_snd_src").toString
+    def turn(id: Int, ts: String, text: String) =
+      vigil.Turn("c", id, "user", text, "", java.sql.Timestamp.valueOf(ts))
+    def write(rows: Seq[vigil.Turn]): Unit = {
+      import spark.implicits._
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    // doc 3 and doc 5 are word-reordered re-posts of doc 1: at shingleK=1
+    // the shingle SET is identical, so the full MinHash signature matches
+    // even though the raw text differs (exact dedupStream would keep them)
+    val all = Seq(
+      Seq(turn(1, "2026-01-01 10:00:00", "solicito os prazos do processo"),
+        turn(2, "2026-01-01 10:00:10", "outra coisa totalmente diferente")),
+      Seq(turn(3, "2026-01-01 10:01:00", "processo do prazos os solicito"),
+        turn(4, "2026-01-01 10:01:10", "um texto novo e distinto")),
+      Seq(turn(5, "2026-01-01 10:02:00", "os prazos do processo solicito")))
+    write(all.head)
+
+    val schema = { import spark.implicits._; all.head.toDF().schema }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamPipeline
+      .neardupStream(stream, "text", watermarkDelay = "10 minutes",
+        shingleK = 1)
+      .writeStream.format("memory").queryName("snd_stream")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    all.tail.foreach { b => write(b); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("snd_stream")
+      .select("turn_idx").collect().map(_.getInt(0)).toSeq.sorted
+    // batch equivalence: one survivor per signature group of the union,
+    // first arrival winning — exactly {1, 2, 4}
+    val sigsPerDoc = {
+      import spark.implicits._
+      vigil.dedup.Dedup.computeSignatures(
+        all.flatten.toDF(), "text", "turn_idx",
+        bands = 16, rowsPerBand = 8, shingleK = 1)
+        .collect().map(r => r.getInt(0).toLong -> r.getSeq[Long](2)).toMap
+    }
+    val expected = all.flatten.map(_.turn_idx)
+      .groupBy(id => sigsPerDoc(id.toLong)).values.map(_.min).toSeq.sorted
+    assert(got == expected && got == Seq(1, 2, 4),
+      s"streamed survivors $got must equal batch one-per-signature $expected")
+    // the output schema is the input schema unchanged (up to the engine's
+    // watermark metadata on ts and source nullability)
+    assert(spark.table("snd_stream").schema.map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+  }
 }
