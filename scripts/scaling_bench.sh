@@ -20,36 +20,53 @@ ROUNDS="${2:-3}"
 sbt -batch package >/dev/null
 JAR=target/scala-2.13/vigilpiidetectorspark_2.13-0.1.0.jar
 
-run() { # $1 = executors, $2 = total cores, $3 = arg (NCONVS or calib)
+run() { # $1 = executors, $2 = total cores, $3 = arg (NCONVS, calib or memcalib)
+  # memcalib needs a real executor heap (8 thread-private 128MB arrays);
+  # local-cluster's 3rd arg is WORKER capacity, executors default to 1g
+  local extra=""
+  [ "$3" = "memcalib" ] && extra="--conf spark.executor.memory=8g"
   SPARK_GRAFT_MASTER=submit SPARK_GRAFT_CPUS="$2" /opt/spark/bin/spark-submit \
-    --master "local-cluster[$1,8,12288]" --driver-memory 8g \
+    --master "local-cluster[$1,8,12288]" --driver-memory 8g $extra \
     --class vigil.tools.ScalingBench "$JAR" "$3" 2>/dev/null | grep '^{'
 }
 
-# each round interleaves job-N, job-4N, calib-N, calib-4N in ONE window so
-# the calibration samples the same host conditions as the job pair it
-# normalizes (the pure-CPU calib isolates 8-core-active vs 32-core-active
-# host asymmetry — turbo/DRAM — that a real multi-host cluster lacks)
-RNS=(); R4NS=(); CNS=(); C4NS=()
+# each round interleaves job-N, job-4N, calib-N, calib-4N, memcalib-N,
+# memcalib-4N in ONE window so both calibrations sample the same host
+# conditions as the job pair they bracket: the pure-CPU calib is the
+# compute CEILING (clock asymmetry only), the DRAM-streaming memcalib is
+# the memory-system FLOOR (32 active cores share one memory bus that a
+# real 4-host cluster does not) — a job's pair eff lands between them in
+# proportion to its memory-system-stalled share
+RNS=(); R4NS=(); CNS=(); C4NS=(); MNS=(); M4NS=()
 for i in $(seq 1 "$ROUNDS"); do
   RNS+=("$(run 1 8 "$NCONVS")")
   R4NS+=("$(run 4 32 "$NCONVS")")
   CNS+=("$(run 1 8 calib)")
   C4NS+=("$(run 4 32 calib)")
+  MNS+=("$(run 1 8 memcalib)")
+  M4NS+=("$(run 4 32 memcalib)")
 done
-printf '%s\n' "${RNS[@]}" "${R4NS[@]}" "${CNS[@]}" "${C4NS[@]}"
-python3 - "${RNS[@]}" "${R4NS[@]}" "${CNS[@]}" "${C4NS[@]}" <<EOF
+printf '%s\n' "${RNS[@]}" "${R4NS[@]}" "${CNS[@]}" "${C4NS[@]}" "${MNS[@]}" "${M4NS[@]}"
+python3 - "${RNS[@]}" "${R4NS[@]}" "${CNS[@]}" "${C4NS[@]}" "${MNS[@]}" "${M4NS[@]}" <<EOF
 import json, statistics, sys
 rs = [json.loads(a) for a in sys.argv[1:]]
 tn = [r["turns_per_sec"] for r in rs if r.get("bench") == "scaling" and r["cpus"] == 8]
 t4n = [r["turns_per_sec"] for r in rs if r.get("bench") == "scaling" and r["cpus"] == 32]
 cn = [r["steps_per_sec"] for r in rs if r.get("bench") == "calib" and r["cpus"] == 8]
 c4n = [r["steps_per_sec"] for r in rs if r.get("bench") == "calib" and r["cpus"] == 32]
+mn = [r["gbytes_per_sec"] for r in rs if r.get("bench") == "memcalib" and r["cpus"] == 8]
+m4n = [r["gbytes_per_sec"] for r in rs if r.get("bench") == "memcalib" and r["cpus"] == 32]
 effs = [(b / a) / 4 for a, b in zip(tn, t4n)]
 ceffs = [(b / a) / 4 for a, b in zip(cn, c4n)]
+meffs = [(b / a) / 4 for a, b in zip(mn, m4n)]
 for i, (e, c) in enumerate(zip(effs, ceffs)):
+    m = f"  mem_eff={meffs[i]:.3f}" if i < len(meffs) else ""
     print(f"pair {i+1}: thr_N={tn[i]:.0f}  thr_4N={t4n[i]:.0f}  eff={e:.3f}  "
-          f"calib_eff={c:.3f}  eff_norm={e / c:.3f}")
+          f"calib_eff={c:.3f}  eff_norm={e / c:.3f}{m}")
+if meffs:
+    print(f"memcalib: N={statistics.median(mn):.0f} GB/s  "
+          f"4N={statistics.median(m4n):.0f} GB/s  "
+          f"median mem_eff={statistics.median(meffs):.3f}  (the host DRAM floor)")
 # median-of-pairs is the headline (cancels the anti-correlated window
 # drift a single pair rides); normalized eff divides out the host's
 # 8-vs-32-active-core asymmetry measured in the SAME window

@@ -18,6 +18,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the bench corpora are micro (~100k turns at sf0.1): one balanced
+      // wave of uniform synth conversations beats 5 waves of per-task
+      // overhead here; cluster-scale jobs keep the scale-correct default
+      .config("spark.vigil.decide.wavesPerCore", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -461,10 +461,17 @@ object SparkEntry {
       val d = docs(s, dir)
       val corpus = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val batch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
-      val corpusSigs = Dedup.computeSignatures(corpus, "text", "doc_id",
+      // production shape: the corpus signature table is STORED (computed
+      // once per document EVER, appended per ingest) — mirrored here with
+      // a real parquet write+read so the pair stage's two passes scan the
+      // table instead of re-running the MinHash UDF over the corpus
+      val sigPath =
+        s"/tmp/vigil_sigtable_${new java.io.File(dir).getName}"
+      Dedup.computeSignatures(corpus, "text", "doc_id",
         bands = 24, rowsPerBand = 6, shingleK = 1)
-      Dedup.neardupVerifiedIncremental(corpusSigs, corpus, batch,
-        "text", "doc_id", minJaccard = 0.9)
+        .write.mode("overwrite").parquet(sigPath)
+      Dedup.neardupVerifiedIncremental(s.read.parquet(sigPath), corpus,
+        batch, "text", "doc_id", minJaccard = 0.9)
         .orderBy("id_a", "id_b")
     }),
     // --- multimodal plumbing (stubbed codec, real batching, rows-only) ---

@@ -150,17 +150,42 @@ object Decide {
     * it). Equality-tested against decide() in PipelineSpec
     * ("decideWindowed equals decide").
     *
-    * Shape: one wide exchange on conv_id (the explicit repartition also
-    * satisfies the (conv_id, lang) window's clustering, so both windows
-    * reuse it — plan shows a single Exchange, two sorts). Trade-off vs
-    * decide(): the exchange carries full turn width and a whole
-    * conversation lands in one task (no salting), so at 10^12-turn scale
-    * with power-law conversations prefer [[Pipeline.run]]; for stateless
-    * single-job runs this is the fastest correct shape.
+    * Shape: ONE exchange on conv_id, and it runs BEFORE scoring, so only
+    * the RAW turn width (conv_id, turn_idx, role, text, tool, ts) crosses
+    * the shuffle — the scored columns (clean/scrubbed text copies,
+    * detection structs, lang/quality fields, ~2-3× the raw width) are
+    * produced on the reduce side and never serialized across executors.
+    * Scoring is row-local, so its placement relative to the exchange
+    * cannot change any result (equality-tested against decide() in
+    * PipelineSpec); the explicit repartition also satisfies the
+    * (conv_id, lang) window's clustering, so both windows reuse it —
+    * plan shows a single Exchange, two sorts (plan-asserted in
+    * PlanCheck). Trade-off vs decide(): a whole conversation lands in
+    * one task (no salting), so at 10^12-turn scale with power-law
+    * conversations prefer [[Pipeline.run]]; for stateless single-job
+    * runs this is the fastest correct shape.
     */
   def decideWindowed(turns: DataFrame, cfg: Config = Default): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = scoreTurns(turns, cfg).repartition(col("conv_id"))
+    // EXPLICIT partition count: the reduce side of this exchange is the
+    // heavy scoring stage, and its shuffle BYTES are small (raw width) —
+    // with an implicit count AQE's byte-based coalescing merges it into
+    // ~one straggler-bound wave per core (bytes-per-partition is the
+    // wrong policy for a CPU-heavy stage). A user-specified count is
+    // exempt from coalescing. Default 5 waves per core (same sizing as
+    // scan splits) keeps the stage load-balanced at cluster scale —
+    // measured +15% on the 4-executor 2.18M-turn scaling job; on
+    // sub-second micro-corpora the per-task overhead of the extra waves
+    // dominates instead, so the waves knob is a session conf
+    // (spark.vigil.decide.wavesPerCore — graft.Bench sets 1 for its
+    // ~100k-turn fixture corpus).
+    val spark = turns.sparkSession
+    val waves = spark.conf
+      .getOption("spark.vigil.decide.wavesPerCore").map(_.toInt).getOrElse(5)
+    val nParts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism * waves)
+    val scored = scoreTurns(turns.repartition(nParts, col("conv_id")), cfg)
     val wLang = Window.partitionBy("conv_id", "lang")
     val wConv = Window.partitionBy("conv_id")
     scored

@@ -20,11 +20,26 @@ object TextClean {
     Pattern.compile("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
   private val MultiSpace =
     Pattern.compile("\\s+", Pattern.UNICODE_CHARACTER_CLASS)
+  // whitespace that actually needs collapsing/trimming: any whitespace
+  // char other than plain space, a double space, or a leading/trailing
+  // space. When this does NOT occur, every \s+ run is a single interior
+  // ' ' and replaceAll(" ") + strip() is the identity — but replaceAll
+  // would still REBUILD the whole string (each single space is a match),
+  // a full-text DRAM write per turn that also breaks the reference
+  // identity the zero-copy UTF8String reuse downstream keys on
+  // (PiiSchema.analysisValues: `a.clean eq raw`). One short-circuiting
+  // find() replaces that rebuild for the overwhelmingly common
+  // already-collapsed text.
+  private val NeedsWsWork =
+    Pattern.compile("[\\s&&[^ ]]|\\x20{2}|^\\x20|\\x20$",
+      Pattern.UNICODE_CHARACTER_CLASS)
   // thread-confined matcher reuse (hot path: one clean() per row)
   private val tlCtl = ThreadLocal.withInitial[java.util.regex.Matcher](
     () => ControlChars.matcher(""))
   private val tlWs = ThreadLocal.withInitial[java.util.regex.Matcher](
     () => MultiSpace.matcher(""))
+  private val tlNeeds = ThreadLocal.withInitial[java.util.regex.Matcher](
+    () => NeedsWsWork.matcher(""))
 
   def clean(text: String): String = {
     if (text == null || text.isEmpty) return ""
@@ -36,6 +51,8 @@ object TextClean {
     // Matcher.replaceAll returns the input unchanged (no copy) when the
     // pattern does not occur, so the no-op path allocates nothing
     val noCtl = tlCtl.get().reset(nfkc).replaceAll("")
-    tlWs.get().reset(noCtl).replaceAll(" ").strip()
+    if (tlNeeds.get().reset(noCtl).find())
+      tlWs.get().reset(noCtl).replaceAll(" ").strip()
+    else noCtl
   }
 }

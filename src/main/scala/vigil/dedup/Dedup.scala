@@ -389,10 +389,14 @@ object Dedup {
     */
   private val lastSigCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private def persistSigs(df: DataFrame): DataFrame = {
+  private def persistSigs(df: DataFrame): DataFrame =
+    persistBounded(lastSigCache, df)
+  private def persistBounded(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      df: DataFrame): DataFrame = {
     val cached =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prev = lastSigCache.getAndSet(cached)
+    val prev = slot.getAndSet(cached)
     if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
     cached
   }
@@ -633,19 +637,27 @@ object Dedup {
       bands: Int = 24, rowsPerBand: Int = 6, seed: Long = 42L,
       maxBucketSize: Int = 100000,
       blockCol: Option[String] = None): DataFrame = {
-    val newSigs = computeSignatures(newBatch, textCol, idCol, bands,
-      rowsPerBand, shingleK = 1, seed = seed, blockCol = blockCol)
+    // the pair stage consumes its input twice (capped pre-pass + member
+    // aggregation): corpusSigs is a stored table by contract (cheap
+    // rescan), but the batch signatures are UDF-computed here — persist
+    // them so the MinHash pass runs once per batch document
+    val newSigs = persistSigs(computeSignatures(newBatch, textCol, idCol,
+      bands, rowsPerBand, shingleK = 1, seed = seed, blockCol = blockCol))
     val cands = minhashLshIncremental(corpusSigs, newSigs, bands,
       rowsPerBand, minEst = math.max(0.0, minJaccard - 0.2),
       maxBucketSize = maxBucketSize)
       .select("id_a", "id_b")
-    val allText = corpusText
+    // tokenization is a NARROW projection over the text tables; the
+    // verify joins prune it to candidate rows lazily. (A candidate-id
+    // semi-join pre-prune was tried and removed: deriving the id set
+    // from `cands` self-references the pair generation, which re-runs it
+    // — 2× the query wall — and persisting `cands` to break the
+    // self-reference cost more again by blinding AQE's join planning.
+    // At 100 TB, prune by joining against a MATERIALIZED pair table
+    // instead.)
+    val toks = corpusText
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .unionByName(newBatch.select(col(idCol).as("id"), col(textCol).as("t")))
-    // tokenize ONLY rows that appear in some candidate pair
-    val candIds = cands.select(col("id_a").as("id"))
-      .union(cands.select(col("id_b").as("id"))).distinct()
-    val toks = allText.join(candIds, Seq("id"))
       .select(col("id"), array_sort(array_distinct(
         filter(split(lower(col("t")), " "), w => length(w) > 0))).as("toks"))
       .withColumn("n", size(col("toks")))

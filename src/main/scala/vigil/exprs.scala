@@ -107,8 +107,13 @@ case class CleanTextExpr(child: Expression)
   override def prettyName: String = "clean_text"
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    val raw = if (v == null) "" else v.asInstanceOf[UTF8String].toString
-    UTF8String.fromString(TextClean.clean(raw))
+    val u8 = if (v == null) null else v.asInstanceOf[UTF8String]
+    val raw = if (u8 == null) "" else u8.toString
+    val cleaned = TextClean.clean(raw)
+    // zero-copy for already-clean text: skip the whole-string UTF-8
+    // re-encode when clean() returned its input by reference
+    if (u8 != null && (cleaned eq raw)) u8
+    else UTF8String.fromString(cleaned)
   }
   override protected def withNewChildInternal(c: Expression): CleanTextExpr =
     copy(child = c)

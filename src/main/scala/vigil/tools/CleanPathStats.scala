@@ -1,0 +1,41 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: measure how often the zero-copy fast paths fire on a
+  * corpus — (a) `TextClean.clean` returning its input by REFERENCE
+  * (already-NFKC, no controls, whitespace already collapsed → no string
+  * rebuild, and the downstream `PiiSchema.analysisValues` UTF8String
+  * reuse keys on exactly this identity), and (b) scrub identity
+  * (PII-free turn → scrubbed eq clean, no second rebuild).
+  *
+  * These two identities are the per-turn DRAM-write story of the scoring
+  * stage: when both fire, the only whole-text traffic left per turn is
+  * the single UTF-8→UTF-16 decode the regex kernels require.
+  *
+  * Args: [nConvs] for the synth corpus (default 2000), or a parquet path
+  * with a `text` column.
+  */
+object CleanPathStats {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = args.headOption match {
+      case Some(p) if p.contains("/") => spark.read.parquet(p).select("text")
+      case n => vigil.Synth.corpusDF(spark, n.map(_.toInt).getOrElse(2000))
+        .select("text")
+    }
+    val (same, diff, scrubId, total) = df.collect().foldLeft((0, 0, 0, 0)) {
+      case ((s, d, p, t), r) =>
+        val text = r.getString(0)
+        val c = vigil.TextClean.clean(text)
+        val a = vigil.PiiCore.detect(text)
+        (s + (if (c eq text) 1 else 0), d + (if (c eq text) 0 else 1),
+          p + (if (a.scrubbed eq a.clean) 1 else 0), t + 1)
+    }
+    println(s"clean-identity: $same / $total; rebuilt: $diff; " +
+      s"scrub-identity: $scrubId / $total")
+    spark.stop()
+  }
+}

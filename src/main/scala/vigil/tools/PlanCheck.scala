@@ -51,6 +51,16 @@ object PlanCheck {
       "Exchange".r.findAllIn(wPhys).size)
     println("=== decideWindowed window operators: " +
       "Window".r.findAllIn(wPhys).size)
+    // scale shape: the scoring projection must sit ABOVE the conv_id
+    // exchange, so only raw turn width crosses the shuffle and the wide
+    // scored columns are produced on the reduce side (never serialized
+    // between executors)
+    val exchangeSubtrees = windowed.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    val belowExchange = exchangeSubtrees.exists(_.toString.contains("turn_score"))
+    println("=== decideWindowed scores below the exchange (want false): " +
+      belowExchange)
 
     // also: a parquet-scan query to confirm pushdown + pruning
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -24,6 +24,7 @@ import vigil.{Decide, Synth}
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("calib")) { calibMain(); return }
+    if (args.headOption.contains("memcalib")) { memCalibMain(); return }
     val nConvs = if (args.nonEmpty) args(0).toInt else 30000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_MASTER=submit → respect spark-submit's --master (e.g.
@@ -33,8 +34,17 @@ object ScalingBench {
       if (sys.env.get("SPARK_GRAFT_MASTER").contains("submit")) builder0
       else builder0.master(s"local[$cpus]")
     val spark = builder
-      .config("spark.sql.shuffle.partitions", cpus)
+      // the scoring stage now runs on the REDUCE side of the conv_id
+      // exchange (decideWindowed ships raw width and scores after), so
+      // the shuffle stage needs the same ≥5-waves-per-core sizing as the
+      // scan splits below: `cpus` partitions would be ONE wave of heavy
+      // tasks and the slowest straggler would idle every other core. AQE
+      // partition coalescing must be OFF for this stage — it sizes by
+      // shuffle BYTES, which are small (raw width), and would merge the
+      // compute-heavy reduce tasks back into one straggler-bound wave
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 5)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -89,6 +99,78 @@ object ScalingBench {
         s""""best_sec":$best,"turns_per_sec":$thr}""")
     spark.stop()
   }
+
+  /** Memory-BANDWIDTH calibration leg: each task streams a thread-private
+    * 128 MB long array (allocated once per executor thread, reused across
+    * tasks) with a stride-8 (64-byte = one cache line) read pattern —
+    * far beyond LLC residency, so every line comes from DRAM (the stride
+    * is sequential and prefetch-friendly: this probes peak STREAMING
+    * bandwidth, the upper bound of what the memory system gives; latency-
+    * bound access would scale no better). 64 tasks × 16 passes. Aggregate bandwidth
+    * demand scales with ACTIVE CORES, so the pair efficiency of this leg
+    * measures what the HOST MEMORY SYSTEM itself gives an 8-core-active
+    * vs 32-core-active window — the asymmetry the register-only `calib`
+    * cannot see (it measures clocks), and the one a real 1-host vs
+    * 4-host cluster does not share (each real host brings its own DRAM).
+    * A job whose pair eff falls between calib (register ceiling) and
+    * memcalib (DRAM floor) is bounded by the host's shared memory
+    * system in exact proportion to its DRAM-traffic share.
+    */
+  private def memCalibMain(): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder0 = SparkSession.builder()
+    val builder =
+      if (sys.env.get("SPARK_GRAFT_MASTER").contains("submit")) builder0
+      else builder0.master(s"local[$cpus]")
+    val spark = builder
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tasks = 64
+    val words = (128 << 20) / 8 // 16M longs = 128 MB per thread
+    val passes = 16
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val acc = spark.sparkContext.parallelize(1 to tasks, tasks).map { s =>
+        val a = ScalingBench.tlArray.get()
+        var sum = 0L
+        var p = 0
+        while (p < passes) {
+          // stride 8 longs = 64 B: one load per cache line, whole line
+          // fetched from DRAM (array >> LLC share)
+          var i = (s + p) % 8
+          while (i < words) { sum += a(i); i += 8 }
+          p += 1
+        }
+        sum
+      }.reduce(_ + _)
+      if (acc == 42L) println("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    val times = Seq(once(), once(), once())
+    val best = times.min
+    // bytes actually moved from DRAM: one 64B line per stride-8 step
+    val bytes = tasks.toLong * passes * (words / 8) * 64
+    println(
+      s"""{"bench":"memcalib","cpus":$cpus,"tasks":$tasks,""" +
+        s""""times_sec":[${times.mkString(",")}],"best_sec":$best,""" +
+        s""""gbytes_per_sec":${bytes / best / 1e9}}""")
+    spark.stop()
+  }
+
+  /** Per-thread streamed array for [[memCalibMain]] — allocated once per
+    * executor thread, reused across tasks (a per-task 128 MB allocation
+    * would measure the allocator, not the memory bus).
+    */
+  private[tools] lazy val tlArray: ThreadLocal[Array[Long]] =
+    ThreadLocal.withInitial(() => {
+      val a = new Array[Long]((128 << 20) / 8)
+      var i = 0
+      while (i < a.length) { a(i) = i * 0x9e3779b97f4a7c15L; i += 1 }
+      a
+    })
 
   /** Pure-CPU calibration leg: 640 tasks × 2^26 xorshift64 steps each —
     * register-only (no allocation, no DRAM streaming, no shuffle), so with

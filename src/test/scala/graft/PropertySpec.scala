@@ -59,6 +59,39 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("clean fast path equals the normative composition; re-clean is zero-copy") {
+    // the naive normative pipeline the fast path must be indistinguishable
+    // from (NFKC → control-strip → \s+ collapse → strip)
+    def naive(s: String): String = {
+      val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+      val noCtl = n.replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      java.util.regex.Pattern
+        .compile("\\s+", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+        .matcher(noCtl).replaceAll(" ").strip()
+    }
+    // adversarial fixtures around the needs-work pre-scan: unicode spaces
+    // (NBSP U+00A0, EM SPACE U+2003, LINE SEP U+2028), tabs/newlines,
+    // double/leading/trailing plain spaces, NFKC-active chars, controls
+    val fixtures = Seq(
+      "texto já limpo com espaços simples",
+      " leading", "trailing ", "double  space", "a\tb", "a\nb", "a\r\nb",
+      "nbsp aqui", "em space", "line sep", "ideo　space",
+      "ctrlchar", "ﬁnal ①", "só", "", " ", "  ", " ", "x",
+      "a b  c\td  e ")
+    fixtures.foreach { s =>
+      assert(TextClean.clean(s) == naive(s), s"mismatch for ${s.map(_.toInt)}")
+    }
+    // mixed random whitespace property
+    val wsChar = Gen.oneOf(' ', ' ', '\t', '\n', ' ', ' ', 'a', 'b')
+    val wsStr = Gen.listOf(wsChar).map(_.mkString)
+    check(Prop.forAll(wsStr) { s => TextClean.clean(s) == naive(s) })
+    // zero-copy contract: cleaning already-clean text returns the SAME
+    // String reference (what the UTF8String reuse downstream keys on)
+    fixtures.map(TextClean.clean).filter(_.nonEmpty).foreach { c =>
+      assert(TextClean.clean(c) eq c, s"re-clean must be zero-copy: '$c'")
+    }
+  }
+
   test("detection is deterministic and order-stable") {
     check(Prop.forAll(text) { t =>
       PiiCore.detect(t) == PiiCore.detect(t)
