@@ -445,6 +445,35 @@ object SparkEntry {
       Ann.cosineNearDupPairs(corpus, "vec_id", "embedding", minCos = 0.95)
         .orderBy("id_a", "id_b")
     }),
+    // --- incremental embedding near-dup (oracle-paired): every 3rd
+    //     planted copy arrives as a NEW batch against the stored sign-LSH
+    //     signature table of the rest; emits exactly the batch-touching
+    //     brute pairs, suppressing the equally-real corpus×corpus planted
+    //     pairs. Fixed banding (stored-table contract), same planted
+    //     construction + double-cast convention as q_cosine_neardup -----
+    "q_cosine_incremental" -> ((s, dir) => {
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      val planted = base
+        .select((col("vec_id") + lit(1000000L)).as("new_id"), col("embedding"))
+        .select(col("new_id").as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.005)).cast("float"))
+            .as("embedding"))
+      val all = base.unionByName(planted)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val isBatch = col("vec_id") >= 1000000L &&
+        pmod(col("vec_id") - 1000000L, lit(3)) === 0
+      val batch = all.filter(isBatch)
+      val corpus = all.filter(!isBatch)
+      val sigPath =
+        s"/tmp/vigil_signtable_${new java.io.File(dir).getName}"
+      Ann.computeSignSignatures(corpus, "vec_id", "embedding",
+        bandBits = 8, bands = 8)
+        .write.mode("overwrite").parquet(sigPath)
+      Ann.cosineNearDupPairsIncremental(s.read.parquet(sigPath), corpus,
+        batch, "vec_id", "embedding", minCos = 0.95, bandBits = 8, bands = 8)
+        .orderBy("id_a", "id_b")
+    }),
     // --- scale-safe verified near-dup: LSH candidates → exact Jaccard ----
     //     (oracle-paired: output identical to brute-force all-pairs ≥ t)
     "q_neardup_verified" -> ((s, dir) => {
@@ -774,6 +803,25 @@ object SparkEntry {
            list_cosine_similarity(a.v, b.v) AS cos
          FROM allv a JOIN allv b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+         ORDER BY id_a, id_b""",
+    // batch-touching slice of the planted brute pairs: the incremental
+    // path must find every pair with ≥1 member in the batch (planted
+    // copies whose base id ≡ 0 mod 3) and suppress corpus×corpus pairs
+    "q_cosine_incremental" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         planted AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (embedding[i] + sin((vec_id+1000000)*i)*0.005)::FLOAT)
+               AS embedding
+           FROM base),
+         allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+                  UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM planted)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS cos
+         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+         WHERE ((a.vec_id >= 1000000 AND (a.vec_id - 1000000) % 3 = 0) OR
+                (b.vec_id >= 1000000 AND (b.vec_id - 1000000) % 3 = 0))
+           AND list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY id_a, id_b""",
     // NOTE (shared convention with q_clean_text / all clean-based oracles):
     // DuckDB cannot do NFKC or control-char stripping, so the oracle's

@@ -129,12 +129,11 @@ object Ann {
     * Takes array<double> so callers may pass float OR double vectors (the
     * float→double upcast is exact, so keys are identical either way).
     */
-  private def withBandKeys(df: DataFrame, vecCol: String, bandBits: Int,
-      bands: Int, dim: Int, seed: Long, keepSig: Boolean = false): DataFrame = {
+  private def signKeysUdf(bandBits: Int, bands: Int, dim: Int, seed: Long) = {
     val planes = hyperplanes(bands * bandBits, dim, seed)
     val bb = bandBits
     val nb = bands
-    val keysUdf = udf((v: Seq[Double]) => {
+    udf((v: Seq[Double]) => {
       Array.tabulate(nb) { b =>
         var key = 0L
         var r = 0
@@ -150,12 +149,36 @@ object Ann {
         key
       }
     })
+  }
+
+  private def withBandKeys(df: DataFrame, vecCol: String, bandBits: Int,
+      bands: Int, dim: Int, seed: Long, keepSig: Boolean = false): DataFrame = {
+    val keysUdf = signKeysUdf(bandBits, bands, dim, seed)
     val exploded = df
       .withColumn("__keys", keysUdf(col(vecCol).cast("array<double>")))
       .select(col("*"), posexplode(col("__keys")).as(Seq("band", "bkey")))
     if (keepSig) exploded.withColumnRenamed("__keys", "sig")
     else exploded.drop("__keys")
   }
+
+  /** Stable sign-LSH signature frame for [[cosineNearDupPairsIncremental]]:
+    * one row per vector, `(id: long, sig: array<long>)` — element b is
+    * band b's packed bandBits-wide key, and the concatenation is the full
+    * hamming-prefilter signature. Write it to a table and append each
+    * ingest batch's frame so the hyperplane projections run once per
+    * vector EVER. Unlike the batch [[cosineNearDupPairs]] (which derives
+    * its key width from the live corpus count), a STORED table fixes
+    * bandBits/bands at creation — pick them for the corpus size you are
+    * growing toward; widening later is an index rebuild, as for any LSH
+    * index.
+    */
+  def computeSignSignatures(
+      df: DataFrame, idCol: String, vecCol: String,
+      bandBits: Int, bands: Int, dim: Int = 64,
+      seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("id"),
+      signKeysUdf(bandBits, bands, dim, seed)(
+        col(vecCol).cast("array<double>")).as("sig"))
 
   /** LSH-bucketed top-k: candidates share ≥1 signature band, re-ranked by
     * exact cosine. Recall < 1 by construction; raise bands for recall,
@@ -418,6 +441,76 @@ object Ann {
       .toDF("id_a", "id_b")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__n")).drop("__n")
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    pairIds
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Incremental embedding near-dup: a NEW batch against an existing
+    * sign-LSH signature table ([[computeSignSignatures]]) — the
+    * embedding-side twin of `Dedup.minhashLshIncremental`. Emits exactly
+    * the (new×corpus ∪ new×new) slice of a from-scratch
+    * [[cosineNearDupPairs]] over the union at the same FIXED banding
+    * (spec-asserted): the union rides the same buckets and caps, the
+    * same full-signature hamming prefilter, and the same exact-cosine
+    * verify; corpus×corpus pairs are suppressed before any popcount.
+    * Corpus signatures are never recomputed; corpus VECTORS are touched
+    * only by the verify joins over surviving candidate pairs. Ids must
+    * be unique across the union. `corpusVecs`/`newBatch` carry
+    * idCol/vecCol; recall is designed at designCos exactly as in the
+    * batch operator (same warning applies for minCos < designCos).
+    */
+  def cosineNearDupPairsIncremental(
+      corpusSigs: DataFrame, corpusVecs: DataFrame, newBatch: DataFrame,
+      idCol: String, vecCol: String, minCos: Double,
+      bandBits: Int, bands: Int, dim: Int = 64, seed: Long = 42L,
+      designCos: Double = 0.9999, targetMiss: Double = 1e-7,
+      maxBucketSize: Int = 100000): DataFrame = {
+    if (designCos > minCos)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"cosineNearDupPairsIncremental: recall designed at cos=$designCos%.4f " +
+          f"but minCos=$minCos%.4f — pairs between them have DEGRADED recall")
+    val maxDis = maxDisagreeFor(bands * bandBits, designCos, targetMiss)
+    val newSigs = computeSignSignatures(newBatch, idCol, vecCol, bandBits,
+      bands, dim, seed)
+    val union = corpusSigs.select(col("id"), col("sig"))
+      .withColumn("is_new", lit(false))
+      .unionByName(newSigs.withColumn("is_new", lit(true)))
+    val keyed = union
+      .select(col("id"), col("sig"), col("is_new"),
+        posexplode(col("sig")).as(Seq("band", "bkey")))
+    val spark = corpusSigs.sparkSession
+    import spark.implicits._
+    val pairIds = vigil.dedup.Dedup.cappedSortedMembers(
+      keyed, Seq("band", "bkey"),
+      struct(col("id"), col("sig"), col("is_new")), maxBucketSize)
+      .select(col("members")).as[Seq[(Long, Seq[Long], Boolean)]]
+      .flatMap { ms =>
+        val ids = ms.iterator.map(_._1).toArray
+        val sigs = ms.iterator.map(_._2.toArray).toArray
+        val nw = ms.iterator.map(_._3).toArray
+        (0 until ids.length).iterator.flatMap { i =>
+          ((i + 1) until ids.length).iterator.flatMap { j =>
+            if (!nw(i) && !nw(j)) Iterator.empty // corpus×corpus: not ours
+            else {
+              val sa = sigs(i); val sb = sigs(j)
+              var dis = 0; var b = 0
+              while (b < sa.length && dis <= maxDis) {
+                dis += java.lang.Long.bitCount(sa(b) ^ sb(b)); b += 1
+              }
+              if (dis <= maxDis) Iterator.single((ids(i), ids(j)))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__n")).drop("__n")
+    val vecs = corpusVecs.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .unionByName(newBatch.select(col(idCol).as("vid"), col(vecCol).as("v")))
     pairIds
       .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))

@@ -302,6 +302,42 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(viaPre == direct)
   }
 
+  test("incremental cosine near-dup equals the new-touching slice of from-scratch") {
+    // planted near-dup corpus (same construction as q_cosine_neardup);
+    // batch = every 3rd planted copy, corpus = everything else, so the
+    // operator must EMIT new×corpus pairs and SUPPRESS the equally-real
+    // corpus×corpus planted pairs
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val planted = base
+      .select((col("vec_id") + lit(1000000L)).as("new_id"), col("embedding"))
+      .select(col("new_id").as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.005)).cast("float"))
+          .as("embedding"))
+    val all = base.unionByName(planted)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val isBatch = col("vec_id") >= 1000000L &&
+      pmod(col("vec_id") - 1000000L, lit(3)) === 0
+    val batch = all.filter(isBatch)
+    val corpus = all.filter(!isBatch)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val full = toSet(Ann.cosineNearDupPairs(all, "vec_id", "embedding",
+      minCos = 0.95, bandBits = 8, bands = 8))
+    val corpusSigs = Ann.computeSignSignatures(corpus, "vec_id", "embedding",
+      bandBits = 8, bands = 8)
+    val inc = toSet(Ann.cosineNearDupPairsIncremental(corpusSigs, corpus,
+      batch, "vec_id", "embedding", minCos = 0.95, bandBits = 8, bands = 8))
+    val expected = full.filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc == expected,
+      s"missing=${(expected -- inc).take(3)}, extra=${(inc -- expected).take(3)}")
+    assert(expected.nonEmpty && full.size > expected.size,
+      "fixture must exercise both emission and suppression")
+  }
+
   test("recall-designed lshTopK recovers every planted neighbor in rank order") {
     // q_ann_lsh's oracle pairing rests on this: with bands derived from
     // designCos = 0.999 at miss 1e-7, each query's top-5 must be EXACTLY
