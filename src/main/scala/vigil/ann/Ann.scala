@@ -255,21 +255,65 @@ object Ann {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iterations: Int = 2,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val (centroidsDf, posting) =
+      ivfBuild(corpus, idCol, vecCol, nCentroids, iterations, dim, seed)
+    ivfSearch(centroidsDf, posting, queries, idCol, vecCol, k, nProbe)
+  }
+
+  // one cosine kernel serves training assignment AND query probing — a
+  // divergence between the two would silently mis-route queries
+  private def centroidCos(cj: Array[Double], v: Seq[Double]): Double = {
+    var dot = 0.0; var nv = 0.0; var nc = 0.0
+    var i = 0
+    val n = math.min(cj.length, v.size)
+    while (i < n) { dot += cj(i) * v(i); nv += v(i) * v(i); nc += cj(i) * cj(i); i += 1 }
+    if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
+  }
+
+  private def assignUdf(cents: Array[Array[Double]]) = udf((v: Seq[Double]) => {
+    var best = 0; var bestCos = Double.MinValue
+    var j = 0
+    while (j < cents.length) {
+      val cos = centroidCos(cents(j), v)
+      if (cos > bestCos) { bestCos = cos; best = j }
+      j += 1
+    }
+    best
+  })
+
+  /** Centroid table → driver-side array (bounded: nCentroids × dim). */
+  private def collectCentroids(centroidsDf: DataFrame): Array[Array[Double]] =
+    centroidsDf.select("cid", "c_vec").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** Build the IVF index as two plain DataFrames — the production ANN
+    * deployment shape: index BUILD is the occasional batch job, SEARCH
+    * the recurring one, so both halves must be storable tables.
+    * Returns (centroids: (cid, c_vec), posting: (cid, nn_id, nn_vec));
+    * write both to tables and serve queries with [[ivfSearch]] without
+    * ever retraining; assign a new ingest batch against the STORED
+    * centroids with [[ivfAssign]] and append it to the posting table.
+    *
+    * Training: deterministic residue-class seeding (min_by map-side
+    * aggregation — no corpus-wide window sort) + `iterations` Lloyd
+    * steps, each ONE map-side-combined aggregation (`vector_sum`, a
+    * flat-loop TypedImperativeAggregate, replaced 64 per-column avgs).
+    * Driver state is bounded by nCentroids × dim doubles per step.
+    * Null vectors are dropped at the door (they cannot be neighbors but
+    * would crash assignment or poison seeding); ragged vectors stay —
+    * every kernel folds over min(length, dim) and the centroid
+    * denominator counts only rows vector_sum actually folded (a cluster
+    * of only-skipped vectors keeps its previous centroid, not 0/0).
+    */
+  def ivfBuild(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iterations: Int = 2,
+      dim: Int = 64, seed: Long = 42L): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    // null vectors can never be neighbors, but they WOULD crash the assign
-    // UDF and could be picked as a centroid seed — drop them at the door.
-    // Ragged (wrong-length) vectors stay: every kernel below folds over
-    // min(length, dim), and the centroid denominator counts only the rows
-    // vector_sum actually folded.
     val c = corpus.select(col(idCol).as("nn_id"),
       col(vecCol).cast("array<double>").as("nn_vec"))
       .filter(col("nn_vec").isNotNull)
 
-    // deterministic init: the vector whose id hashes smallest per residue
-    // class seeds centroid j (no Random, stable across runs/partitionings).
-    // min_by over the (hk, id) struct picks the SAME winner as the old
-    // row_number window but as a map-side-combined aggregation — no full
-    // window sort-shuffle of the corpus just to select nCentroids rows.
     val seedRows = c
       .withColumn("cid", pmod(hash(col("nn_id"), lit(seed)), lit(nCentroids)))
       .withColumn("hk", hash(col("nn_id"), lit(seed + 1)))
@@ -281,44 +325,13 @@ object Ann {
     // an empty residue class (tiny corpus) seeds from the first non-empty
     // one — deterministic, and Lloyd reassigns it immediately
     val firstSeed = centroids.find(_ != null).getOrElse(
-      throw new IllegalArgumentException("ivfTopK: empty corpus"))
+      throw new IllegalArgumentException("ivfBuild: empty corpus"))
     (0 until nCentroids).foreach(j =>
       if (centroids(j) == null) centroids(j) = firstSeed)
 
-    // one cosine kernel serves training assignment AND query probing — a
-    // divergence between the two would silently mis-route queries
-    def centroidCos(cj: Array[Double], v: Seq[Double]): Double = {
-      var dot = 0.0; var nv = 0.0; var nc = 0.0
-      var i = 0
-      val n = math.min(cj.length, v.size)
-      while (i < n) { dot += cj(i) * v(i); nv += v(i) * v(i); nc += cj(i) * cj(i); i += 1 }
-      if (nv == 0 || nc == 0) 0.0 else dot / math.sqrt(nv * nc)
-    }
-
-    def assignUdf(cents: Array[Array[Double]]) = udf((v: Seq[Double]) => {
-      var best = 0; var bestCos = Double.MinValue
-      var j = 0
-      while (j < cents.length) {
-        val cos = centroidCos(cents(j), v)
-        if (cos > bestCos) { bestCos = cos; best = j }
-        j += 1
-      }
-      best
-    })
-
-    // Lloyd iterations: assign → per-centroid mean in ONE map-side-combined
-    // aggregation. vector_sum (a flat-loop TypedImperativeAggregate) + a
-    // row count replace the old 64 separate avg columns — one buffer add
-    // per row instead of 64 element_at extractions, and no 64-column
-    // codegen stage compiled per iteration (compile time dominated the
-    // small-corpus wall). The collect stays nCentroids×dim doubles.
     var it = 0
     while (it < iterations) {
       val assigned = c.withColumn("cid", assignUdf(centroids)(col("nn_vec")))
-      // denominator = rows vector_sum actually folded: VectorSumAgg.update
-      // skips null/wrong-length vectors, so count(lit(1)) would divide by
-      // rows that never entered the sum and bias centroids toward zero
-      // (the per-column avg() this replaced excluded nulls natively)
       val means = assigned
         .groupBy("cid")
         .agg(vigil.functions.vector_sum(col("nn_vec"), dim).as("s"),
@@ -328,18 +341,47 @@ object Ann {
       means.foreach { r =>
         val s = r.getSeq[Double](1)
         val n = r.getLong(2).toDouble
-        // a centroid whose cluster held only skipped vectors keeps its
-        // previous position instead of collapsing to 0/0 = NaN
         if (n > 0) next(r.getInt(0)) = Array.tabulate(dim)(i => s(i) / n)
       }
       centroids = next
       it += 1
     }
 
+    import spark.implicits._
+    val centroidsDf = centroids.zipWithIndex
+      .map { case (v, j) => (j, v.toSeq) }.toSeq.toDF("cid", "c_vec")
     val posting = c.withColumn("cid", assignUdf(centroids)(col("nn_vec")))
-    // each query probes its nProbe nearest centroids
+      .select("cid", "nn_id", "nn_vec")
+    (centroidsDf, posting)
+  }
+
+  /** Assign a new batch against STORED centroids — the recurring-ingest
+    * step: append the result to the posting table; no retraining, no
+    * corpus touch. Assigning the index's own corpus reproduces its
+    * posting table exactly (spec-asserted).
+    */
+  def ivfAssign(
+      centroidsDf: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = collectCentroids(centroidsDf)
+    batch.select(col(idCol).as("nn_id"),
+      col(vecCol).cast("array<double>").as("nn_vec"))
+      .filter(col("nn_vec").isNotNull)
+      .withColumn("cid", assignUdf(cents)(col("nn_vec")))
+      .select("cid", "nn_id", "nn_vec")
+  }
+
+  /** Serve top-k queries from a stored IVF index (centroids + posting
+    * tables): each query probes its nProbe nearest centroids and
+    * re-ranks exactly within those posting lists — ONE shuffle-join on
+    * cid, per-query work ∝ nProbe/nCentroids of the corpus.
+    * nProbe = nCentroids degenerates to exact search.
+    */
+  def ivfSearch(
+      centroidsDf: DataFrame, posting: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroidsDf)
     val probeUdf = udf((v: Seq[Double]) => {
-      val cents = centroids
       val scored = Array.tabulate(cents.length)(j => (centroidCos(cents(j), v), j))
       scored.sortBy(s => (-s._1, s._2)).take(nProbe).map(_._2)
     })

@@ -357,6 +357,49 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf stored index: round-trip search, re-assign, and append-batch are exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // the stored-table contract: build → write → read → search must be
+    // bit-identical (incl. cosines) to the direct one-call path
+    val direct = rows(Ann.ivfTopK(emb, q, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 3))
+    val (cdf, pdf) = Ann.ivfBuild(emb, "vec_id", "embedding", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("vigil_ivf").toString
+    cdf.write.mode("overwrite").parquet(s"$dir/centroids")
+    pdf.write.mode("overwrite").parquet(s"$dir/posting")
+    val viaStore = rows(Ann.ivfSearch(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/posting"),
+      q, "vec_id", "embedding", k = 3, nProbe = 3))
+    assert(viaStore.toSeq == direct.toSeq)
+
+    // assigning the index's own corpus against the STORED centroids must
+    // reproduce its posting table (build-time and ingest-time assignment
+    // share one kernel)
+    val reassigned = Ann.ivfAssign(
+      spark.read.parquet(s"$dir/centroids"), emb, "vec_id", "embedding")
+    assert(reassigned.except(pdf).isEmpty && pdf.except(reassigned).isEmpty)
+
+    // recurring-ingest: build on 2/3 of the corpus, ivfAssign the new 1/3
+    // and append; full-probe search over the appended posting equals
+    // brute force over the whole union
+    val corpus = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val (c2, p2) = Ann.ivfBuild(corpus, "vec_id", "embedding", nCentroids = 8)
+    val appended = p2.unionByName(Ann.ivfAssign(c2, batch, "vec_id", "embedding"))
+    val incFull = rows(Ann.ivfSearch(c2, appended, q, "vec_id", "embedding",
+      k = 3, nProbe = 8))
+    val brute = rows(Ann.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3))
+    assert(incFull.toSeq == brute.toSeq,
+      "full-probe search over the appended index must equal brute force")
+  }
+
   test("ivf: null and ragged vectors don't poison centroids or results") {
     // VectorSumAgg.update skips null/wrong-length vectors; the centroid
     // denominator must count only folded rows (r3 advice) and a cluster
