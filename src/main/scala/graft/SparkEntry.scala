@@ -522,6 +522,21 @@ object SparkEntry {
         .select(col("doc_id"), col("st.*"))
         .select(col("doc_id"), TextStats.qualityScore().as("score"))
         .orderBy("doc_id")
+    }),
+    // --- Gopher char-weighted n-gram repetition family (oracle-paired) ---
+    //     doc-level repetition signals + stopword fraction + the composite
+    //     keep verdict; thresholds are normative engine constants chosen
+    //     to split the corpus non-trivially (~70% keep at sf0.01) --------
+    "q_gopher_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Quality.repetitionStats(d, "text", "doc_id", Seq(2, 3))
+        .join(
+          d.select(col("doc_id"),
+            Quality.stopwordFrac(Quality.words(col("text")))
+              .as("stopword_frac")),
+          Seq("doc_id"))
+        .withColumn("gopher_keep", Quality.repetitionPasses())
+        .orderBy("doc_id")
     })
   )
 
@@ -855,6 +870,70 @@ object SparkEntry {
                  THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
                  ELSE 0.0 END), 1.0), 0.0)
            , 4) AS score
-         FROM m ORDER BY doc_id"""
+         FROM m ORDER BY doc_id""",
+    // char-weighted n-gram repetition: identical normative definitions as
+    // Quality.repetitionStats (top tie-break = ORDER BY cnt DESC,
+    // char-mass DESC; dup frac over total gram chars); integer/long
+    // divisions in double are bit-identical across engines, so the
+    // threshold booleans match exactly
+    "q_gopher_repetition" ->
+      (s"""WITH w AS (
+           SELECT doc_id, len(text) AS n_chars,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                 x -> len(x) > 0)) > 0
+               THEN len(list_filter(string_split(text, ' '),
+                 x -> list_contains([""" +
+        Quality.Stopwords.map(w => s"'$w'").mkString(", ") +
+        s"""], x)))::DOUBLE
+                 / len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+               ELSE 0.0 END AS sw
+           FROM documents),
+         g AS (
+           SELECT doc_id, 2 AS n, array_to_string(ws[i:i+1], ' ') AS gram
+           FROM w CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(ws))) AS i) idx
+           UNION ALL
+           SELECT doc_id, 3 AS n, array_to_string(ws[i:i+2], ' ') AS gram
+           FROM w CROSS JOIN LATERAL
+             (SELECT unnest(range(1, len(ws)-1)) AS i) idx),
+         pg AS (
+           SELECT doc_id, n, gram, count(*) AS cnt,
+             count(*)*len(gram) AS gchars
+           FROM g GROUP BY 1, 2, 3),
+         top AS (
+           SELECT doc_id, n, gchars AS top_chars FROM (
+             SELECT doc_id, n, gchars,
+               row_number() OVER (PARTITION BY doc_id, n
+                 ORDER BY cnt DESC, gchars DESC) AS rn
+             FROM pg) WHERE rn = 1),
+         agg AS (
+           SELECT doc_id, n,
+             sum(CASE WHEN cnt > 1 THEN gchars ELSE 0 END) AS dup_chars,
+             sum(gchars) AS tot_chars
+           FROM pg GROUP BY 1, 2),
+         r AS (
+           SELECT w.doc_id,
+             coalesce(max(CASE WHEN agg.n=2
+               THEN top.top_chars::DOUBLE / w.n_chars END), 0.0)
+               AS top2gram_char_frac,
+             coalesce(max(CASE WHEN agg.n=2
+               THEN agg.dup_chars::DOUBLE / agg.tot_chars END), 0.0)
+               AS dup2gram_char_frac,
+             coalesce(max(CASE WHEN agg.n=3
+               THEN top.top_chars::DOUBLE / w.n_chars END), 0.0)
+               AS top3gram_char_frac,
+             coalesce(max(CASE WHEN agg.n=3
+               THEN agg.dup_chars::DOUBLE / agg.tot_chars END), 0.0)
+               AS dup3gram_char_frac,
+             max(w.sw) AS stopword_frac
+           FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+                  LEFT JOIN top ON agg.doc_id = top.doc_id AND agg.n = top.n
+           GROUP BY 1)
+         SELECT doc_id, top2gram_char_frac, dup2gram_char_frac,
+           top3gram_char_frac, dup3gram_char_frac, stopword_frac,
+           (top2gram_char_frac <= 0.10 AND dup2gram_char_frac <= 0.10
+            AND stopword_frac >= 0.02) AS gopher_keep
+         FROM r ORDER BY doc_id""")
   )
 }

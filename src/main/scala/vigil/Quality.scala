@@ -1,6 +1,6 @@
 package vigil
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Heuristic quality rules (north rule [NR], SURVEY.md §2.10 L3), in the
@@ -73,6 +73,104 @@ object Quality {
       "dup_2gram_frac" -> dup2
     )
   }
+
+  /** Normative English function-word list for the stopword-presence rule
+    * (C4, Raffel et al. 2020 §2.2 uses a comparable fixed list). Kept small
+    * and ASCII so the DuckDB oracle twin is exact.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for")
+
+  /** Fraction of words that are [[Stopwords]] (0.0 for empty texts). */
+  def stopwordFrac(ws: Column): Column = {
+    val n = size(ws)
+    when(n > 0,
+      size(filter(ws, w => w.isInCollection(Stopwords))).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Char-weighted word-n-gram repetition signals (Gopher, Rae et al. 2021
+    * §A1.1 style — the doc-level repetition family that word-local metrics
+    * like [[metricsFromWords]]' `dup_2gram_frac` cannot see).
+    *
+    * Normative definitions of this engine (documented because Gopher's
+    * overlap-dedup variant is not ANSI-SQL-expressible):
+    *   - `top{n}gram_char_frac` = cnt(g*) · chars(g*) / n_chars, where g*
+    *     is the most frequent n-gram (ties broken toward the larger char
+    *     mass — identical to ORDER BY cnt DESC, cnt·len DESC LIMIT 1).
+    *     Overlapping occurrences each count, so the fraction may exceed 1
+    *     on degenerate texts ("a a a a") — callers threshold, not sum.
+    *   - `dup{n}gram_char_frac` = Σ chars over n-grams with cnt > 1 /
+    *     Σ chars over all n-grams.
+    *
+    * Distributed shape (the 100 TB path): explode word n-grams lazily
+    * (codegen pipelines the index explode + slice projection — no
+    * per-doc gram array is materialized), ONE hash aggregation on
+    * (id, n, gram) with map-side combine, ONE rollup on id via
+    * conditional aggregates (no pivot), then a join back to the id
+    * universe so gram-less docs (< n words) emit 0.0. Both exchanges
+    * hash-partition on id-prefixed keys; per-group state is O(1).
+    */
+  def repetitionStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2) && ns.distinct == ns,
+      s"ns must be distinct n-gram sizes >= 2, got $ns")
+    val base = df.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      words(col(textCol)).as("ws"))
+    val grams = ns.map { n =>
+      base
+        .select(col(idCol), col("ws"),
+          explode(when(size(col("ws")) >= n,
+            sequence(lit(1), size(col("ws")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col(idCol), lit(n).as("n"),
+          concat_ws(" ", slice(col("ws"), col("i"), lit(n))).as("gram"))
+    }.reduce(_ unionByName _)
+    val perGram = grams
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("gchars", col("cnt") * length(col("gram")).cast("long"))
+    val aggCols = ns.flatMap { n =>
+      val isN = col("n") === n
+      Seq(
+        max(when(isN, struct(col("cnt"), col("gchars"))))
+          .getField("gchars").as(s"top${n}_chars"),
+        sum(when(isN && col("cnt") > 1, col("gchars")).otherwise(lit(0L)))
+          .as(s"dup${n}_chars"),
+        sum(when(isN, col("gchars")).otherwise(lit(0L)))
+          .as(s"tot${n}_chars"))
+    }
+    val perDoc = perGram.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    base.select(col(idCol), col("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol) +: ns.flatMap { n =>
+        Seq(
+          coalesce(col(s"top${n}_chars").cast("double") / col("n_chars"),
+            lit(0.0)).as(s"top${n}gram_char_frac"),
+          coalesce(col(s"dup${n}_chars").cast("double") / col(s"tot${n}_chars"),
+            lit(0.0)).as(s"dup${n}gram_char_frac"))
+      }: _*)
+  }
+
+  /** Doc-level repetition thresholds (normative constants of this engine,
+    * Gopher-style; tuned so they discriminate — a rule that keeps or drops
+    * everything on a realistic corpus verifies nothing).
+    */
+  final case class RepetitionConfig(
+      maxTop2gramCharFrac: Double = 0.10,
+      maxDup2gramCharFrac: Double = 0.10,
+      minStopwordFrac: Double = 0.02)
+
+  /** Verdict over [[repetitionStats]] (n=2) + `stopword_frac` columns. */
+  def repetitionPasses(cfg: RepetitionConfig = RepetitionConfig()): Column =
+    (col("top2gram_char_frac") <= cfg.maxTop2gramCharFrac) &&
+    (col("dup2gram_char_frac") <= cfg.maxDup2gramCharFrac) &&
+    (col("stopword_frac") >= cfg.minStopwordFrac)
 
   /** Verdict over metric columns produced by [[metrics]] (+ perplexity). */
   def passes(cfg: Config = Default): Column = {

@@ -69,4 +69,65 @@ class QualityExprSpec extends AnyFunSuite {
     assert(a.length == b.length)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x != $y") }
   }
+
+  /** Local brute-force twin of Quality.repetitionStats' normative defs. */
+  private def bruteRepetition(text: String, n: Int): (Double, Double) = {
+    val ws = text.split(" ").filter(_.nonEmpty)
+    if (ws.length < n) (0.0, 0.0)
+    else {
+      val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map { case (g, o) => (g, o.size.toLong) }
+      val top = counts.iterator.map { case (g, c) => (c, c * g.length) }.max
+      val dup = counts.collect { case (g, c) if c > 1 => c * g.length }.sum
+      val tot = counts.map { case (g, c) => c * g.length }.sum
+      (top._2.toDouble / text.length, dup.toDouble / tot)
+    }
+  }
+
+  test("repetitionStats matches hand-computed and brute values; verdict splits") {
+    // hand-computed: "x y x y z" → 2-grams {x y:2, y x:1, y z:1}
+    //   top2 = 2*3/9, dup2 = 6/12; 3-grams all unique → top3 = 5/9, dup3 = 0
+    val hand = Seq(
+      (0L, "x y x y z"), (1L, "solo"), (2L, ""), (3L, "a a a a"),
+      (4L, "the cat sat on the mat and the cat ran"))
+      .toDF("doc_id", "text")
+    val r = Quality.repetitionStats(hand, "text", "doc_id", Seq(2, 3))
+      .orderBy("doc_id").collect()
+    assert(r.length == 5)
+    val row0 = r(0)
+    assert(row0.getDouble(1) == 6.0 / 9 && row0.getDouble(2) == 6.0 / 12)
+    assert(row0.getDouble(3) == 5.0 / 9 && row0.getDouble(4) == 0.0)
+    assert((1 to 4).forall(i => r(1).getDouble(i) == 0.0)) // 1 word: no grams
+    assert((1 to 4).forall(i => r(2).getDouble(i) == 0.0)) // empty text
+    // "a a a a": top2 "a a" cnt 3, chars 9, text len 7 → frac > 1 (documented)
+    assert(r(3).getDouble(1) == 9.0 / 7 && r(3).getDouble(2) == 1.0)
+
+    // brute-force twin over the synth corpus (+ the hand rows)
+    val texts = Synth.corpus(120, 7L, 40).map(_.text.replace('\n', ' ')) ++
+      hand.collect().map(_.getString(1))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Quality.repetitionStats(df, "text", "doc_id", Seq(2, 3))
+      .orderBy("doc_id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (t2, d2) = bruteRepetition(t, 2)
+      val (t3, d3) = bruteRepetition(t, 3)
+      val g = got(i)
+      assert(g.getDouble(1) == t2 && g.getDouble(2) == d2 &&
+        g.getDouble(3) == t3 && g.getDouble(4) == d3,
+        s"doc $i: got $g want ($t2,$d2,$t3,$d3) for '${t.take(60)}'")
+    }
+
+    // stopword frac + composite verdict must discriminate on the real
+    // fixture corpus (short synth turns are top2-dominated by construction)
+    val fixture = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sw = fixture.select(col("doc_id"),
+      Quality.stopwordFrac(Quality.words(col("text"))).as("stopword_frac"))
+    val verdicts = Quality.repetitionStats(fixture, "text", "doc_id", Seq(2))
+      .join(sw, Seq("doc_id"))
+      .select(Quality.repetitionPasses().as("keep"))
+      .collect().map(_.getBoolean(0))
+    assert(verdicts.contains(true) && verdicts.contains(false),
+      s"verdict is constant (${verdicts.count(_ == true)}/${verdicts.length} keep) — thresholds don't discriminate")
+  }
 }
