@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import vigil.{Decide, Eval, Quality, Review, Synth, TextStats, Toxicity}
+import vigil.{Decide, DocFilter, Eval, Quality, Review, Synth, TextStats, Toxicity}
 import vigil.ann.Ann
 import vigil.dedup.Dedup
 import vigil.media.Media
@@ -537,6 +537,16 @@ object SparkEntry {
           Seq("doc_id"))
         .withColumn("gopher_keep", Quality.repetitionPasses())
         .orderBy("doc_id")
+    }),
+    // --- composed C4/Gopher corpus filter (engine-native, rows-only):
+    //     one narrow fused scoring spine + repetition + toxicity + exact
+    //     and LSH-verified near-dedup, first-failing-rule drop reasons.
+    //     Each constituent flag is oracle-paired elsewhere (q_quality_*,
+    //     q_gopher_repetition, q_toxicity, q_dedup_exact,
+    //     q_neardup_verified); the composition itself needs langid +
+    //     perplexity, so it is rows-only by contract -------------------
+    "q_doc_filter" -> ((s, dir) => {
+      DocFilter.filterDocs(docs(s, dir)).orderBy("doc_id")
     })
   )
 

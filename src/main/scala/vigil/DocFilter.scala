@@ -1,0 +1,99 @@
+package vigil
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import vigil.dedup.Dedup
+
+/** Composed document-corpus quality filter — the C4 (Raffel et al. 2020) /
+  * Gopher (Rae et al. 2021) pipeline shape over a documents table, built
+  * entirely from this engine's operators: fused clean+PII+langid+quality
+  * scoring (one narrow pass), doc-level n-gram repetition signals, the
+  * toxicity lexicon, exact dedup, and LSH-verified near-dedup. Emits one
+  * row per document with `keep`, the FIRST failing rule as `drop_reason`
+  * (normative cascade order below), and the scrubbed text for kept docs.
+  *
+  * Cascade order (normative): language → quality → repetition → toxicity →
+  * exact_duplicate → near_duplicate. PII never drops a document — it is
+  * scrubbed (reference semantics: detector scrubs, conversation-level
+  * density rules are transcript-shaped, not doc-shaped).
+  *
+  * Scale shape (the 100 TB path): the scoring spine is ONE narrow fused
+  * pass over the scan; every side frame (repetition, stopwords, exact-dup
+  * ranks, near-dup pairs) derives its own narrow lineage from the SAME
+  * storage scan — never from the scored frame — so joining flags back
+  * does NOT re-run the regex+LM kernel (the self-join lineage-recompute
+  * trap, BENCH/BASELINE.md r4). All joins key on the doc id; the dedup
+  * family's exchanges are bounded exactly as in `Dedup` (capped buckets,
+  * linear candidates). Dedup flags are computed corpus-wide rather than
+  * on quality survivors: independent lineage beats the smaller input,
+  * because survivors-only would force either a scored-frame materialization
+  * or a second scoring pass.
+  */
+object DocFilter {
+
+  final case class Config(
+      targetLang: String = "en",
+      quality: Quality.Config = Quality.Default,
+      repetition: Quality.RepetitionConfig = Quality.RepetitionConfig(),
+      minJaccard: Double = 0.9)
+  val Default: Config = Config()
+
+  /** Filter a document corpus; `docs` must carry (`idCol`, `textCol`).
+    * Returns (id, keep, drop_reason, lang, perplexity, contem_pii,
+    * scrubbed_text, quality + repetition signal columns).
+    */
+  def filterDocs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      cfg: Config = Default): DataFrame = {
+    // scoring spine: narrow fused kernel; select() guards against the
+    // withColumn-shadowing trap when the input already has lang/clean cols
+    val scored = Decide.scoreTurns(
+      docs.select(col(idCol), col(textCol).as("text")),
+      Decide.Default.copy(targetLang = cfg.targetLang, quality = cfg.quality))
+      // stopword frac is narrow — ride the spine instead of a scan+join
+      // (same raw-text definition as q_gopher_repetition)
+      .withColumn("stopword_frac",
+        Quality.stopwordFrac(Quality.words(col("text"))))
+    // doc-level repetition signals (two map-side-combined exchanges)
+    val rep = Quality.repetitionStats(docs, textCol, idCol, Seq(2))
+    // exact dedup: smallest id of each identical-text group survives
+    val exactDups = docs
+      .select(col(idCol),
+        row_number().over(
+          Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))).as("rn"))
+      .filter(col("rn") > 1)
+      .select(col(idCol), lit(true).as("__exact_dup"))
+    // near dedup: id_a < id_b pairs ⇒ dropping every id_b keeps the
+    // smallest id of each near-dup chain (greedy canonical rule; a
+    // connected-component canonicalization is a different operator)
+    val nearDups = Dedup
+      .neardupVerified(docs, textCol, idCol, cfg.minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__near_dup", lit(true))
+
+    scored
+      .join(rep, Seq(idCol))
+      .join(exactDups, Seq(idCol), "left")
+      .join(nearDups, Seq(idCol), "left")
+      .withColumn("repetition_pass", Quality.repetitionPasses(cfg.repetition))
+      .withColumn("drop_reason",
+        when(col("lang") =!= cfg.targetLang, "language")
+          .when(!col("quality_pass"), "quality")
+          .when(!col("repetition_pass"), "repetition")
+          .when(col("toxic"), "toxicity")
+          .when(coalesce(col("__exact_dup"), lit(false)), "exact_duplicate")
+          .when(coalesce(col("__near_dup"), lit(false)), "near_duplicate"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col(idCol), col("keep"), col("drop_reason"),
+        col("lang"), col("perplexity"), col("contem_pii"),
+        col("scrubbed_text"),
+        col("n_words"), col("mean_word_len"), col("alpha_word_frac"),
+        col("symbol_word_ratio"), col("top2gram_char_frac"),
+        col("dup2gram_char_frac"), col("stopword_frac"),
+        col("quality_pass"), col("repetition_pass"), col("toxic"))
+  }
+}

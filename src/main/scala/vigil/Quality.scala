@@ -103,21 +103,42 @@ object Quality {
     *   - `dup{n}gram_char_frac` = Σ chars over n-grams with cnt > 1 /
     *     Σ chars over all n-grams.
     *
-    * Distributed shape (the 100 TB path): explode word n-grams lazily
-    * (codegen pipelines the index explode + slice projection — no
-    * per-doc gram array is materialized), ONE hash aggregation on
-    * (id, n, gram) with map-side combine, ONE rollup on id via
-    * conditional aggregates (no pivot), then a join back to the id
-    * universe so gram-less docs (< n words) emit 0.0. Both exchanges
-    * hash-partition on id-prefixed keys; per-group state is O(1).
+    * Execution (the 100 TB path): the stats are strictly per-document, so
+    * the default is the fused flat-loop expression
+    * (`RepetitionStatsExpr`) — ONE narrow pass, zero exchanges, per-row
+    * state bounded by the doc's own gram count. `fused = false` runs the
+    * normative column-algebra formulation instead (explode word n-grams →
+    * hash aggregation on (id, n, gram) with map-side combine → conditional
+    * rollup on id → join back so gram-less docs emit 0.0 — two exchanges,
+    * O(1) per-group state); the two are bit-equality-locked in
+    * QualityExprSpec, and the DuckDB oracle of q_gopher_repetition pairs
+    * identically against either.
     */
   def repetitionStats(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+      ns: Seq[Int] = Seq(2, 3),
+      fused: Boolean = true): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2) && ns.distinct == ns,
       s"ns must be distinct n-gram sizes >= 2, got $ns")
+    if (fused) {
+      return df
+        .select(col(idCol),
+          functions.repetition_stats(col(textCol), ns).as("__r"))
+        .select(col(idCol) +: ns.flatMap { n =>
+          // real zero denominators here (vs the join path's nulls) — ANSI
+          // mode would throw on 0/0, so guard explicitly
+          Seq(
+            when(col("__r.n_chars") > 0,
+              col(s"__r.top${n}_chars").cast("double") / col("__r.n_chars"))
+              .otherwise(lit(0.0)).as(s"top${n}gram_char_frac"),
+            when(col(s"__r.tot${n}_chars") > 0,
+              col(s"__r.dup${n}_chars").cast("double") /
+                col(s"__r.tot${n}_chars"))
+              .otherwise(lit(0.0)).as(s"dup${n}gram_char_frac"))
+        }: _*)
+    }
     val base = df.select(
       col(idCol),
       length(col(textCol)).cast("long").as("n_chars"),

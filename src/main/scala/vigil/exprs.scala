@@ -393,6 +393,104 @@ object TurnScoreExpr {
       TurnStatsExpr.schema.fields)
 }
 
+/** text → char-weighted word-n-gram repetition counters in ONE flat pass:
+  * for each n in `ns`, (top{n}_chars, dup{n}_chars, tot{n}_chars) plus the
+  * text's code-point count — the numerators/denominators of
+  * Quality.repetitionStats' fractions.
+  *
+  * Fusion rationale: the stats are strictly PER-DOCUMENT, so the normative
+  * column-algebra shape (explode n-grams → two hash aggregations) pays two
+  * exchanges for what a per-row hash map computes in place — bounded by
+  * the document's own gram count, the same bound the aggregation's
+  * per-group state had. Bit-equality with the column algebra is locked in
+  * QualityExprSpec; the column formulation stays normative (its tie-break
+  * is max (cnt, char-mass), reproduced here exactly). Lengths are code
+  * points (Spark `length()` parity).
+  */
+case class RepetitionStatsExpr(child: Expression, ns: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(ns.nonEmpty && ns.forall(_ >= 2) && ns.distinct == ns,
+    s"ns must be distinct n-gram sizes >= 2, got $ns")
+  override def dataType: DataType = RepetitionStatsExpr.schema(ns)
+  override def nullable: Boolean = false
+  override def prettyName: String = "repetition_stats"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    RepetitionStatsExpr.compute(text, ns)
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+}
+
+object RepetitionStatsExpr {
+  def schema(ns: Seq[Int]): StructType = StructType(
+    ns.flatMap(n => Seq(
+      StructField(s"top${n}_chars", LongType, nullable = false),
+      StructField(s"dup${n}_chars", LongType, nullable = false),
+      StructField(s"tot${n}_chars", LongType, nullable = false))) :+
+      StructField("n_chars", LongType, nullable = false))
+
+  private[vigil] def compute(text: String, ns: Seq[Int]): InternalRow = {
+    val words = text.split(" ").filter(_.nonEmpty)
+    val nWords = words.length
+    // per-word code-point lengths, computed once
+    val wl = new Array[Int](nWords)
+    var i = 0
+    while (i < nWords) {
+      wl(i) = words(i).codePointCount(0, words(i).length); i += 1
+    }
+    val out = new Array[Any](3 * ns.length + 1)
+    var f = 0
+    ns.foreach { n =>
+      var topCnt = 0L
+      var topChars = 0L
+      var dup = 0L
+      var tot = 0L
+      if (nWords >= n) {
+        val total = nWords - n + 1
+        // gram → (count, gram code points); string key keeps equality exact
+        val m = new java.util.HashMap[String, Array[Long]](total * 2)
+        val sb = new java.lang.StringBuilder(64)
+        var g = 0
+        while (g < total) {
+          sb.setLength(0)
+          var k = 0
+          var cp = n - 1 // n-1 separator spaces
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words(g + k))
+            cp += wl(g + k)
+            k += 1
+          }
+          val key = sb.toString
+          val slot = m.get(key)
+          if (slot == null) m.put(key, Array(1L, cp.toLong))
+          else slot(0) += 1L
+          g += 1
+        }
+        val it = m.values().iterator()
+        while (it.hasNext) {
+          val slot = it.next()
+          val cnt = slot(0)
+          val chars = cnt * slot(1)
+          // tie-break parity with max(struct(cnt, gchars))
+          if (cnt > topCnt || (cnt == topCnt && chars > topChars)) {
+            topCnt = cnt; topChars = chars
+          }
+          if (cnt > 1L) dup += chars
+          tot += chars
+        }
+      }
+      out(f) = topChars; out(f + 1) = dup; out(f + 2) = tot
+      f += 3
+    }
+    out(f) = text.codePointCount(0, text.length).toLong
+    new GenericInternalRow(out)
+  }
+}
+
 /** Cosine similarity of two array<double> columns in ONE flat loop.
   *
   * Bit-identical to the higher-order-function formulation it replaces
@@ -550,6 +648,8 @@ object functions {
   def winnow_fingerprint(c: Column, k: Int = 3, w: Int = 4): Column =
     VigilShim.column(WinnowFingerprintExpr(expr(c), k, w))
   def turn_stats(c: Column): Column = VigilShim.column(TurnStatsExpr(expr(c)))
+  def repetition_stats(c: Column, ns: Seq[Int]): Column =
+    VigilShim.column(RepetitionStatsExpr(expr(c), ns))
   def turn_score(c: Column): Column = VigilShim.column(TurnScoreExpr(expr(c)))
   def cosine_sim(a: Column, b: Column): Column =
     VigilShim.column(CosineSimExpr(expr(a.cast("array<double>")),

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.{DocFilter, Toxicity}
+
+/** DocFilter.filterDocs: cascade reasons on a crafted corpus + flag
+  * consistency with the standalone operators on the real fixture.
+  *
+  * Crafted texts are ~200 chars: the top-2-gram rule compares the longest
+  * repeated-or-not 2-gram's char mass against 10% of the text, so a short
+  * "clean" text fails it trivially (one 12-char 2-gram in 100 chars).
+  */
+class DocFilterSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // English, stopwords present, no repeated 2-grams, longest 2-gram well
+  // under 10% of the char count — passes every rule.
+  private val keeper =
+    "the quick brown fox jumps over a lazy dog while the sun rises in " +
+    "the east and workers walk to the office for another busy day of work " +
+    "as the city wakes up and birds sing in the old green park"
+  private val nearA =
+    "many software teams in the wide world ship new features every week " +
+    "and the users of those products send useful notes and ideas through " +
+    "open channels so the work can improve at a steady pace over time"
+  private val dupText =
+    "a group of young students reads many books in the big city library " +
+    "and the teacher shows hard ideas with simple clear examples so that " +
+    "all of them can learn more every single day of the school year"
+
+  test("cascade reasons on a crafted corpus") {
+    val toxWord = Toxicity.Lexicon.head
+    val docs = Seq(
+      (0L, keeper),
+      // Portuguese → language (even though it also duplicates doc 10)
+      (1L, "Solicito acesso aos documentos referentes ao processo da obra " +
+        "na quadra norte conforme previsto pela lei de transparência"),
+      // English words drowned in symbols → quality (symbol/word ratio)
+      (2L, "the cost is $$$ and the code has ### marks with !!! and %%% " +
+        "plus @@@ everywhere in the file $$$ ### !!! %%% @@@ &&& *** ^^^"),
+      // moderate phrase repetition: passes the word-level quality dup rule
+      // (dup_2gram_frac ≈ 0.15) but "the cat" carries > 10% of the chars
+      // → repetition
+      (3L, "the cat sat near the cat and then the cat chased the cat " +
+        "while another the cat watched birds trees rivers mountains " +
+        "valleys clouds stars oceans deserts forests meadows"),
+      // keeper text + a lexicon word (and enough fresh words that it is
+      // NOT a near-dup of doc 0) → toxicity
+      (4L, s"$keeper you $toxWord again this very morning"),
+      // exact duplicate pair: 5 keeps, 6 drops
+      (5L, dupText),
+      (6L, dupText),
+      // near-duplicate pair (1 of ~34 distinct tokens differs): 7 keeps,
+      // 8 drops
+      (7L, nearA),
+      (8L, nearA.replace("useful", "helpful")),
+      // the same Portuguese text again: cascade must say language, not
+      // exact_duplicate
+      (10L, "Solicito acesso aos documentos referentes ao processo da obra " +
+        "na quadra norte conforme previsto pela lei de transparência")
+    ).toDF("doc_id", "text")
+
+    val out = DocFilter.filterDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(out(0L) == ((true, None)), s"keeper: ${out(0L)}")
+    assert(out(1L) == ((false, Some("language"))))
+    assert(out(10L) == ((false, Some("language"))),
+      "cascade: language must precede exact_duplicate")
+    assert(out(2L) == ((false, Some("quality"))))
+    assert(out(3L) == ((false, Some("repetition"))))
+    assert(out(4L) == ((false, Some("toxicity"))))
+    assert(out(5L) == ((true, None)))
+    assert(out(6L) == ((false, Some("exact_duplicate"))))
+    assert(out(7L) == ((true, None)))
+    assert(out(8L) == ((false, Some("near_duplicate"))))
+  }
+
+  test("flags agree with standalone operators on the sf0.01 fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = DocFilter.filterDocs(docs)
+    // the expensive fused regex+LM kernel must appear EXACTLY once in the
+    // physical plan: side frames derive from the storage scan, and joining
+    // them back must not re-run the scoring spine (lineage-recompute trap)
+    val phys = out.queryExecution.executedPlan.toString
+    val kernelCount = phys.sliding("turn_score".length).count(_ == "turn_score")
+    assert(kernelCount == 1, s"turn_score appears $kernelCount times in plan")
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    // keep ⇔ no reason; reasons only from the normative set
+    val reasons = Set("language", "quality", "repetition", "toxicity",
+      "exact_duplicate", "near_duplicate")
+    rows.foreach { r =>
+      val keep = r.getBoolean(1)
+      val reason = Option(r.getString(2))
+      assert(keep == reason.isEmpty)
+      reason.foreach(x => assert(reasons.contains(x), x))
+    }
+    // verdict must discriminate on the fixture
+    val nKeep = rows.count(_.getBoolean(1))
+    assert(nKeep > 0 && nKeep < rows.length, s"keep=$nKeep/${rows.length}")
+
+    // exact_duplicate rows are window-dup ids; every window-dup id is
+    // dropped with exact_duplicate or an earlier cascade reason
+    val dupIds = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .groupBy(_._2).values.flatMap(_.map(_._1).sorted.drop(1)).toSet
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val earlier = Set("language", "quality", "repetition", "toxicity")
+    rows.foreach { r =>
+      if (Option(r.getString(2)).contains("exact_duplicate"))
+        assert(dupIds.contains(r.getLong(0)))
+    }
+    dupIds.foreach { id =>
+      val reason = Option(byId(id).getString(2))
+      assert(reason.contains("exact_duplicate") ||
+        reason.exists(earlier.contains), s"dup $id got $reason")
+    }
+
+    // near_duplicate rows are a subset of the standalone near-dup id_b
+    // set; every standalone id_b is dropped (for near_duplicate or any
+    // earlier reason — id_b may also be an exact dup)
+    val nearIds = vigil.dedup.Dedup
+      .neardupVerified(docs, "text", "doc_id", 0.9)
+      .select("id_b").as[Long].collect().toSet
+    rows.foreach { r =>
+      if (Option(r.getString(2)).contains("near_duplicate"))
+        assert(nearIds.contains(r.getLong(0)))
+    }
+    nearIds.foreach { id =>
+      assert(Option(byId(id).getString(2)).isDefined, s"near-dup $id kept")
+    }
+  }
+}

@@ -118,6 +118,15 @@ class QualityExprSpec extends AnyFunSuite {
         s"doc $i: got $g want ($t2,$d2,$t3,$d3) for '${t.take(60)}'")
     }
 
+    // fused flat-loop expression ≡ normative column algebra, bit-wise,
+    // on the same corpus (incl. accents/emoji from the synth texts)
+    val viaCols = Quality.repetitionStats(df, "text", "doc_id", Seq(2, 3),
+      fused = false).orderBy("doc_id").collect().map(_.toString)
+    val viaExpr = Quality.repetitionStats(df, "text", "doc_id", Seq(2, 3))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(viaCols.sameElements(viaExpr),
+      viaCols.zip(viaExpr).filter(p => p._1 != p._2).take(3).mkString("\n"))
+
     // stopword frac + composite verdict must discriminate on the real
     // fixture corpus (short synth turns are top2-dominated by construction)
     val fixture = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
