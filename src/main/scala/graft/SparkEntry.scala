@@ -547,6 +547,31 @@ object SparkEntry {
     //     perplexity, so it is rows-only by contract -------------------
     "q_doc_filter" -> ((s, dir) => {
       DocFilter.filterDocs(docs(s, dir)).orderBy("doc_id")
+    }),
+    // --- recurring-ingest corpus filter (engine-native, rows-only):
+    //     every 3rd doc arrives as a NEW batch (ids remapped above the
+    //     corpus — the ingest reality) against the stored kept-corpus
+    //     hash + signature tables; mirrors production with a real
+    //     parquet write+read of both stored tables ---------------------
+    "q_doc_filter_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpusAll = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val keptIds = DocFilter.filterDocs(corpusAll)
+        .filter(col("keep")).select("doc_id")
+      val kept = corpusAll.join(keptIds, Seq("doc_id"), "leftsemi")
+      val base =
+        s"/tmp/vigil_dfinc_${new java.io.File(dir).getName}"
+      kept.select(col("doc_id"), md5(col("text")).as("__h"))
+        .write.mode("overwrite").parquet(s"$base/hashes")
+      vigil.dedup.Dedup.computeSignatures(kept, "text", "doc_id",
+        bands = 24, rowsPerBand = 6, shingleK = 1)
+        .write.mode("overwrite").parquet(s"$base/sigs")
+      DocFilter.filterDocsIncremental(
+        s.read.parquet(s"$base/sigs"), s.read.parquet(s"$base/hashes"),
+        kept, batch)
+        .orderBy("doc_id")
     })
   )
 

@@ -40,15 +40,12 @@ object DocFilter {
       minJaccard: Double = 0.9)
   val Default: Config = Config()
 
-  /** Filter a document corpus; `docs` must carry (`idCol`, `textCol`).
-    * Returns (id, keep, drop_reason, lang, perplexity, contem_pii,
-    * scrubbed_text, quality + repetition signal columns).
+  /** The stateless prefix: fused scoring spine + stopword frac + doc-level
+    * repetition signals + verdict columns, joined on the id.
     */
-  def filterDocs(
-      docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      cfg: Config = Default): DataFrame = {
+  private def statelessScored(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
     // scoring spine: narrow fused kernel; select() guards against the
     // withColumn-shadowing trap when the input already has lang/clean cols
     val scored = Decide.scoreTurns(
@@ -58,28 +55,21 @@ object DocFilter {
       // (same raw-text definition as q_gopher_repetition)
       .withColumn("stopword_frac",
         Quality.stopwordFrac(Quality.words(col("text"))))
-    // doc-level repetition signals (two map-side-combined exchanges)
+    // doc-level repetition signals (fused per-row expression, narrow)
     val rep = Quality.repetitionStats(docs, textCol, idCol, Seq(2))
-    // exact dedup: smallest id of each identical-text group survives
-    val exactDups = docs
-      .select(col(idCol),
-        row_number().over(
-          Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))).as("rn"))
-      .filter(col("rn") > 1)
-      .select(col(idCol), lit(true).as("__exact_dup"))
-    // near dedup: id_a < id_b pairs ⇒ dropping every id_b keeps the
-    // smallest id of each near-dup chain (greedy canonical rule; a
-    // connected-component canonicalization is a different operator)
-    val nearDups = Dedup
-      .neardupVerified(docs, textCol, idCol, cfg.minJaccard)
-      .select(col("id_b").as(idCol)).distinct()
-      .withColumn("__near_dup", lit(true))
+    scored.join(rep, Seq(idCol))
+      .withColumn("repetition_pass", Quality.repetitionPasses(cfg.repetition))
+  }
 
-    scored
-      .join(rep, Seq(idCol))
+  /** Cascade verdict + output projection over the stateless frame joined
+    * with (id, __exact_dup) / (id, __near_dup) flag frames.
+    */
+  private def assemble(
+      stateless: DataFrame, exactDups: DataFrame, nearDups: DataFrame,
+      idCol: String, cfg: Config): DataFrame =
+    stateless
       .join(exactDups, Seq(idCol), "left")
       .join(nearDups, Seq(idCol), "left")
-      .withColumn("repetition_pass", Quality.repetitionPasses(cfg.repetition))
       .withColumn("drop_reason",
         when(col("lang") =!= cfg.targetLang, "language")
           .when(!col("quality_pass"), "quality")
@@ -95,5 +85,92 @@ object DocFilter {
         col("symbol_word_ratio"), col("top2gram_char_frac"),
         col("dup2gram_char_frac"), col("stopword_frac"),
         col("quality_pass"), col("repetition_pass"), col("toxic"))
+
+  /** Filter a document corpus; `docs` must carry (`idCol`, `textCol`).
+    * Returns (id, keep, drop_reason, lang, perplexity, contem_pii,
+    * scrubbed_text, quality + repetition signal columns).
+    */
+  def filterDocs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      cfg: Config = Default): DataFrame = {
+    // exact dedup: smallest id of each identical-text group survives
+    val exactDups = docs
+      .select(col(idCol),
+        row_number().over(
+          Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))).as("rn"))
+      .filter(col("rn") > 1)
+      .select(col(idCol), lit(true).as("__exact_dup"))
+    // near dedup: id_a < id_b pairs ⇒ dropping every id_b keeps the
+    // smallest id of each near-dup chain (greedy canonical rule; a
+    // connected-component canonicalization is a different operator)
+    val nearDups = Dedup
+      .neardupVerified(docs, textCol, idCol, cfg.minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__near_dup", lit(true))
+    assemble(statelessScored(docs, idCol, textCol, cfg),
+      exactDups, nearDups, idCol, cfg)
+  }
+
+  /** The recurring-ingest shape: filter a NEW batch against a STORED
+    * kept corpus, without recomputing anything corpus-side.
+    *
+    * Contract (what a daily 100 TB ingest actually stores): `corpusHashes`
+    * is the (id, text_md5) table of KEPT corpus documents (appended per
+    * ingest); `corpusSigs` is the stored `Dedup.computeSignatures` table
+    * (shingleK = 1, same bands/rows as the near-dup verifier) over the
+    * same kept corpus; `corpusText` is the kept corpus itself, scanned
+    * only to tokenize the candidate-pair partners. The MinHash kernel
+    * runs ONLY over the new batch.
+    *
+    * Semantics: the stateless cascade scores the batch alone; a batch doc
+    * is `exact_duplicate` if its text hash is already in the corpus or
+    * owned by a smaller-id batch doc, and `near_duplicate` if a verified
+    * pair links it to ANY corpus doc (corpus side is canonical regardless
+    * of id) or to a smaller-id batch doc. With corpus ids below batch ids
+    * (the ingest reality) this equals the batch slice of [[filterDocs]]
+    * over corpus ∪ batch — asserted in DocFilterSpec.
+    */
+  def filterDocsIncremental(
+      corpusSigs: DataFrame,
+      corpusHashes: DataFrame,
+      corpusText: DataFrame,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      cfg: Config = Default): DataFrame = {
+    val batchHashes = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+    // vs corpus: hash semi-join; within batch: smallest id owns the hash
+    val exactVsCorpus = batchHashes
+      .join(corpusHashes.select(col("__h")), Seq("__h"), "leftsemi")
+      .select(col(idCol))
+    val exactInBatch = batchHashes
+      .select(col(idCol),
+        row_number().over(
+          Window.partitionBy(col("__h")).orderBy(col(idCol))).as("rn"))
+      .filter(col("rn") > 1).select(col(idCol))
+    val exactDups = exactVsCorpus.unionByName(exactInBatch).distinct()
+      .withColumn("__exact_dup", lit(true))
+
+    // batch-touching verified pairs (new×corpus ∪ new×new), corpus
+    // signatures read from the stored table
+    val pairs = Dedup.neardupVerifiedIncremental(
+      corpusSigs, corpusText, batch, textCol, idCol, cfg.minJaccard)
+    val batchIds = batch.select(col(idCol).as("__bid"))
+    // drop the batch side of every mixed pair (corpus is canonical) and
+    // the larger side of batch×batch pairs (id_a < id_b by construction)
+    val dropB = pairs
+      .join(batchIds, pairs("id_b") === col("__bid"), "leftsemi")
+      .select(col("id_b").as(idCol))
+    val dropAMixed = pairs
+      .join(batchIds, pairs("id_a") === col("__bid"), "leftsemi")
+      .join(batchIds, pairs("id_b") === col("__bid"), "leftanti")
+      .select(col("id_a").as(idCol))
+    val nearDups = dropB.unionByName(dropAMixed).distinct()
+      .withColumn("__near_dup", lit(true))
+
+    assemble(statelessScored(batch, idCol, textCol, cfg),
+      exactDups, nearDups, idCol, cfg)
   }
 }

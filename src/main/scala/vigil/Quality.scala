@@ -126,18 +126,8 @@ object Quality {
       return df
         .select(col(idCol),
           functions.repetition_stats(col(textCol), ns).as("__r"))
-        .select(col(idCol) +: ns.flatMap { n =>
-          // real zero denominators here (vs the join path's nulls) — ANSI
-          // mode would throw on 0/0, so guard explicitly
-          Seq(
-            when(col("__r.n_chars") > 0,
-              col(s"__r.top${n}_chars").cast("double") / col("__r.n_chars"))
-              .otherwise(lit(0.0)).as(s"top${n}gram_char_frac"),
-            when(col(s"__r.tot${n}_chars") > 0,
-              col(s"__r.dup${n}_chars").cast("double") /
-                col(s"__r.tot${n}_chars"))
-              .otherwise(lit(0.0)).as(s"dup${n}gram_char_frac"))
-        }: _*)
+        .select(col(idCol) +:
+          repetitionFracs(col("__r"), ns).map { case (n, c) => c.as(n) }: _*)
     }
     val base = df.select(
       col(idCol),
@@ -177,6 +167,24 @@ object Quality {
             lit(0.0)).as(s"dup${n}gram_char_frac"))
       }: _*)
   }
+
+  /** The fraction columns over a `repetition_stats` struct column — shared
+    * by the fused [[repetitionStats]] path and the streaming filter. Real
+    * zero denominators here (vs the join path's nulls), so the ANSI 0/0
+    * is guarded explicitly.
+    */
+  def repetitionFracs(r: Column, ns: Seq[Int]): Seq[(String, Column)] =
+    ns.flatMap { n =>
+      Seq(
+        s"top${n}gram_char_frac" ->
+          when(r.getField("n_chars") > 0,
+            r.getField(s"top${n}_chars").cast("double") /
+              r.getField("n_chars")).otherwise(lit(0.0)),
+        s"dup${n}gram_char_frac" ->
+          when(r.getField(s"tot${n}_chars") > 0,
+            r.getField(s"dup${n}_chars").cast("double") /
+              r.getField(s"tot${n}_chars")).otherwise(lit(0.0)))
+    }
 
   /** Doc-level repetition thresholds (normative constants of this engine,
     * Gopher-style; tuned so they discriminate — a rule that keeps or drops

@@ -201,6 +201,58 @@ object StreamPipeline {
       .drop("__minhash_sig")
   }
 
+  /** Streaming face of [[vigil.DocFilter]] — the kept-document ingest
+    * stream. The batch cascade's stateless prefix (language → quality →
+    * repetition → toxicity) applies to a stream unchanged: the scoring
+    * spine is one narrow fused expression and `RepetitionStatsExpr` is
+    * strictly per-row, so no stage before dedup needs state. Both dedup
+    * stages collapse into ONE watermarked suppression keyed on the
+    * MinHash signature at shingleK = 1: byte-equal text ⇒ token-set-equal
+    * ⇒ signature-equal, so exact duplicates are subsumed by the near-dup
+    * key, and one stateful operator carries the whole dedup face
+    * (bounded-state contract and at-least-once trade exactly as
+    * [[neardupStream]]).
+    *
+    * Semantics vs batch [[vigil.DocFilter.filterDocs]], documented
+    * honestly: (1) only KEPT documents are emitted — suppression removes
+    * rows, it cannot label them, so the audit shape with `drop_reason`
+    * per document is the batch filter; (2) near-dup suppression fires on
+    * signature equality (the J ≈ 1 point), not the batch LSH-verified
+    * J ≥ minJaccard — a streaming J ∈ [0.9, 1) pair passes here and is
+    * caught by the nightly batch pass; (3) the survivor of a dup group is
+    * the FIRST arrival within the horizon, where batch keeps the smallest
+    * id.
+    */
+  def docFilterStream(
+      docs: DataFrame, // must carry (`text`, event-time `ts`)
+      cfg: vigil.DocFilter.Config = vigil.DocFilter.Default,
+      watermarkDelay: String = "10 minutes",
+      bands: Int = 16, rowsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    import vigil.Quality
+    val textCol = "text"
+    val decideCfg = Decide.Default.copy(
+      targetLang = cfg.targetLang, quality = cfg.quality)
+    val numHashes = bands * rowsPerBand
+    val sigUdf = udf((t: String) =>
+      vigil.dedup.Dedup.MinHash.signature(
+        if (t == null) "" else t, numHashes, k = 1, seed))
+    val scored = Decide.scoreTurns(docs, decideCfg)
+      .withColumn("stopword_frac",
+        Quality.stopwordFrac(Quality.words(col(textCol))))
+      .withColumn("__r", vigil.functions.repetition_stats(col(textCol), Seq(2)))
+    val withFracs = Quality.repetitionFracs(col("__r"), Seq(2))
+      .foldLeft(scored) { case (df, (n, c)) => df.withColumn(n, c) }
+    withFracs
+      .withColumn("repetition_pass", Quality.repetitionPasses(cfg.repetition))
+      .filter(col("lang") === cfg.targetLang && col("quality_pass") &&
+        col("repetition_pass") && !col("toxic"))
+      .withColumn("__minhash_sig", sigUdf(col(textCol)))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__minhash_sig")
+      .drop("__minhash_sig", "__r")
+  }
+
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).
     */

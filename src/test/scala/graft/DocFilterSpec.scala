@@ -140,4 +140,36 @@ class DocFilterSpec extends AnyFunSuite {
       assert(Option(byId(id).getString(2)).isDefined, s"near-dup $id kept")
     }
   }
+
+  test("incremental filter equals the batch slice of the full filter over kept-corpus ∪ batch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    // ingest reality: corpus ids below batch ids
+    val corpusAll = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    // the stored tables carry the KEPT corpus (contract): hashes + sigs
+    val keptIds = DocFilter.filterDocs(corpusAll)
+      .filter(col("keep")).select("doc_id")
+    val keptCorpus = corpusAll.join(keptIds, Seq("doc_id"), "leftsemi")
+    val base = "/tmp/vigil_docfilter_inc"
+    keptCorpus.select(col("doc_id"), md5(col("text")).as("__h"))
+      .write.mode("overwrite").parquet(s"$base/hashes")
+    vigil.dedup.Dedup.computeSignatures(keptCorpus, "text", "doc_id",
+      bands = 24, rowsPerBand = 6, shingleK = 1)
+      .write.mode("overwrite").parquet(s"$base/sigs")
+
+    val inc = DocFilter.filterDocsIncremental(
+      spark.read.parquet(s"$base/sigs"),
+      spark.read.parquet(s"$base/hashes"),
+      keptCorpus, batch)
+      .orderBy("doc_id").collect().map(_.toString)
+    val full = DocFilter.filterDocs(keptCorpus.unionByName(batch))
+      .filter(col("doc_id") >= 1000000L)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(inc.length == full.length && inc.sameElements(full),
+      inc.zip(full).filter(p => p._1 != p._2).take(3).mkString("\n"))
+    // and the batch verdict is non-trivial
+    assert(inc.exists(_.contains("true")) && inc.exists(_.contains("false")))
+  }
 }

@@ -517,4 +517,76 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(spark.table("snd_stream").schema.map(f => (f.name, f.dataType)) ==
       schema.map(f => (f.name, f.dataType)))
   }
+
+  test("streaming doc filter: stateless cascade + signature suppression match the batch filter's kept set") {
+    val srcDir = Files.createTempDirectory("vigil_sdf_src").toString
+    val keeper =
+      "the quick brown fox jumps over a lazy dog while the sun rises in " +
+      "the east and workers walk to the office for another busy day of " +
+      "work as the city wakes up and birds sing in the old green park"
+    val keeper2 =
+      "a group of young students reads many books in the big city library " +
+      "and the teacher shows hard ideas with simple clear examples so " +
+      "that all of them can learn more every single day of the school year"
+    // rotate keeper's words by 9: token SET identical (signature-equal at
+    // shingleK = 1) but every adjacent pair is new — passes the stateless
+    // cascade, so only suppression can remove it
+    val keeperWords = keeper.split(" ")
+    val reordered = (keeperWords.drop(9) ++ keeperWords.take(9)).mkString(" ")
+    val toxWord = vigil.Toxicity.Lexicon.head
+
+    def doc(id: Int, ts: String, text: String) =
+      vigil.Turn("c", id, "user", text, "", java.sql.Timestamp.valueOf(ts))
+    def write(rows: Seq[vigil.Turn]): Unit = {
+      import spark.implicits._
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val all = Seq(
+      Seq(
+        doc(1, "2026-01-01 10:00:00", keeper),
+        doc(2, "2026-01-01 10:00:05", "Solicito acesso aos documentos " +
+          "referentes ao processo da obra na quadra norte conforme " +
+          "previsto pela lei de transparência"),
+        doc(3, "2026-01-01 10:00:10", "the cost is $$$ and the code has " +
+          "### marks with !!! and %%% plus @@@ everywhere in the file " +
+          "$$$ ### !!! %%% @@@ &&& *** ^^^")),
+      Seq(
+        doc(4, "2026-01-01 10:01:00", "the cat sat near the cat and then " +
+          "the cat chased the cat while another the cat watched birds " +
+          "trees rivers mountains valleys clouds stars oceans deserts " +
+          "forests meadows"),
+        doc(5, "2026-01-01 10:01:05", s"$keeper you $toxWord again this " +
+          "very morning"),
+        doc(6, "2026-01-01 10:01:10", keeper)), // exact re-post of 1
+      Seq(
+        doc(7, "2026-01-01 10:02:00", reordered), // sig-equal re-post of 1
+        doc(8, "2026-01-01 10:02:05", keeper2)))
+    write(all.head)
+
+    val schema = { import spark.implicits._; all.head.toDF().schema }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamPipeline.docFilterStream(stream)
+      .writeStream.format("memory").queryName("sdf_stream")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    all.tail.foreach { b => write(b); q.processAllAvailable() }
+    q.stop()
+
+    val kept = spark.table("sdf_stream")
+      .select("turn_idx").collect().map(_.getInt(0)).toSeq.sorted
+    assert(kept == Seq(1, 8), s"streamed kept set: $kept")
+
+    // batch equivalence on the union: filterDocs keeps exactly the same
+    // ids (smallest-id survivor aligns with first arrival here; the
+    // reordered re-post has token-set Jaccard 1 ≥ 0.9 so the batch
+    // near-dup verifier drops it too)
+    val union = { import spark.implicits._; all.flatten.toDF() }
+    val batchKept = vigil.DocFilter
+      .filterDocs(union, "turn_idx", "text")
+      .filter(col("keep")).select("turn_idx")
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(batchKept == kept,
+      s"batch kept $batchKept must equal streamed kept $kept")
+  }
 }
