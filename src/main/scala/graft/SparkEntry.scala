@@ -558,11 +558,16 @@ object SparkEntry {
       val corpusAll = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       val batch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
         .withColumn("doc_id", col("doc_id") + lit(1000000L))
-      val keptIds = DocFilter.filterDocs(corpusAll)
-        .filter(col("keep")).select("doc_id")
-      val kept = corpusAll.join(keptIds, Seq("doc_id"), "leftsemi")
       val base =
         s"/tmp/vigil_dfinc_${new java.io.File(dir).getName}"
+      // the kept corpus is a STORED table in production — materialize it,
+      // or every stored-table derivation below re-runs the full corpus
+      // filter lineage (scoring + near-dup; measured 15.9 s vs 8 s)
+      corpusAll
+        .join(DocFilter.filterDocs(corpusAll)
+          .filter(col("keep")).select("doc_id"), Seq("doc_id"), "leftsemi")
+        .write.mode("overwrite").parquet(s"$base/kept")
+      val kept = s.read.parquet(s"$base/kept")
       kept.select(col("doc_id"), md5(col("text")).as("__h"))
         .write.mode("overwrite").parquet(s"$base/hashes")
       vigil.dedup.Dedup.computeSignatures(kept, "text", "doc_id",
