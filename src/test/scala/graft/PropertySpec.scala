@@ -179,4 +179,39 @@ class PropertySpec extends AnyFunSuite {
       cos(a, b) == ref(a, b) && cos(a, b) == cos(b, a)
     })
   }
+
+  // repetition-heavy texts: small vocab (forced duplicate n-grams),
+  // multi-space runs, and non-BMP chars (🙂 makes codePointCount < length)
+  private val repWord = Gen.oneOf("a", "bb", "ação", "🙂", "longword", "x")
+  private val repText: Gen[String] = for {
+    n <- Gen.chooseNum(0, 25)
+    ws <- Gen.listOfN(n, repWord)
+    sep <- Gen.oneOf(" ", "  ", "   ")
+  } yield ws.mkString(sep)
+
+  test("RepetitionStatsExpr counters equal a brute-force twin (property)") {
+    def brute(text: String, n: Int): (Long, Long, Long) = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.length < n) (0L, 0L, 0L)
+      else {
+        val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).toSeq
+          .map { case (g, o) =>
+            (g.codePointCount(0, g.length).toLong, o.size.toLong) }
+        val top = counts.map { case (len, c) => (c, c * len) }.max._2
+        val dup = counts.collect { case (len, c) if c > 1 => c * len }.sum
+        val tot = counts.map { case (len, c) => c * len }.sum
+        (top, dup, tot)
+      }
+    }
+    check(Prop.forAll(repText) { t =>
+      val row = vigil.RepetitionStatsExpr(Literal(t), Seq(2, 3))
+        .eval(InternalRow.empty).asInstanceOf[InternalRow]
+      val (t2, d2, s2) = brute(t, 2)
+      val (t3, d3, s3) = brute(t, 3)
+      row.getLong(0) == t2 && row.getLong(1) == d2 && row.getLong(2) == s2 &&
+      row.getLong(3) == t3 && row.getLong(4) == d3 && row.getLong(5) == s3 &&
+      row.getLong(6) == t.codePointCount(0, t.length).toLong
+    })
+  }
 }
