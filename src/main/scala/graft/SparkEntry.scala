@@ -480,6 +480,15 @@ object SparkEntry {
       Dedup.neardupVerified(docs(s, dir), "text", "doc_id", minJaccard = 0.9)
         .orderBy("id_a", "id_b")
     }),
+    // --- near-dup cluster canonicalization (oracle-paired): connected
+    //     components over the verified pair graph via iterative min-label
+    //     propagation, vs a DuckDB recursive-CTE transitive closure ------
+    "q_neardup_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.connectedComponents(d, "doc_id",
+        Dedup.neardupVerified(d, "text", "doc_id", minJaccard = 0.9))
+        .orderBy("doc_id")
+    }),
     // --- incremental verified near-dup (oracle-paired): a new batch
     //     (every 3rd doc) deduped against the rest of the corpus via its
     //     signature table — emits exactly the batch-touching slice of the
@@ -780,6 +789,27 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
          ORDER BY id_a, id_b""",
+    // transitive closure over the same brute pair graph: component =
+    // smallest reachable doc_id (UNION-dedup makes the recursion finite)
+    "q_neardup_components" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+               w -> len(w) > 0)) AS toks FROM documents),
+           pairs AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+           edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                     UNION ALL SELECT id_b, id_a FROM pairs),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT reach.id, e.dst FROM reach JOIN edges e
+               ON reach.r = e.src)
+         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+         FROM reach GROUP BY 1 ORDER BY doc_id""",
     // batch-touching slice of the global brute-force pairs: the
     // incremental path must find every pair with ≥1 member in the batch
     // (doc_id % 3 = 0) and must NOT emit corpus×corpus pairs

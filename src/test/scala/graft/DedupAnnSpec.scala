@@ -603,4 +603,41 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(fastBlk == bruteBlk,
       s"blocked mismatch: ${fastBlk.size} vs ${bruteBlk.size}")
   }
+
+  test("connectedComponents: star merge, singletons, and union-find twin on the fixture") {
+    // star: (1,3),(2,3) with 1≁2 — components must merge all three
+    // (greedy drop-id_b would keep both 1 and 2); 9 and 10 chain through
+    // 11; 20 is a singleton
+    val nodes = Seq(1L, 2L, 3L, 9L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L), (9L, 11L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      9L -> 9L, 10L -> 9L, 11L -> 9L, 20L -> 20L), got.toString)
+
+    // fixture: equals a local union-find over the verified pair graph
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val vp = Dedup.neardupVerified(docs, "text", "doc_id", 0.9)
+    val edges = vp.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> find(id)).toMap
+    val fromOp = Dedup.connectedComponents(docs, "doc_id", vp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromOp == expected,
+      fromOp.toSeq.diff(expected.toSeq).take(5).toString)
+    // non-vacuous: the fixture has a multi-hundred-member component
+    val largest = expected.values.groupBy(identity).map(_._2.size).max
+    assert(largest > 100, s"largest component $largest — fixture changed?")
+  }
 }
