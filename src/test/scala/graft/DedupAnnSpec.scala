@@ -583,6 +583,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(brute.size > 20000, s"vacuous density test: only ${brute.size} true pairs")
     assert(fast == brute, s"${fast.size} vs ${brute.size}; " +
       s"missing=${(brute -- fast).take(3)} extra=${(fast -- brute).take(3)}")
+
+    // components at the same density: the iterative operator must resolve
+    // the four ~120-member clusters + 100 singletons exactly (union-find
+    // twin over the verified pairs)
+    val pairsDf = Dedup.neardupVerified(docs, "text", "doc_id", 0.9)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairsDf.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val expected = docsSeq.map(_._1).map(id => id -> find(id)).toMap
+    val got = Dedup.connectedComponents(docs, "doc_id", pairsDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      got.toSeq.diff(expected.toSeq).take(5).toString)
+    assert(expected.values.toSet.size < docsSeq.size,
+      "vacuous: no multi-member components")
   }
 
   test("neardupVerified equals brute-force jaccardPairs on real testdata") {
