@@ -37,7 +37,15 @@ object DocFilter {
       targetLang: String = "en",
       quality: Quality.Config = Quality.Default,
       repetition: Quality.RepetitionConfig = Quality.RepetitionConfig(),
-      minJaccard: Double = 0.9)
+      minJaccard: Double = 0.9,
+      /** Near-dup drop policy: `false` (default) = greedy — drop any id_b
+        * of a verified pair (keeps locally-unpaired docs: star pairs
+        * (a,c),(b,c) keep BOTH a and b); `true` = transitive — connected
+        * components over the pair graph, drop everything but the
+        * smallest id of each cluster (the MinHash-dedup-literature
+        * policy; merges a and b into c's cluster).
+        */
+      transitiveNearDup: Boolean = false)
   val Default: Config = Config()
 
   /** The stateless prefix: fused scoring spine + stopword frac + doc-level
@@ -102,12 +110,14 @@ object DocFilter {
           Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))).as("rn"))
       .filter(col("rn") > 1)
       .select(col(idCol), lit(true).as("__exact_dup"))
-    // near dedup: id_a < id_b pairs ⇒ dropping every id_b keeps the
-    // smallest id of each near-dup chain (greedy canonical rule; a
-    // connected-component canonicalization is a different operator)
-    val nearDups = Dedup
-      .neardupVerified(docs, textCol, idCol, cfg.minJaccard)
-      .select(col("id_b").as(idCol)).distinct()
+    // near dedup (policy per cfg.transitiveNearDup): greedy = drop every
+    // id_b of a pair; transitive = connected components, drop every
+    // non-representative cluster member
+    val vpairs = Dedup.neardupVerified(docs, textCol, idCol, cfg.minJaccard)
+    val nearDups = (if (cfg.transitiveNearDup)
+      Dedup.connectedComponents(docs, idCol, vpairs)
+        .filter(col(idCol) =!= col("component")).select(col(idCol))
+    else vpairs.select(col("id_b").as(idCol)).distinct())
       .withColumn("__near_dup", lit(true))
     assemble(statelessScored(docs, idCol, textCol, cfg),
       exactDups, nearDups, idCol, cfg)

@@ -141,6 +141,31 @@ class DocFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("transitive near-dup policy merges star patterns the greedy rule keeps") {
+    // c shares 39/41 tokens with a AND with b (J = 39/43 ≈ 0.907 ≥ 0.9),
+    // but a and b differ in 4 (J = 37/45 ≈ 0.82 < 0.9): a star. Greedy
+    // drops only c (the id_b of both pairs); transitive components merge
+    // all three and keep only the smallest id.
+    val c = "the quick brown fox jumps over a lazy dog while sun rises " +
+      "in east and workers walk to office for another busy day of work " +
+      "as city wakes up so birds sing near old green park under clear " +
+      "skies this morning"
+    val a = c.replace("quick", "swift").replace("brown", "sleek")
+    val b = c.replace("fox", "hound").replace("jumps", "leaps")
+    val docs = Seq((30L, a), (31L, b), (32L, c)).toDF("doc_id", "text")
+    def run(cfg: DocFilter.Config) =
+      DocFilter.filterDocs(docs, cfg = cfg).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+        .toMap
+    val greedy = run(DocFilter.Default)
+    assert(greedy(30L) == ((true, None)) && greedy(31L) == ((true, None)) &&
+      greedy(32L) == ((false, Some("near_duplicate"))), greedy.toString)
+    val trans = run(DocFilter.Default.copy(transitiveNearDup = true))
+    assert(trans(30L) == ((true, None)) &&
+      trans(31L) == ((false, Some("near_duplicate"))) &&
+      trans(32L) == ((false, Some("near_duplicate"))), trans.toString)
+  }
+
   test("incremental filter equals the batch slice of the full filter over kept-corpus ∪ batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
