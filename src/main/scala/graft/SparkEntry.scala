@@ -173,10 +173,14 @@ object SparkEntry {
       // no final orderBy: the query is rows-only checked (no oracle), and
       // a global sort would add a full exchange+sort to the flagship bench
     }),
-    // --- W4 conversation assembly over scored transcripts (rows-only) ----
+    // --- W4 conversation assembly over scored transcripts (rows-only),
+    //     plus the line-level Gopher rules (dup-line/bullet/ellipsis
+    //     fractions) that need newline-joined text to be non-vacuous ----
     "q_conv_assembly" -> ((s, dir) => {
-      vigil.Assemble.conversationDocs(
+      val asm = vigil.Assemble.conversationDocs(
         Decide.scoreTurns(transcripts(s, dir), PtCfg))
+      Quality.lineMetrics(col("conversation_text"))
+        .foldLeft(asm) { case (df, (n, c)) => df.withColumn(n, c) }
         .orderBy("conv_id")
     }),
     // --- ordered session assembly on events (oracle-paired) --------------

@@ -186,6 +186,46 @@ object Quality {
               r.getField(s"tot${n}_chars")).otherwise(lit(0.0)))
     }
 
+  /** Line-level Gopher rules over a newline-joined document (assembled
+    * conversations, multi-line web docs — the flat `documents` fixture has
+    * no newlines, so these ride `Assemble.conversationDocs` output).
+    * Normative definitions:
+    *   - `n_lines`: non-empty lines after per-line trim;
+    *   - `dup_line_frac`: 1 − distinct/total over those lines (Gopher's
+    *     duplicate line fraction);
+    *   - `dup_line_char_frac`: surplus characters of repeated lines over
+    *     total line characters — (Σ chars − Σ distinct-line chars)/Σ chars;
+    *   - `bullet_line_frac` / `ellipsis_line_frac`: lines starting with a
+    *     bullet marker (-, *, •) / ending with "..." or "…".
+    * Pure built-in columns; per-doc arrays are bounded by the document's
+    * own line count (HOF lambdas acceptable here — line counts are tens,
+    * not the per-word hot path).
+    */
+  def lineMetrics(text: Column): Seq[(String, Column)] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val n = size(lines)
+    val distinctLines = array_distinct(lines)
+    val chars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val distinctChars =
+      aggregate(distinctLines, lit(0L), (acc, l) => acc + length(l))
+    def frac(p: Column => Column): Column =
+      when(n > 0, size(filter(lines, p)).cast("double") / n).otherwise(0.0)
+    Seq(
+      "n_lines" -> n.cast("long"),
+      "dup_line_frac" ->
+        when(n > 0, lit(1.0) - size(distinctLines).cast("double") / n)
+          .otherwise(0.0),
+      "dup_line_char_frac" ->
+        when(chars > 0, (chars - distinctChars).cast("double") / chars)
+          .otherwise(0.0),
+      "bullet_line_frac" ->
+        frac(l => l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("• ")),
+      "ellipsis_line_frac" ->
+        frac(l => l.endsWith("...") || l.endsWith("…")))
+  }
+
   /** Doc-level repetition thresholds (normative constants of this engine,
     * Gopher-style; tuned so they discriminate — a rule that keeps or drops
     * everything on a realistic corpus verifies nothing).

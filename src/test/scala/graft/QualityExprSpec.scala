@@ -139,4 +139,38 @@ class QualityExprSpec extends AnyFunSuite {
     assert(verdicts.contains(true) && verdicts.contains(false),
       s"verdict is constant (${verdicts.count(_ == true)}/${verdicts.length} keep) — thresholds don't discriminate")
   }
+
+  test("lineMetrics: hand-computed values and assembled-conversation shape") {
+    val docs = Seq(
+      (0L, "a\nb\na\n\n   \nc"), // trims/drops blanks: [a,b,a,c]
+      (1L, "- item one\n- item one\nnormal line...\n…"),
+      (2L, ""), (3L, "single line no newline")
+    ).toDF("id", "text")
+    val out = Quality.lineMetrics(col("text"))
+      .foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
+      .orderBy("id").collect()
+    // doc 0: 4 lines, 3 distinct → dup 0.25; chars 4, distinct 3 → 0.25
+    assert(out(0).getLong(2) == 4L && out(0).getDouble(3) == 0.25 &&
+      out(0).getDouble(4) == 0.25 && out(0).getDouble(5) == 0.0 &&
+      out(0).getDouble(6) == 0.0, out(0).toString)
+    // doc 1: dup "- item one" (10 chars surplus of 35); bullets 2/4;
+    // ellipsis "...": 1 line, "…": 1 line → 2/4
+    assert(out(1).getLong(2) == 4L && out(1).getDouble(3) == 0.25 &&
+      out(1).getDouble(4) == 10.0 / 35 && out(1).getDouble(5) == 0.5 &&
+      out(1).getDouble(6) == 0.5, out(1).toString)
+    assert(out(2).getLong(2) == 0L && (3 to 6).forall(i => out(2).getDouble(i) == 0.0))
+    assert(out(3).getLong(2) == 1L && out(3).getDouble(3) == 0.0)
+
+    // assembled conversations: n_lines == count of non-blank turn texts
+    val asm = vigil.Assemble.conversationDocs(
+      vigil.Decide.scoreTurns(Synth.corpusDF(spark, 50)))
+    val rows = Quality.lineMetrics(col("conversation_text"))
+      .foldLeft(asm) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select("n_turns", "n_lines", "dup_line_frac").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0) && r.getLong(1) >= 0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    }
+  }
 }
