@@ -337,6 +337,14 @@ object SparkEntry {
         blockCol = Some("source"))
         .orderBy("id_a", "id_b")
     }),
+    // --- n-gram Jaccard near-dup (oracle-paired): word-TRIGRAM shingle
+    //     sets, candidates and verifier at the same k — the stricter
+    //     similarity notion (25 pairs survive at sf0.01 vs 9,020 at k=1)
+    "q_jaccard_kgram" -> ((s, dir) => {
+      Dedup.neardupVerified(docs(s, dir), "text", "doc_id",
+        minJaccard = 0.8, shingleK = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // --- MinHash-LSH near-dup pairs (engine-native, rows-only) -----------
     "q_minhash_dedup" -> ((s, dir) => {
       Dedup.minhashLsh(docs(s, dir), "text", "doc_id", minEst = 0.8)
@@ -792,6 +800,26 @@ object SparkEntry {
          FROM t a JOIN t b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
              len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+         ORDER BY id_a, id_b""",
+    // word-trigram shingle sets (same strings the Spark verifier builds,
+    // incl. the <3-words whole-text fallback); exact set Jaccard ≥ 0.8
+    "q_jaccard_kgram" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             x -> len(x) > 0) AS ws FROM documents),
+         g AS (
+           SELECT doc_id, list_sort(list_distinct(CASE WHEN len(ws) >= 3
+             THEN (SELECT list(array_to_string(ws[i:i+2], ' '))
+                   FROM unnest(range(1, len(ws)-1)) t(i))
+             WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+             ELSE [] END)) AS sh
+           FROM w)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
          ORDER BY id_a, id_b""",
     // transitive closure over the same brute pair graph: component =
     // smallest reachable doc_id (UNION-dedup makes the recursion finite)

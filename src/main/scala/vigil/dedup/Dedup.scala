@@ -640,10 +640,13 @@ object Dedup {
     * only on candidate pairs), with output identical to the brute-force
     * all-pairs [[jaccardPairs]] above the threshold.
     *
-    * Candidate generation uses UNIGRAM shingles (k=1) so the MinHash
-    * collision probability tracks the same word-set Jaccard the verifier
-    * computes (k≥2 word shingles decay much faster than unigram Jaccard
-    * under small edits, which would break the recall math). 24 bands ×
+    * Candidate generation shingles at `shingleK` — the SAME k the
+    * verifier tokenizes at, so the MinHash collision probability always
+    * tracks the exact Jaccard being verified. Default k=1 verifies
+    * word-SET Jaccard; k≥2 is the n-gram-Jaccard variant (the verified
+    * metric is k-shingle-set Jaccard, which decays much faster under
+    * small edits — a deliberate stricter similarity notion, not a recall
+    * break, because candidates and verifier move together). 24 bands ×
     * 6 rows: a pair at J = 0.9 misses all bands with probability
     * (1-0.9^6)^24 ≈ 1.3e-8.
     *
@@ -668,23 +671,33 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double, bands: Int = 24, rowsPerBand: Int = 6,
       seed: Long = 42L, maxBucketSize: Int = 100000,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      shingleK: Int = 1): DataFrame = {
     val cands = minhashLsh(df, textCol, idCol, bands, rowsPerBand,
-      shingleK = 1, seed = seed, minEst = math.max(0.0, minJaccard - 0.2),
+      shingleK = shingleK, seed = seed,
+      minEst = math.max(0.0, minJaccard - 0.2),
       maxBucketSize = maxBucketSize, blockCol = blockCol)
       .select("id_a", "id_b")
-    // verifier tokenization matches jaccardPairs (and its DuckDB oracle):
-    // single-space split of the lowercased text, distinct — and since the
-    // r3 shingle change, the CANDIDATE tokenization is the same split.
-    // Sorted so the per-pair intersection is ONE allocation-free merge walk
+    // verifier tokenization matches the CANDIDATE shingling exactly:
+    // single-space split of the lowercased text, word k-grams for
+    // shingleK > 1 (the n-gram-Jaccard variant — same strings MinHash
+    // hashes, incl. the <k-words whole-text fallback), distinct. Sorted so
+    // the per-pair intersection is ONE allocation-free merge walk
     // (sorted_intersect_size) instead of array_intersect+array_union hash
     // sets — the per-candidate verify cost that dominated at 1M pairs; the
     // sort runs once per DOCUMENT. |A∪B| = |A|+|B|-|A∩B| gives the same
     // integer sizes, hence bit-identical jaccard doubles (oracle parity).
+    val ws = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
+    val gramArr =
+      if (shingleK == 1) ws
+      else when(size(ws) >= shingleK,
+        transform(sequence(lit(1), size(ws) - (shingleK - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(shingleK)))))
+        .otherwise(when(size(ws) > 0, array(concat_ws(" ", ws)))
+          .otherwise(array().cast("array<string>")))
     val toks = df.select(
       col(idCol).as("id"),
-      array_sort(array_distinct(
-        filter(split(lower(col(textCol)), " "), w => length(w) > 0))).as("toks"))
+      array_sort(array_distinct(gramArr)).as("toks"))
       .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
       col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),

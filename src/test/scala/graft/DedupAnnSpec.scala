@@ -627,6 +627,40 @@ class DedupAnnSpec extends AnyFunSuite {
       s"blocked mismatch: ${fastBlk.size} vs ${bruteBlk.size}")
   }
 
+  test("n-gram Jaccard (shingleK=3) equals a brute trigram-set twin on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def shingles(t: String): Set[String] = {
+      val ws = t.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else if (ws.nonEmpty) Set(ws.mkString(" "))
+      else Set.empty
+    }
+    val sh = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> shingles(t) }
+    val brute = (for {
+      i <- sh.indices.iterator
+      j <- (i + 1) until sh.length
+      (ia, sa) = sh(i); (ib, sb) = sh(j)
+      inter = (sa & sb).size
+      uni = (sa | sb).size
+      if uni > 0 && inter.toDouble / uni >= 0.8
+    } yield {
+      val (x, y) = if (ia < ib) (ia, ib) else (ib, ia)
+      (x, y, inter.toDouble / uni)
+    }).toSet
+    val fast = Dedup.neardupVerified(docs, "text", "doc_id", 0.8, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "vacuous: no trigram near-dups in the fixture")
+    assert(fast == brute, s"${fast.size} vs ${brute.size}: " +
+      s"missing=${(brute -- fast).take(3)} extra=${(fast -- brute).take(3)}")
+    // stricter than k=1: a strict subset of the unigram pairs
+    val k1 = Dedup.neardupVerified(docs, "text", "doc_id", 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k3ids = fast.map(p => (p._1, p._2))
+    assert(k3ids.subsetOf(k1) && k3ids.size < k1.size)
+  }
+
   test("connectedComponents: star merge, singletons, and union-find twin on the fixture") {
     // star: (1,3),(2,3) with 1≁2 — components must merge all three
     // (greedy drop-id_b would keep both 1 and 2); 9 and 10 chain through
