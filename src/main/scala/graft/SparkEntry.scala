@@ -340,9 +340,14 @@ object SparkEntry {
     // --- n-gram Jaccard near-dup (oracle-paired): word-TRIGRAM shingle
     //     sets, candidates and verifier at the same k — the stricter
     //     similarity notion (25 pairs survive at sf0.01 vs 9,020 at k=1)
+    //     32 bands × 3 rows, not the default 24×6: at the 0.8 threshold
+    //     the miss bound tightens to (1-0.8³)³² ≈ 1e-10 (24×6 gives only
+    //     ~7e-4 at the boundary) AND the MinHash pass drops to 96 hashes
+    //     over ~290 trigrams/doc; trigram similarity is bimodal on real
+    //     corpora so the looser 3-row buckets stay candidate-sparse
     "q_jaccard_kgram" -> ((s, dir) => {
       Dedup.neardupVerified(docs(s, dir), "text", "doc_id",
-        minJaccard = 0.8, shingleK = 3)
+        minJaccard = 0.8, bands = 32, rowsPerBand = 3, shingleK = 3)
         .orderBy("id_a", "id_b")
     }),
     // --- MinHash-LSH near-dup pairs (engine-native, rows-only) -----------

@@ -648,7 +648,8 @@ class DedupAnnSpec extends AnyFunSuite {
       val (x, y) = if (ia < ib) (ia, ib) else (ib, ia)
       (x, y, inter.toDouble / uni)
     }).toSet
-    val fast = Dedup.neardupVerified(docs, "text", "doc_id", 0.8, shingleK = 3)
+    val fast = Dedup.neardupVerified(docs, "text", "doc_id", 0.8,
+      bands = 32, rowsPerBand = 3, shingleK = 3) // q_jaccard_kgram config
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(brute.nonEmpty, "vacuous: no trigram near-dups in the fixture")
     assert(fast == brute, s"${fast.size} vs ${brute.size}: " +
