@@ -564,6 +564,19 @@ object SparkEntry {
         .withColumn("gopher_keep", Quality.repetitionPasses())
         .orderBy("doc_id")
     }),
+    // --- benchmark decontamination (oracle-paired): flag docs sharing a
+    //     word trigram with a planted benchmark set (every 29th doc's
+    //     grams — benchmark members are trivially contaminated, template
+    //     cousins partially so → the flag discriminates). Broadcast-set
+    //     path (the zero-exchange 100 TB shape); ≡ the join path per
+    //     DecontamSpec --------------------------------------------------
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = vigil.Decontam.gramSet(
+        d.filter(pmod(col("doc_id"), lit(29)) === 0), "text", 3)
+      vigil.Decontam.flag(d, "doc_id", "text", bench, 3)
+        .orderBy("doc_id")
+    }),
     // --- composed C4/Gopher corpus filter (engine-native, rows-only):
     //     one narrow fused scoring spine + repetition + toxicity + exact
     //     and LSH-verified near-dedup, first-failing-rule drop reasons.
@@ -945,6 +958,31 @@ object SparkEntry {
                 (b.vec_id >= 1000000 AND (b.vec_id - 1000000) % 3 = 0))
            AND list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY id_a, id_b""",
+    // benchmark decontamination: distinct word trigrams per doc, benchmark
+    // set = grams of every 29th doc; n_contaminated = distinct grams of
+    // the doc that appear in the benchmark set (same normative gram
+    // definition as Decontam.gramsCol — <3-word docs have NO grams)
+    "q_decontam" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             x -> len(x) > 0) AS ws FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+             THEN (SELECT list(array_to_string(ws[i:i+2], ' '))
+                   FROM unnest(range(1, len(ws)-1)) t(i))
+             ELSE [] END) AS gs
+           FROM w),
+         bench AS (
+           SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 29 = 0),
+         m AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         cnt AS (
+           SELECT m.doc_id, count(*) AS n_contaminated
+           FROM m JOIN bench USING (gram) GROUP BY 1)
+         SELECT d.doc_id AS doc_id,
+           CAST(coalesce(cnt.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           coalesce(cnt.n_contaminated, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         ORDER BY d.doc_id""",
     // NOTE (shared convention with q_clean_text / all clean-based oracles):
     // DuckDB cannot do NFKC or control-char stripping, so the oracle's
     // clean step is whitespace-collapse only — exact-equal because the
@@ -992,7 +1030,7 @@ object SparkEntry {
                THEN len(list_filter(string_split(text, ' '),
                  x -> list_contains([""" +
         Quality.Stopwords.map(w => s"'$w'").mkString(", ") +
-        s"""], x)))::DOUBLE
+        s"""], lower(x))))::DOUBLE
                  / len(list_filter(string_split(text, ' '), x -> len(x) > 0))
                ELSE 0.0 END AS sw
            FROM documents),

@@ -1,0 +1,105 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag corpus documents that share word
+  * n-grams with an evaluation/benchmark set, the standard pretraining
+  * hygiene step (GPT-3, Brown et al. 2020 §C uses 13-gram overlap; Gopher,
+  * Rae et al. 2021 §A1.2; Llama 2, Touvron et al. 2023 §A.6 token-n-gram
+  * skip-grams). A doc is `contaminated` when at least one of its distinct
+  * word n-grams appears in the benchmark gram set; `n_contaminated` counts
+  * the distinct overlapping grams (the span-count a contamination report
+  * ranks by).
+  *
+  * Normative gram definition (shared by both execution paths and the
+  * DuckDB oracle): lowercase the text, split on single spaces, drop empty
+  * tokens, take DISTINCT overlapping word n-grams; a doc with fewer than
+  * `n` words has NO grams (no whole-text fallback — a 2-word doc cannot
+  * contain a 13-gram; this deliberately differs from the dedup family's
+  * short-text fallback in [[vigil.dedup.Dedup.sortedGramTokens]]).
+  *
+  * Scale shape (100 TB corpus, benchmark is MBs by nature):
+  *  - `broadcastBench = true` (default): the gram set is collected once
+  *    (guarded by `maxBroadcastGrams` — a loud failure, never a silent
+  *    truncation) and broadcast as a hash set; the flag pass is then ONE
+  *    narrow scan — O(grams-per-doc) set lookups per row, zero exchanges,
+  *    nothing data-sized ever reaches the driver (the collect is the
+  *    benchmark table, small by contract).
+  *  - `broadcastBench = false`: explode doc grams → broadcast-hash
+  *    semi-join against the gram table → per-doc count. The explode
+  *    never materializes corpus-wide: the broadcast join filters grams
+  *    to benchmark hits before the (id)-keyed partial aggregation, so
+  *    the single shuffle carries only matched (id, count) rows. Use when
+  *    the benchmark exceeds executor memory (rare).
+  * Both paths emit identical rows (spec-asserted).
+  */
+object Decontam {
+
+  /** Distinct word-n-grams of `text` per the normative definition. */
+  def gramsCol(text: Column, n: Int): Column = {
+    val ws = filter(split(lower(text), " "), w => length(w) > 0)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The benchmark gram table: one distinct `gram` string column. Build
+    * it ONCE per (benchmark, n) and store it — the production shape is a
+    * tiny parquet table appended when eval sets change, not a per-run
+    * re-shingle of the benchmark corpus.
+    */
+  def gramSet(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench
+      .select(explode(gramsCol(col(textCol), n)).as("gram"))
+      .distinct()
+
+  /** Flag `docs` against a [[gramSet]] frame (`benchGrams`: one `gram`
+    * column). Returns one row per doc: (idCol, n_contaminated: long,
+    * contaminated: boolean).
+    */
+  def flag(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int,
+      broadcastBench: Boolean = true,
+      maxBroadcastGrams: Int = 2000000): DataFrame = {
+    if (broadcastBench) {
+      // bounded collect: the benchmark gram table is small by contract
+      // (eval sets are MBs); the limit+require makes a violation loud
+      // instead of OOMing the driver or silently truncating recall
+      val grams = benchGrams.select(col("gram"))
+        .limit(maxBroadcastGrams + 1)
+        .collect().map(_.getString(0))
+      require(grams.length <= maxBroadcastGrams,
+        s"benchmark gram set exceeds maxBroadcastGrams=$maxBroadcastGrams" +
+          " — use broadcastBench = false (explode + broadcast semi-join)" +
+          " or raise the bound")
+      val bc = docs.sparkSession.sparkContext.broadcast(grams.toSet)
+      val cnt = udf((gs: Seq[String]) => {
+        val set = bc.value
+        var c = 0L
+        val it = gs.iterator
+        while (it.hasNext) if (set.contains(it.next())) c += 1
+        c
+      })
+      docs
+        .select(col(idCol),
+          cnt(gramsCol(col(textCol), n)).as("n_contaminated"))
+        .withColumn("contaminated", col("n_contaminated") > 0)
+    } else {
+      val docGrams = docs.select(col(idCol),
+        explode(gramsCol(col(textCol), n)).as("gram"))
+      val matched = docGrams
+        .join(broadcast(benchGrams.select("gram").distinct()),
+          Seq("gram"), "leftsemi")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_contaminated"))
+      docs.select(col(idCol))
+        .join(matched, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .withColumn("contaminated", col("n_contaminated") > 0)
+    }
+  }
+}

@@ -15,9 +15,10 @@ import vigil.dedup.Dedup
   * (normative cascade order below), and the scrubbed text for kept docs.
   *
   * Cascade order (normative): language → quality → repetition → toxicity →
-  * exact_duplicate → near_duplicate. PII never drops a document — it is
-  * scrubbed (reference semantics: detector scrubs, conversation-level
-  * density rules are transcript-shaped, not doc-shaped).
+  * [contaminated, when a benchmark table is configured] → exact_duplicate →
+  * near_duplicate. PII never drops a document — it is scrubbed (reference
+  * semantics: detector scrubs, conversation-level density rules are
+  * transcript-shaped, not doc-shaped).
   *
   * Scale shape (the 100 TB path): the scoring spine is ONE narrow fused
   * pass over the scan; every side frame (repetition, stopwords, exact-dup
@@ -45,7 +46,31 @@ object DocFilter {
         * smallest id of each cluster (the MinHash-dedup-literature
         * policy; merges a and b into c's cluster).
         */
-      transitiveNearDup: Boolean = false)
+      transitiveNearDup: Boolean = false,
+      /** Near-dup similarity notion: word-SET Jaccard at 1 (default) or
+        * word-k-gram-set Jaccard for k ≥ 2 (the stricter n-gram variant —
+        * small edits decay k-gram similarity much faster, so the same
+        * `minJaccard` drops strictly fewer pairs). Candidates and
+        * verifier always shingle at the same k (`Dedup.neardupVerified`
+        * contract); in the incremental path the stored signature table
+        * must have been computed at this k.
+        */
+      shingleK: Int = 1,
+      /** n-gram sizes for the doc-level repetition signals. Must include
+        * 2: the cascade's repetition verdict thresholds
+        * ([[Quality.RepetitionConfig]]) are normatively defined on
+        * 2-grams; extra sizes add signal columns without changing the
+        * verdict.
+        */
+      repetitionNs: Seq[Int] = Seq(2),
+      /** Benchmark-decontamination hook: when set, documents sharing at
+        * least one word-`decontamN`-gram with this benchmark n-gram table
+        * (a [[Decontam.gramSet]] frame — one `gram` string column) are
+        * dropped with reason `contaminated`, between toxicity and
+        * exact-dedup in the cascade. None (default) disables the rule.
+        */
+      benchmark: Option[DataFrame] = None,
+      decontamN: Int = 3)
   val Default: Config = Config()
 
   /** The stateless prefix: fused scoring spine + stopword frac + doc-level
@@ -64,25 +89,49 @@ object DocFilter {
       .withColumn("stopword_frac",
         Quality.stopwordFrac(Quality.words(col("text"))))
     // doc-level repetition signals (fused per-row expression, narrow)
-    val rep = Quality.repetitionStats(docs, textCol, idCol, Seq(2))
+    require(cfg.repetitionNs.contains(2),
+      "repetitionNs must include 2 — the cascade's repetition verdict " +
+        "thresholds are normatively defined on 2-grams")
+    val rep = Quality.repetitionStats(docs, textCol, idCol, cfg.repetitionNs)
     scored.join(rep, Seq(idCol))
       .withColumn("repetition_pass", Quality.repetitionPasses(cfg.repetition))
   }
+
+  /** (id, __contaminated) flag frame for the decontamination rule, or None
+    * when no benchmark table is configured. Narrow lineage from the
+    * storage scan, one broadcast join — see [[Decontam.flag]].
+    */
+  private def contamFlags(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): Option[DataFrame] =
+    cfg.benchmark.map { bench =>
+      Decontam.flag(docs, idCol, textCol, bench, cfg.decontamN)
+        .filter(col("contaminated"))
+        .select(col(idCol), lit(true).as("__contaminated"))
+    }
 
   /** Cascade verdict + output projection over the stateless frame joined
     * with (id, __exact_dup) / (id, __near_dup) flag frames.
     */
   private def assemble(
       stateless: DataFrame, exactDups: DataFrame, nearDups: DataFrame,
+      contaminated: Option[DataFrame],
       idCol: String, cfg: Config): DataFrame =
-    stateless
-      .join(exactDups, Seq(idCol), "left")
-      .join(nearDups, Seq(idCol), "left")
+    contaminated.foldLeft(
+      stateless
+        .join(exactDups, Seq(idCol), "left")
+        .join(nearDups, Seq(idCol), "left"))(
+      (df, c) => df.join(c, Seq(idCol), "left"))
       .withColumn("drop_reason",
         when(col("lang") =!= cfg.targetLang, "language")
           .when(!col("quality_pass"), "quality")
           .when(!col("repetition_pass"), "repetition")
           .when(col("toxic"), "toxicity")
+          .when(
+            if (contaminated.isDefined)
+              coalesce(col("__contaminated"), lit(false))
+            else lit(false),
+            "contaminated")
           .when(coalesce(col("__exact_dup"), lit(false)), "exact_duplicate")
           .when(coalesce(col("__near_dup"), lit(false)), "near_duplicate"))
       .withColumn("keep", col("drop_reason").isNull)
@@ -113,14 +162,15 @@ object DocFilter {
     // near dedup (policy per cfg.transitiveNearDup): greedy = drop every
     // id_b of a pair; transitive = connected components, drop every
     // non-representative cluster member
-    val vpairs = Dedup.neardupVerified(docs, textCol, idCol, cfg.minJaccard)
+    val vpairs = Dedup.neardupVerified(docs, textCol, idCol, cfg.minJaccard,
+      shingleK = cfg.shingleK)
     val nearDups = (if (cfg.transitiveNearDup)
       Dedup.connectedComponents(docs, idCol, vpairs)
         .filter(col(idCol) =!= col("component")).select(col(idCol))
     else vpairs.select(col("id_b").as(idCol)).distinct())
       .withColumn("__near_dup", lit(true))
     assemble(statelessScored(docs, idCol, textCol, cfg),
-      exactDups, nearDups, idCol, cfg)
+      exactDups, nearDups, contamFlags(docs, idCol, textCol, cfg), idCol, cfg)
   }
 
   /** The recurring-ingest shape: filter a NEW batch against a STORED
@@ -164,9 +214,11 @@ object DocFilter {
       .withColumn("__exact_dup", lit(true))
 
     // batch-touching verified pairs (new×corpus ∪ new×new), corpus
-    // signatures read from the stored table
+    // signatures read from the stored table (which must have been
+    // computed at cfg.shingleK — the stored-table contract)
     val pairs = Dedup.neardupVerifiedIncremental(
-      corpusSigs, corpusText, batch, textCol, idCol, cfg.minJaccard)
+      corpusSigs, corpusText, batch, textCol, idCol, cfg.minJaccard,
+      shingleK = cfg.shingleK)
     val batchIds = batch.select(col(idCol).as("__bid"))
     // drop the batch side of every mixed pair (corpus is canonical) and
     // the larger side of batch×batch pairs (id_a < id_b by construction)
@@ -181,6 +233,7 @@ object DocFilter {
       .withColumn("__near_dup", lit(true))
 
     assemble(statelessScored(batch, idCol, textCol, cfg),
-      exactDups, nearDups, idCol, cfg)
+      exactDups, nearDups, contamFlags(batch, idCol, textCol, cfg), idCol,
+      cfg)
   }
 }

@@ -81,11 +81,18 @@ object Quality {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "for")
 
-  /** Fraction of words that are [[Stopwords]] (0.0 for empty texts). */
+  /** Fraction of words that are [[Stopwords]] (0.0 for empty texts).
+    * Matching is case-INSENSITIVE (tokens are lowercased before lookup):
+    * the C4-style rule measures function-word presence, and sentence-
+    * initial "The"/"A" are exactly the tokens a case-sensitive match
+    * would systematically miss (r4 ADVICE finding — previously matched
+    * raw tokens and undercounted).
+    */
   def stopwordFrac(ws: Column): Column = {
     val n = size(ws)
     when(n > 0,
-      size(filter(ws, w => w.isInCollection(Stopwords))).cast("double") / n)
+      size(filter(ws, w => lower(w).isInCollection(Stopwords)))
+        .cast("double") / n)
       .otherwise(lit(0.0))
   }
 

@@ -277,6 +277,15 @@ object Dedup {
     val rpb = rowsPerBand
     val nb = bands
     val bhsUdf = udf { (sig: Seq[Long]) =>
+      // banding contract guard — matters most for STORED signature tables
+      // (precomputedSigs / minhashLshIncremental): a shorter sig would
+      // throw an opaque ArrayIndexOutOfBounds inside bandHash, and a
+      // LONGER one would silently band over a prefix, quietly breaking
+      // the recall math the band/row parameters were chosen for
+      require(sig.length == nb * rpb,
+        s"signature length ${sig.length} != bands*rowsPerBand = $nb*$rpb" +
+          " — the signature table was computed with different banding" +
+          " parameters than this query's (bands, rowsPerBand)")
       val a = sig.toArray
       Array.tabulate(nb)(b => MinHash.bandHash(a, b, rpb))
     }
@@ -667,6 +676,29 @@ object Dedup {
     * sf0.1 (DedupAnnSpec exactness gates); regenerating the corpus
     * requires re-running the sf0.1 gate / vigil.tools.RecallProbe.
     */
+  /** The verifier's tokenization, shared by [[neardupVerified]] and
+    * [[neardupVerifiedIncremental]]: it matches the CANDIDATE shingling
+    * exactly — single-space split of the lowercased text, word k-grams
+    * for shingleK > 1 (the n-gram-Jaccard variant — same strings MinHash
+    * hashes, incl. the <k-words whole-text fallback), distinct. Sorted so
+    * the per-pair intersection is ONE allocation-free merge walk
+    * (sorted_intersect_size) instead of array_intersect+array_union hash
+    * sets — the per-candidate verify cost that dominated at 1M pairs; the
+    * sort runs once per DOCUMENT. |A∪B| = |A|+|B|-|A∩B| gives the same
+    * integer sizes, hence bit-identical jaccard doubles (oracle parity).
+    */
+  def sortedGramTokens(text: Column, shingleK: Int): Column = {
+    val ws = filter(split(lower(text), " "), w => length(w) > 0)
+    val gramArr =
+      if (shingleK == 1) ws
+      else when(size(ws) >= shingleK,
+        transform(sequence(lit(1), size(ws) - (shingleK - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(shingleK)))))
+        .otherwise(when(size(ws) > 0, array(concat_ws(" ", ws)))
+          .otherwise(array().cast("array<string>")))
+    array_sort(array_distinct(gramArr))
+  }
+
   def neardupVerified(
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double, bands: Int = 24, rowsPerBand: Int = 6,
@@ -678,26 +710,9 @@ object Dedup {
       minEst = math.max(0.0, minJaccard - 0.2),
       maxBucketSize = maxBucketSize, blockCol = blockCol)
       .select("id_a", "id_b")
-    // verifier tokenization matches the CANDIDATE shingling exactly:
-    // single-space split of the lowercased text, word k-grams for
-    // shingleK > 1 (the n-gram-Jaccard variant — same strings MinHash
-    // hashes, incl. the <k-words whole-text fallback), distinct. Sorted so
-    // the per-pair intersection is ONE allocation-free merge walk
-    // (sorted_intersect_size) instead of array_intersect+array_union hash
-    // sets — the per-candidate verify cost that dominated at 1M pairs; the
-    // sort runs once per DOCUMENT. |A∪B| = |A|+|B|-|A∩B| gives the same
-    // integer sizes, hence bit-identical jaccard doubles (oracle parity).
-    val ws = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
-    val gramArr =
-      if (shingleK == 1) ws
-      else when(size(ws) >= shingleK,
-        transform(sequence(lit(1), size(ws) - (shingleK - 1)),
-          i => concat_ws(" ", slice(ws, i, lit(shingleK)))))
-        .otherwise(when(size(ws) > 0, array(concat_ws(" ", ws)))
-          .otherwise(array().cast("array<string>")))
     val toks = df.select(
       col(idCol).as("id"),
-      array_sort(array_distinct(gramArr)).as("toks"))
+      sortedGramTokens(col(textCol), shingleK).as("toks"))
       .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
       col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),
@@ -718,43 +733,47 @@ object Dedup {
     * new-touching slice of a from-scratch run over the union.
     *
     * Scale shape: the corpus contributes its (stored) signature table to
-    * candidate generation and only the rows that actually appear in a
-    * candidate pair are re-read for tokenization — the join pulls
-    * candidate ids first, so corpus text is never tokenized corpus-wide
-    * per batch. `corpusText` is the text table matching `corpusSigs`
-    * (idCol/textCol columns); signatures must have been computed with the
-    * same bands/rowsPerBand/seed and shingleK = 1 (the verifier's
-    * tokenization contract, see [[neardupVerified]]).
+    * candidate generation; the verify stage then tokenizes the text
+    * tables with a NARROW full scan (the equi-joins evaluate the
+    * tokenization projection over the whole corpusText ∪ batch union —
+    * a shuffle or broadcast join computes its streamed side completely;
+    * no per-row candidate pruning happens here). The scan is cheap (one
+    * projection, no exchange before the join), and the expensive MinHash
+    * kernel runs ONLY over the batch. To actually prune tokenization to
+    * candidate rows at 100 TB, MATERIALIZE the candidate pair table and
+    * semi-join the text tables against it — deriving the id set from
+    * `cands` in-query self-references the pair generation and re-runs it
+    * (2× the wall, measured r4), and persisting `cands` to break the
+    * self-reference blinds AQE's join planning.
+    * `corpusText` is the text table matching `corpusSigs` (idCol/textCol
+    * columns); signatures must have been computed with the same
+    * bands/rowsPerBand/seed and the same `shingleK` as passed here (the
+    * candidate/verifier tokenization contract, see [[neardupVerified]];
+    * the banding guard in the pair stage catches length mismatches, but
+    * shingleK/seed mismatches are not detectable from the table alone).
     */
   def neardupVerifiedIncremental(
       corpusSigs: DataFrame, corpusText: DataFrame, newBatch: DataFrame,
       textCol: String, idCol: String, minJaccard: Double,
       bands: Int = 24, rowsPerBand: Int = 6, seed: Long = 42L,
       maxBucketSize: Int = 100000,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None,
+      shingleK: Int = 1): DataFrame = {
     // the pair stage consumes its input twice (capped pre-pass + member
     // aggregation): corpusSigs is a stored table by contract (cheap
     // rescan), but the batch signatures are UDF-computed here — persist
     // them so the MinHash pass runs once per batch document
     val newSigs = persistSigs(computeSignatures(newBatch, textCol, idCol,
-      bands, rowsPerBand, shingleK = 1, seed = seed, blockCol = blockCol))
+      bands, rowsPerBand, shingleK = shingleK, seed = seed,
+      blockCol = blockCol))
     val cands = minhashLshIncremental(corpusSigs, newSigs, bands,
       rowsPerBand, minEst = math.max(0.0, minJaccard - 0.2),
       maxBucketSize = maxBucketSize)
       .select("id_a", "id_b")
-    // tokenization is a NARROW projection over the text tables; the
-    // verify joins prune it to candidate rows lazily. (A candidate-id
-    // semi-join pre-prune was tried and removed: deriving the id set
-    // from `cands` self-references the pair generation, which re-runs it
-    // — 2× the query wall — and persisting `cands` to break the
-    // self-reference cost more again by blinding AQE's join planning.
-    // At 100 TB, prune by joining against a MATERIALIZED pair table
-    // instead.)
     val toks = corpusText
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .unionByName(newBatch.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), array_sort(array_distinct(
-        filter(split(lower(col("t")), " "), w => length(w) > 0))).as("toks"))
+      .select(col("id"), sortedGramTokens(col("t"), shingleK).as("toks"))
       .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
       col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),

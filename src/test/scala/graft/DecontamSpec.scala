@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Decontam
+
+/** Decontam: hand-computed overlap counts, broadcast-path ≡ join-path on
+  * the real fixture, and the loud broadcast-bound guard.
+  */
+class DecontamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("hand-computed trigram overlap counts") {
+    // bench doc grams (n=3): "a b c", "b c d"
+    val bench = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val grams = Decontam.gramSet(bench, "text", 3)
+    assert(grams.as[String].collect().toSet == Set("a b c", "b c d"))
+
+    val docs = Seq(
+      (1L, "a b c d e"),     // grams: a b c✓, b c d✓, c d e✗ → 2
+      (2L, "x a b c y"),     // a b c✓ only → 1
+      (3L, "A B c"),         // lowercased: a b c✓ → 1 (case folds)
+      (4L, "totally fresh words here"), // 0
+      (5L, "a b"),           // <3 words → no grams → 0
+      (6L, "a  b   c")       // empty tokens dropped → a b c✓ → 1
+    ).toDF("doc_id", "text")
+    for (bcast <- Seq(true, false)) {
+      val out = Decontam.flag(docs, "doc_id", "text", grams, 3,
+        broadcastBench = bcast)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(out.toSeq == Seq((1L, 2L, true), (2L, 1L, true), (3L, 1L, true),
+        (4L, 0L, false), (5L, 0L, false), (6L, 1L, true)),
+        s"broadcastBench=$bcast: ${out.mkString(",")}")
+    }
+  }
+
+  test("broadcast path ≡ join path on the sf0.01 fixture; flag discriminates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bench = Decontam.gramSet(
+      docs.filter(pmod(col("doc_id"), lit(29)) === 0), "text", 3)
+    val a = Decontam.flag(docs, "doc_id", "text", bench, 3,
+      broadcastBench = true).orderBy("doc_id").collect().map(_.toString)
+    val b = Decontam.flag(docs, "doc_id", "text", bench, 3,
+      broadcastBench = false).orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b),
+      a.zip(b).filter(p => p._1 != p._2).take(3).mkString("\n"))
+    // benchmark members with ≥3 words are contaminated by construction;
+    // the flag must discriminate on the rest
+    val flags = Decontam.flag(docs, "doc_id", "text", bench, 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val nWords = docs.select(col("doc_id"),
+      size(filter(split(lower(col("text")), " "), w => length(w) > 0)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    flags.foreach { case (id, contaminated) =>
+      if (id % 29 == 0 && nWords(id) >= 3)
+        assert(contaminated, s"benchmark member $id not flagged")
+    }
+    val nonMembers = flags.filter(_._1 % 29 != 0).values
+    assert(nonMembers.exists(identity) && nonMembers.exists(!_),
+      "contamination flag is constant on non-members — not discriminating")
+  }
+
+  test("broadcast bound violation fails loudly, not silently") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bench = Decontam.gramSet(
+      Seq((0L, "a b c d e f g h")).toDF("doc_id", "text"), "text", 3)
+    val e = intercept[IllegalArgumentException] {
+      Decontam.flag(docs, "doc_id", "text", bench, 3,
+        maxBroadcastGrams = 2).collect()
+    }
+    assert(e.getMessage.contains("maxBroadcastGrams"))
+  }
+}

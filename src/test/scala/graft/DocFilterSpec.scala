@@ -166,6 +166,56 @@ class DocFilterSpec extends AnyFunSuite {
       trans(32L) == ((false, Some("near_duplicate"))), trans.toString)
   }
 
+  test("decontamination hook: contaminated precedes exact_duplicate, follows toxicity") {
+    val toxWord = Toxicity.Lexicon.head
+    // benchmark shares a trigram with keeper ("quick brown fox") but not
+    // with nearA/dupText
+    val bench = vigil.Decontam.gramSet(
+      Seq((0L, "the quick brown fox runs far away")).toDF("bid", "text"),
+      "text", 3)
+    val docs = Seq(
+      (0L, keeper),                        // contaminated (shared trigram)
+      (1L, keeper),                        // contaminated AND exact dup of 0
+      (2L, nearA),                         // clean keeper
+      (3L, s"$keeper you $toxWord today"), // toxic AND contaminated
+      (4L, dupText), (5L, dupText)         // exact-dup pair, uncontaminated
+    ).toDF("doc_id", "text")
+    val out = DocFilter.filterDocs(docs,
+      cfg = DocFilter.Default.copy(benchmark = Some(bench))).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(out(0L) == ((false, Some("contaminated"))), out(0L).toString)
+    assert(out(1L) == ((false, Some("contaminated"))),
+      "cascade: contaminated must precede exact_duplicate")
+    assert(out(2L) == ((true, None)))
+    assert(out(3L) == ((false, Some("toxicity"))),
+      "cascade: toxicity must precede contaminated")
+    assert(out(4L) == ((true, None)))
+    assert(out(5L) == ((false, Some("exact_duplicate"))))
+    // and with no benchmark configured the cascade is unchanged
+    val plain = DocFilter.filterDocs(docs).collect()
+      .map(r => Option(r.getString(2))).flatten.toSet
+    assert(!plain.contains("contaminated"))
+  }
+
+  test("shingleK=3 config: trigram near-dup notion keeps the word-set near-dup pair") {
+    // docs 7/8 of the cascade corpus: word-set J ≈ 0.94 ≥ 0.9 (near-dup at
+    // k=1) but one word replaced kills 3 of ~32 trigrams → trigram
+    // J ≈ 0.83 < 0.9 — the stricter notion keeps both
+    val docs = Seq(
+      (7L, nearA),
+      (8L, nearA.replace("useful", "helpful"))
+    ).toDF("doc_id", "text")
+    def reasons(cfg: DocFilter.Config) =
+      DocFilter.filterDocs(docs, cfg = cfg).collect()
+        .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    val k1 = reasons(DocFilter.Default)
+    assert(k1(8L).contains("near_duplicate"), k1.toString)
+    val k3 = reasons(DocFilter.Default.copy(
+      shingleK = 3, repetitionNs = Seq(2, 3)))
+    assert(k3(7L).isEmpty && k3(8L).isEmpty, k3.toString)
+  }
+
   test("incremental filter equals the batch slice of the full filter over kept-corpus ∪ batch") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select("doc_id", "text")
