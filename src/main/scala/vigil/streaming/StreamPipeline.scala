@@ -1,8 +1,8 @@
 package vigil.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import vigil.Decide
 
 /** Structured Streaming face of the engine.
@@ -183,7 +183,10 @@ object StreamPipeline {
     * last-seen event time plus the delay — same bounded-state contract,
     * and the same approximately-exactly-once trade, as [[dedupStream]].
     * First arrival within the horizon wins; the emitted schema is the
-    * input schema unchanged.
+    * input schema unchanged. This is the PER-ROW-LATENCY rung of the
+    * streaming dedup ladder: it only suppresses at J ≈ 1, while the batch
+    * family drops at J ≥ minJaccard — for the exact batch contract at
+    * micro-batch granularity use [[neardupStreamExact]].
     */
   def neardupStream(
       turns: DataFrame, textCol: String,
@@ -221,7 +224,9 @@ object StreamPipeline {
     * J ≥ minJaccard — a streaming J ∈ [0.9, 1) pair passes here and is
     * caught by the nightly batch pass; (3) the survivor of a dup group is
     * the FIRST arrival within the horizon, where batch keeps the smallest
-    * id.
+    * id. All three gaps are closed by [[docFilterStreamExact]] at
+    * micro-batch granularity; this per-row variant remains the
+    * low-latency rung of the ladder.
     */
   def docFilterStream(
       docs: DataFrame, // must carry (`text`, event-time `ts`)
@@ -252,6 +257,145 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("__minhash_sig")
       .drop("__minhash_sig", "__r")
   }
+
+  /** EXACT streaming near-dup — closes [[neardupStream]]'s semantic gap
+    * (batch drops at J ≥ minJaccard; signature-equality suppression only
+    * at J ≈ 1, so a streamed J ∈ [0.9, 1) re-post used to survive until
+    * the nightly batch). Each micro-batch runs the BATCH incremental
+    * verifier ([[vigil.dedup.Dedup.neardupVerifiedIncremental]]: LSH
+    * candidates → exact Jaccard) against a STORED kept-corpus pair of
+    * tables (`$storedBase/corpus` = (id, text), `$storedBase/sigs` =
+    * its MinHash signature table), then appends the batch's survivors —
+    * so the streamed kept set satisfies exactly the batch contract: no
+    * kept doc is within J ≥ minJaccard of an EARLIER kept doc (earlier
+    * batch wins; within a batch the canonical smaller id wins). The price
+    * is micro-batch granularity — which Structured Streaming pays anyway —
+    * and durable state = the same stored tables the batch incremental
+    * family serves from (shared with a nightly batch job; bounded by the
+    * kept corpus, not the stream history). The per-row-latency
+    * signature-equality suppression and this exact micro-batch face are
+    * the two rungs of the streaming dedup ladder; pick per use.
+    *
+    * At-least-once semantics: a replayed row whose id is already in the
+    * stored corpus is removed by an id anti-join BEFORE verification
+    * (it would otherwise near-dup-match itself and be mislabeled);
+    * foreachBatch may re-run a batch on recovery, so `emit` must be
+    * idempotent (overwrite-by-batch-id, keyed upsert) for end-to-end
+    * exactly-once. Empty (fully replayed) batches are not emitted.
+    */
+  def neardupStreamExact(
+      docs: DataFrame, textCol: String, idCol: String,
+      storedBase: String, minJaccard: Double = 0.9,
+      bands: Int = 24, rowsPerBand: Int = 6, shingleK: Int = 1,
+      seed: Long = 42L)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      import vigil.dedup.Dedup
+      val spark = batch.sparkSession
+      val corpusPath = s"$storedBase/corpus"
+      val sigsPath = s"$storedBase/sigs"
+      val have = new java.io.File(s"$corpusPath/_SUCCESS").exists()
+      val fresh = (if (have)
+        batch.select(col(idCol), col(textCol))
+          .join(spark.read.parquet(corpusPath).select(col(idCol)),
+            Seq(idCol), "left_anti")
+      else batch.select(col(idCol), col(textCol))).persist()
+      try {
+        if (fresh.count() > 0) {
+          val (cSigs, cText) =
+            if (have)
+              (spark.read.parquet(sigsPath), spark.read.parquet(corpusPath))
+            else
+              (Dedup.computeSignatures(fresh.limit(0), textCol, idCol,
+                bands, rowsPerBand, shingleK, seed), fresh.limit(0))
+          val pairs = Dedup.neardupVerifiedIncremental(cSigs, cText, fresh,
+            textCol, idCol, minJaccard, bands, rowsPerBand, seed,
+            shingleK = shingleK)
+          // batch side of mixed pairs drops (corpus is canonical); larger
+          // id of batch×batch pairs drops (id_a < id_b by construction)
+          val batchIds = fresh.select(col(idCol).as("__bid"))
+          val dropB = pairs
+            .join(batchIds, pairs("id_b") === col("__bid"), "leftsemi")
+            .select(col("id_b").as(idCol))
+          val dropA = pairs
+            .join(batchIds, pairs("id_a") === col("__bid"), "leftsemi")
+            .join(batchIds, pairs("id_b") === col("__bid"), "leftanti")
+            .select(col("id_a").as(idCol))
+          // localCheckpoint BEFORE any stored-table write: appending to
+          // corpusPath/sigsPath refreshes Spark's path caches and
+          // invalidates every plan that READS those paths — a lazy `kept`
+          // would re-evaluate its anti-join against the just-appended
+          // corpus and silently lose the batch (caught by spec)
+          val kept = fresh
+            .join(dropB.unionByName(dropA).distinct(), Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          kept.write.mode("append").parquet(corpusPath)
+          Dedup.computeSignatures(kept, textCol, idCol,
+            bands, rowsPerBand, shingleK, seed)
+            .write.mode("append").parquet(sigsPath)
+          emit(kept, batchId)
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+
+  /** EXACT streaming corpus filter — [[docFilterStream]]'s documented
+    * semantic gaps closed by running the BATCH incremental cascade per
+    * micro-batch against the stored kept-corpus tables
+    * ([[vigil.DocFilter.filterDocsIncremental]]; bootstrap batch =
+    * [[vigil.DocFilter.filterDocs]]) and appending each batch's kept docs
+    * to `$storedBase/{kept,hashes,sigs}`: (1) the full AUDIT frame (keep +
+    * drop_reason per doc) is emitted, not just survivors; (2) near-dup
+    * drops at exactly J ≥ cfg.minJaccard (LSH-verified), not signature
+    * equality; (3) the dup-group survivor is the stored-corpus canonical.
+    * Replay handling, emit idempotency contract, and the state =
+    * stored-tables trade exactly as [[neardupStreamExact]]. The stored
+    * sigs table uses the incremental filter's banding (24×6) at
+    * cfg.shingleK.
+    */
+  def docFilterStreamExact(
+      docs: DataFrame, storedBase: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      cfg: vigil.DocFilter.Config = vigil.DocFilter.Default)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      import vigil.dedup.Dedup
+      val spark = batch.sparkSession
+      val keptPath = s"$storedBase/kept"
+      val hashesPath = s"$storedBase/hashes"
+      val sigsPath = s"$storedBase/sigs"
+      val have = new java.io.File(s"$keptPath/_SUCCESS").exists()
+      val fresh = (if (have)
+        batch.select(col(idCol), col(textCol))
+          .join(spark.read.parquet(keptPath).select(col(idCol)),
+            Seq(idCol), "left_anti")
+      else batch.select(col(idCol), col(textCol))).persist()
+      try {
+        if (fresh.count() > 0) {
+          // localCheckpoint BEFORE the stored-table writes (see
+          // [[neardupStreamExact]]): the appends refresh the paths these
+          // plans read, and a lazy frame would re-evaluate against the
+          // updated tables and lose the batch
+          val out = (if (have)
+            vigil.DocFilter.filterDocsIncremental(
+              spark.read.parquet(sigsPath), spark.read.parquet(hashesPath),
+              spark.read.parquet(keptPath), fresh, idCol, textCol, cfg)
+          else vigil.DocFilter.filterDocs(fresh, idCol, textCol, cfg))
+            .localCheckpoint(true)
+          val kept = fresh.join(
+            out.filter(col("keep")).select(col(idCol)), Seq(idCol), "leftsemi")
+            .localCheckpoint(true)
+          kept.write.mode("append").parquet(keptPath)
+          kept.select(col(idCol), md5(col(textCol)).as("__h"))
+            .write.mode("append").parquet(hashesPath)
+          Dedup.computeSignatures(kept, textCol, idCol,
+            bands = 24, rowsPerBand = 6, shingleK = cfg.shingleK)
+            .write.mode("append").parquet(sigsPath)
+          emit(out, batchId)
+          ()
+        }
+      } finally fresh.unpersist()
+    }
 
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).

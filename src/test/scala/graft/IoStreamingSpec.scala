@@ -589,4 +589,142 @@ class IoStreamingSpec extends AnyFunSuite {
     assert(batchKept == kept,
       s"batch kept $batchKept must equal streamed kept $kept")
   }
+
+  test("streaming near-dup gap quantified: J∈[0.9,1) survives sig-equality but not the exact face") {
+    // planted J ∈ [0.9, 1): B replaces 2 of A's 40 distinct words →
+    // token-set J = 38/42 ≈ 0.905 — above the batch drop threshold 0.9
+    // but NOT signature-equal, the exact r4-verdict gap band
+    val aWords = (1 to 40).map(i => s"word$i")
+    val bWords = aWords.dropRight(2) ++ Seq("fresh", "tokens")
+    val jAB = {
+      val (sa, sb) = (aWords.toSet, bWords.toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(jAB >= 0.9 && jAB < 1.0, s"planted J must be in [0.9,1): $jAB")
+    def turn(id: Int, ts: String, text: String) =
+      vigil.Turn("c", id, "user", text, "", java.sql.Timestamp.valueOf(ts))
+    val all = Seq(
+      Seq(turn(1, "2026-01-01 10:00:00", aWords.mkString(" ")),
+        turn(2, "2026-01-01 10:00:10", "totally different other content")),
+      Seq(turn(3, "2026-01-01 10:01:00", bWords.mkString(" ")),
+        turn(4, "2026-01-01 10:01:10", "yet more unrelated material here")))
+    // the gap is real: the signatures of A and B differ, so the per-row
+    // sig-equality rung cannot suppress B
+    val sigs = vigil.dedup.Dedup.computeSignatures(
+      all.flatten.toDF(), "text", "turn_idx",
+      bands = 24, rowsPerBand = 6, shingleK = 1)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](2)).toMap
+    assert(sigs(1) != sigs(3), "planted pair must NOT be signature-equal")
+
+    def runStream(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.streaming.StreamingQuery,
+        batches: Seq[Seq[vigil.Turn]]): Unit = {
+      val srcDir = Files.createTempDirectory("vigil_gap_src").toString
+      def write(rows: Seq[vigil.Turn]): Unit =
+        rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+      write(batches.head)
+      val schema = batches.head.toDF().schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = mk(stream)
+      q.processAllAvailable()
+      batches.tail.foreach { b => write(b); q.processAllAvailable() }
+      q.stop()
+    }
+
+    // rung 1 (per-row latency, sig equality): doc 3 SURVIVES — the gap
+    runStream(s => StreamPipeline
+      .neardupStream(s, "text", watermarkDelay = "10 minutes", shingleK = 1)
+      .writeStream.format("memory").queryName("gap_sig")
+      .outputMode(OutputMode.Append).start(), all)
+    val sigKept = spark.table("gap_sig")
+      .select("turn_idx").collect().map(_.getInt(0)).toSeq.sorted
+    assert(sigKept == Seq(1, 2, 3, 4),
+      s"sig-equality rung must pass the J=$jAB re-post: $sigKept")
+
+    // rung 2 (exact micro-batch face): doc 3 dropped at J ≥ 0.9, and a
+    // replayed batch emits nothing (id anti-join vs the stored corpus)
+    val base = Files.createTempDirectory("vigil_gap_store").toString
+    val buf = scala.collection.mutable.ArrayBuffer[Int]()
+    runStream(s => StreamPipeline
+      .neardupStreamExact(s, "text", "turn_idx", base)(
+        (kept, _) => buf.synchronized {
+          buf ++= kept.select("turn_idx").collect().map(_.getInt(0))
+        }).start(), all :+ all.last)
+    assert(buf.sorted == Seq(1, 2, 4),
+      s"exact face must drop the J=$jAB re-post and ignore the replay: " +
+        buf.sorted.mkString(","))
+    // stored corpus = exactly the kept set (the batch family's tables)
+    val stored = spark.read.parquet(s"$base/corpus")
+      .select("turn_idx").collect().map(_.getInt(0)).toSeq.sorted
+    assert(stored == Seq(1, 2, 4), s"stored corpus: $stored")
+    // and the signature table is row-consistent with it (the append-path
+    // cache refresh would otherwise silently lose batch rows here)
+    val storedSigs = spark.read.parquet(s"$base/sigs")
+      .select("id").collect().map(_.getInt(0)).toSeq.sorted
+    assert(storedSigs == Seq(1, 2, 4), s"stored sigs: $storedSigs")
+  }
+
+  test("exact streaming doc filter: audit frame per batch equals the batch cascade on the union") {
+    val keeper =
+      "the quick brown fox jumps over a lazy dog while the sun rises in " +
+      "the east and workers walk to the office for another busy day of " +
+      "work as the city wakes up and birds sing in the old green park"
+    val keeper2 =
+      "a group of young students reads many books in the big city library " +
+      "and the teacher shows hard ideas with simple clear examples so " +
+      "that all of them can learn more every single day of the school year"
+    val keeperWords = keeper.split(" ")
+    val reordered = (keeperWords.drop(9) ++ keeperWords.take(9)).mkString(" ")
+    val toxWord = vigil.Toxicity.Lexicon.head
+    def doc(id: Int, ts: String, text: String) =
+      vigil.Turn("c", id, "user", text, "", java.sql.Timestamp.valueOf(ts))
+    val all = Seq(
+      Seq(
+        doc(1, "2026-01-01 10:00:00", keeper),
+        doc(2, "2026-01-01 10:00:05", "Solicito acesso aos documentos " +
+          "referentes ao processo da obra na quadra norte conforme " +
+          "previsto pela lei de transparência")),
+      Seq(
+        doc(5, "2026-01-01 10:01:05", s"$keeper you $toxWord again this " +
+          "very morning"),
+        doc(6, "2026-01-01 10:01:10", keeper)), // exact re-post of 1
+      Seq(
+        doc(7, "2026-01-01 10:02:00", reordered), // J=1 but not byte-equal
+        doc(8, "2026-01-01 10:02:05", keeper2)))
+
+    val srcDir = Files.createTempDirectory("vigil_sdfx_src").toString
+    def write(rows: Seq[vigil.Turn]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    write(all.head)
+    val schema = all.head.toDF().schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = Files.createTempDirectory("vigil_sdfx_store").toString
+    val audit = scala.collection.mutable.Map[Int, (Boolean, Option[String])]()
+    val q = StreamPipeline.docFilterStreamExact(
+      stream, base, idCol = "turn_idx", textCol = "text")(
+      (out, _) => audit.synchronized {
+        out.select("turn_idx", "keep", "drop_reason").collect().foreach(r =>
+          audit(r.getInt(0)) = (r.getBoolean(1), Option(r.getString(2))))
+      }).start()
+    q.processAllAvailable()
+    all.tail.foreach { b => write(b); q.processAllAvailable() }
+    q.stop()
+
+    // the streamed audit must equal the one-shot batch cascade over the
+    // union (arrival order = id order here, so the batch smallest-id
+    // canonical matches the earlier-batch-wins stream policy); doc 7 is
+    // the key row — near_duplicate at exact J = 1 despite differing bytes
+    // and differing signatures are NOT required (token-set equality)
+    val union = all.flatten.toDF()
+    val batchAudit = vigil.DocFilter.filterDocs(union, "turn_idx", "text")
+      .select("turn_idx", "keep", "drop_reason").collect()
+      .map(r => r.getInt(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(audit.toMap == batchAudit,
+      s"streamed audit $audit must equal batch $batchAudit")
+    assert(audit(6) == ((false, Some("exact_duplicate"))), audit.toString)
+    assert(audit(7) == ((false, Some("near_duplicate"))), audit.toString)
+    assert(audit(1)._1 && audit(8)._1, audit.toString)
+  }
 }
