@@ -123,28 +123,80 @@ object PiiCore {
     words >= 2 && words <= 6 && !Exclusions.isInstitutional(n)
   }
 
+  /** ASCII-case-folded substring scan: `text.toLowerCase.contains(kw)`
+    * without materializing the lowercase copy, SOUND ONLY when `text` is
+    * pure ASCII (for ASCII, Locale.ROOT toLowerCase is exactly the
+    * A-Z → a-z fold; non-ASCII chars can case-fold INTO ascii — e.g.
+    * U+212A KELVIN → 'k' — so non-ASCII texts must take the real
+    * toLowerCase path). Keywords are lowercase by construction; a keyword
+    * with a non-ASCII char (e.g. "nome é") can never occur in an
+    * all-ASCII text.
+    */
+  def asciiFoldedContains(text: String, kw: String): Boolean = {
+    val n = text.length
+    val m = kw.length
+    if (m == 0) return true
+    var j = 0
+    while (j < m) { if (kw.charAt(j) > 127) return false; j += 1 }
+    var i = 0
+    val limit = n - m
+    val k0 = kw.charAt(0)
+    while (i <= limit) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c == k0) {
+        var k = 1
+        var ok = true
+        while (ok && k < m) {
+          var t = text.charAt(i + k)
+          if (t >= 'A' && t <= 'Z') t = (t + 32).toChar
+          ok = t == kw.charAt(k)
+          k += 1
+        }
+        if (ok) return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** One O(n) pre-scan replacing up to ~15 full regex scans on the common
     * (PII-free) turn: which character classes / keywords exist at all.
+    * The flag loop also detects pure-ASCII texts (the dominant case), for
+    * which the keyword gates run as allocation-free case-folded scans over
+    * the original text instead of materializing a full `toLowerCase` copy
+    * — the largest per-turn allocation left after the r4 zero-copy clean
+    * path (equivalence for ASCII is exact; see [[asciiFoldedContains]]).
     */
   private final class PreScan(text: String) {
     var hasDigit = false
     var hasAt = false
     var hasUpper = false
+    var isAscii = true
     private lazy val lower = text.toLowerCase(java.util.Locale.ROOT)
     var i = 0
-    while (i < text.length && !(hasDigit && hasAt && hasUpper)) {
+    // full scan (no early break): isAscii needs every char, and the old
+    // all-three-flags break almost never fired ('@' is rare)
+    while (i < text.length) {
       val c = text.charAt(i)
       // Character.isDigit (Nd category), not ASCII '0'-'9': the gated
       // regexes run with UNICODE_CHARACTER_CLASS where \d matches all Nd
       // digits (Python-re parity), so the gate must be a superset
-      if (Character.isDigit(c)) hasDigit = true
+      if (c > 127) {
+        isAscii = false
+        if (Character.isDigit(c)) hasDigit = true
+        else if (Character.isUpperCase(c)) hasUpper = true
+      }
+      else if (c >= '0' && c <= '9') hasDigit = true
       else if (c == '@') hasAt = true
-      else if (Character.isUpperCase(c)) hasUpper = true
+      else if (c >= 'A' && c <= 'Z') hasUpper = true
       i += 1
     }
     // keyword gates (substring scan on the lowercased text is far cheaper
-    // than running the full alternation patterns)
-    def has(kw: String): Boolean = lower.contains(kw)
+    // than running the full alternation patterns; allocation-free for
+    // ASCII texts)
+    def has(kw: String): Boolean =
+      if (isAscii) asciiFoldedContains(text, kw) else lower.contains(kw)
     lazy val nameContextPossible: Boolean =
       has("nome") || has("chamo") || has("cpf") || has("portador") ||
         has("cidad") || has("requerente") || has("solicitante") ||

@@ -1,0 +1,53 @@
+package vigil.tools
+
+/** Single-threaded kernel micro-bench for the per-turn hot path: times
+  * `PiiCore.detect` (clean + PreScan + matcher cascade + scrub) and the
+  * full fused-kernel triple (detect + LangModel.scoreBoth + TurnStats)
+  * over the Synth corpus, no Spark. For A/B-ing kernel changes (e.g. the
+  * r5 allocation-free PreScan keyword gates) in the same host window —
+  * runs best-of-`reps` after `warm` full warmup passes (C2 tier-up needs
+  * thousands of iterations; see CLAUDE.md bench lessons).
+  *
+  * Args: [nConvs] [reps] (defaults 4000, 5).
+  */
+object KernelBench {
+  def main(args: Array[String]): Unit = {
+    val nConvs = args.headOption.map(_.toInt).getOrElse(4000)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val texts: Array[String] =
+      vigil.Synth.corpus(nConvs).map(_.text).toArray
+    val nBytes = texts.map(_.length.toLong).sum
+    println(s"corpus: ${texts.length} turns, $nBytes chars")
+
+    def pass(full: Boolean): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < texts.length) {
+        val a = vigil.PiiCore.detect(texts(i))
+        acc += a.detalhes.length + a.scrubbed.length
+        if (full) {
+          val (lang, conf, ppl) = vigil.LangModel.scoreBoth(a.clean)
+          acc += lang.length + (if (conf > 0) 1 else 0) +
+            (if (ppl > 0) 1 else 0)
+        }
+        i += 1
+      }
+      acc
+    }
+    def time(full: Boolean): Double = {
+      (1 to 3).foreach(_ => pass(full)) // warmup
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val a = pass(full)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (a == 42) println("") // defeat DCE
+        dt
+      }.min
+    }
+    val dDetect = time(full = false)
+    val dFull = time(full = true)
+    println(f"detect-only: $dDetect%.3f s (${texts.length / dDetect}%.0f turns/s, " +
+      f"${nBytes / dDetect / 1e6}%.1f Mchars/s)")
+    println(f"detect+lang: $dFull%.3f s (${texts.length / dFull}%.0f turns/s)")
+  }
+}

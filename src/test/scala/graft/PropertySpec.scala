@@ -37,6 +37,29 @@ class PropertySpec extends AnyFunSuite {
   private val text = Gen.chooseNum(0, 30)
     .flatMap(n => Gen.listOfN(n, piece)).map(_.mkString(" "))
 
+  test("ascii-folded keyword scan equals toLowerCase.contains on ASCII text") {
+    // the PreScan gate's allocation-free path (r5): for pure-ASCII text,
+    // asciiFoldedContains(text, kw) must be EXACTLY toLowerCase.contains;
+    // keywords with non-ASCII chars can never match ASCII text
+    val kwGen = Gen.oneOf("nome", "chamo", "cpf", "rg", "sk-", "akia",
+      "meu", "sou ", "nome é", "cidad", "apt", "cel", "a", "")
+    check(Prop.forAll(Gen.asciiPrintableStr, kwGen) { (t, kw) =>
+      PiiCore.asciiFoldedContains(t, kw) ==
+        t.toLowerCase(java.util.Locale.ROOT).contains(kw)
+    })
+    // adversarial: embedded keyword with random casing at random offset
+    val planted = for {
+      pre <- Gen.asciiPrintableStr
+      post <- Gen.asciiPrintableStr
+      kw <- Gen.oneOf("nome", "cpf", "akia", "whats")
+      cased <- Gen.listOfN(kw.length, Gen.oneOf(true, false)).map(bs =>
+        kw.zip(bs).map { case (c, up) => if (up) c.toUpper else c }.mkString)
+    } yield (pre + cased + post, kw)
+    check(Prop.forAll(planted) { case (t, kw) =>
+      PiiCore.asciiFoldedContains(t, kw)
+    })
+  }
+
   test("scrub is idempotent") {
     check(Prop.forAll(text) { t =>
       val once = PiiCore.detect(t).scrubbed
