@@ -175,6 +175,66 @@ object SparkEntry {
     base
   }
 
+  /** Deterministic multi-line "page" corpus shared by q_gopher_lines and
+    * q_line_dedup: 50 pages of one line per doc (ordered by (doc_id,
+    * copy)), with planted within-page duplicate lines (doc_id%7), bullet
+    * prefixes (doc_id%3) and ellipsis suffixes (doc_id%11) — the moduli
+    * are coprime to the 50-page key so every planted feature varies
+    * WITHIN pages. (The fixture's doc texts are all distinct — measured
+    * max corpus line count without planting is the %7 copies' 2 — so
+    * corpus-level consumers plant their own cross-page boilerplate.)
+    */
+  private def gopherPages(s: SparkSession, dir: String): DataFrame = {
+    val lined = docs(s, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("- "), col("text"))).otherwise(col("text")).as("l1"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("l1"), lit("..."))).otherwise(col("l1")).as("line"))
+      .select(col("doc_id"), col("line"),
+        explode(when(pmod(col("doc_id"), lit(7)) === 0,
+          array(lit(0), lit(1))).otherwise(array(lit(0)))).as("copy"))
+    lined
+      .groupBy(pmod(col("doc_id"), lit(50)).as("gid"))
+      .agg(concat_ws("\n",
+        transform(
+          sort_array(collect_list(
+            struct(col("doc_id"), col("copy"), col("line")))),
+          x => x.getField("line"))).as("txt"))
+  }
+
+  /** Deterministic C4-rule page corpus shared by q_c4_filter and
+    * q_clean_pages: every C4 line rule keeps AND drops here — doc_id%3
+    * kills terminal punctuation (" etc"), %5 plants the javascript word,
+    * %7 replaces with a <5-word line, %17/%19 taint pages with lorem
+    * ipsum / a curly brace; 40 pages of one line per doc, ordered by
+    * doc_id (the moduli are coprime to 40 except 5 — rule×page overlap
+    * still varies because the other rules cut across it).
+    */
+  private def c4Pages(s: SparkSession, dir: String): DataFrame = {
+    val l5 = docs(s, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"),
+          lit(" etc"))).otherwise(concat(col("text"), lit("."))).as("a"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("javascript "), col("a"))).otherwise(col("a")).as("a"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("Too short."))
+          .otherwise(col("a")).as("a"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("a"), lit(" lorem ipsum"))).otherwise(col("a")).as("a"))
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          concat(col("a"), lit(" {"))).otherwise(col("a")).as("a"))
+    l5.groupBy(pmod(col("doc_id"), lit(40)).as("gid"))
+      .agg(concat_ws("\n", transform(
+        sort_array(collect_list(struct(col("doc_id"), col("a")))),
+        x => x.getField("a"))).as("txt"))
+  }
+
   /** Flagship: full per-turn PII keep/drop + scrub over the documents table
     * (doc_id hosted as a single-turn conversation). Driver smoke-checks
     * rows>0 at sf0.001.
@@ -707,27 +767,58 @@ object SparkEntry {
     //     the moduli are coprime to the 50-page key so every fraction
     //     varies WITHIN pages (discriminating corpus, r4 VERDICT ask #4)
     "q_gopher_lines" -> ((s, dir) => {
-      val lined = docs(s, dir)
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(3)) === 0,
-            concat(lit("- "), col("text"))).otherwise(col("text")).as("l1"))
-        .select(col("doc_id"),
-          when(pmod(col("doc_id"), lit(11)) === 0,
-            concat(col("l1"), lit("..."))).otherwise(col("l1")).as("line"))
-        .select(col("doc_id"), col("line"),
-          explode(when(pmod(col("doc_id"), lit(7)) === 0,
-            array(lit(0), lit(1))).otherwise(array(lit(0)))).as("copy"))
-      val pages = lined
-        .groupBy(pmod(col("doc_id"), lit(50)).as("gid"))
-        .agg(concat_ws("\n",
-          transform(
-            sort_array(collect_list(
-              struct(col("doc_id"), col("copy"), col("line")))),
-            x => x.getField("line"))).as("txt"))
       Quality.lineMetrics(col("txt"))
-        .foldLeft(pages) { case (df, (n, c)) => df.withColumn(n, c) }
+        .foldLeft(gopherPages(s, dir)) { case (df, (n, c)) =>
+          df.withColumn(n, c) }
         .select("gid", "n_lines", "dup_line_frac", "dup_line_char_frac",
           "bullet_line_frac", "ellipsis_line_frac")
+        .orderBy("gid")
+    }),
+    // --- corpus-level line dedup (oracle-paired): C4/CCNet/RefinedWeb
+    //     boilerplate removal over the q_gopher_lines page corpus plus
+    //     planted boilerplate — a cookie banner on EVERY page (50 copies →
+    //     dropAtOrAbove=4 drops all of them, first included) and a
+    //     newsletter line on 3 pages (3 copies < 4 → survives the
+    //     threshold, keep-first keeps exactly the gid-0 copy); template
+    //     dup lines (doc_id%7) exercise keep-first at cnt=2. Every policy
+    //     both keeps and drops on this corpus ---------------------------
+    "q_line_dedup" -> ((s, dir) => {
+      val pages = gopherPages(s, dir).select(col("gid"),
+        concat(
+          lit("Accept all cookies to continue reading.\n"), col("txt"),
+          when(pmod(col("gid"), lit(17)) === 0,
+            lit("\nSubscribe to our newsletter today!"))
+            .otherwise(lit(""))).as("txt"))
+      vigil.dedup.LineDedup.dedupLines(pages, "gid", "txt",
+        keepFirst = true, dropAtOrAbove = 4L)
+        .orderBy("id")
+    }),
+    // --- C4 line filter (oracle-paired): terminal punctuation + ≥5 words
+    //     + javascript-line drop, page verdict on kept-line minimum /
+    //     lorem ipsum / curly brace — every rule planted deterministically
+    //     so each keeps AND drops on this corpus ------------------------
+    "q_c4_filter" -> ((s, dir) => {
+      Quality.c4LineFilter(col("txt"))
+        .foldLeft(c4Pages(s, dir)) { case (df, (n, c)) =>
+          df.withColumn(n, c) }
+        .select("gid", "c4_text", "n_lines", "n_kept", "c4_keep")
+        .orderBy("gid")
+    }),
+    // --- C4 pre-pass composition (oracle-paired): line filter THEN
+    //     corpus line dedup over the q_c4_filter corpus plus planted
+    //     boilerplate that PASSES the line rules — a cookie banner on all
+    //     40 pages (threshold-dropped everywhere) and a newsletter line on
+    //     3 pages (keep-first keeps exactly the gid-0 copy); page_keep
+    //     composes the C4 page verdict with survivor existence ----------
+    "q_clean_pages" -> ((s, dir) => {
+      val pages = c4Pages(s, dir).select(col("gid"),
+        concat(
+          lit("Accept all cookies to continue reading.\n"), col("txt"),
+          when(pmod(col("gid"), lit(17)) === 0,
+            lit("\nSubscribe to our newsletter today!"))
+            .otherwise(lit(""))).as("txt"))
+      DocFilter.cleanPages(pages, "gid", "txt",
+        dedupKeepFirst = true, dedupDropAtOrAbove = 4L)
         .orderBy("gid")
     }),
     // --- benchmark decontamination (oracle-paired): flag docs sharing a
@@ -1201,6 +1292,174 @@ object SparkEntry {
                OR ends_with(x, '…')))::DOUBLE / n
              ELSE 0.0 END AS ellipsis_line_frac
          FROM m ORDER BY gid""",
+    // corpus-level line dedup over the same gopher page corpus: per-line
+    // occurrence count + first-(gid,idx) argmin via windows (the Spark
+    // side's hash-keyed path is spec-locked bit-equal to this string-keyed
+    // semantics); keep iff cnt < 4 AND first copy; rebuild ordered by idx
+    "q_line_dedup" ->
+      """WITH l0 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '- ' || text ELSE text END AS l1
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN l1 || '...' ELSE l1 END AS line
+           FROM l0),
+         c AS (
+           SELECT doc_id, line,
+             unnest(CASE WHEN doc_id % 7 = 0 THEN [0, 1] ELSE [0] END)
+               AS copy
+           FROM l),
+         g0 AS (
+           SELECT doc_id % 50 AS gid,
+             string_agg(line, chr(10) ORDER BY doc_id, copy) AS txt
+           FROM c GROUP BY 1),
+         g AS (
+           SELECT gid,
+             'Accept all cookies to continue reading.' || chr(10) || txt ||
+             CASE WHEN gid % 17 = 0
+               THEN chr(10) || 'Subscribe to our newsletter today!'
+               ELSE '' END AS txt
+           FROM g0),
+         lw AS (
+           SELECT gid,
+             list_filter(list_transform(string_split(txt, chr(10)),
+               x -> trim(x)), x -> len(x) > 0) AS ls
+           FROM g),
+         ln AS (
+           SELECT gid, i - 1 AS idx, ls[i] AS line
+           FROM lw, unnest(range(1, len(ls) + 1)) t(i)),
+         mk AS (
+           SELECT gid, idx, line,
+             count(*) OVER (PARTITION BY line) AS cnt,
+             row_number() OVER (PARTITION BY line ORDER BY gid, idx) AS rn
+           FROM ln),
+         reb AS (
+           SELECT gid, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS clean_text
+           FROM mk WHERE cnt < 4 AND rn = 1 GROUP BY gid),
+         tot AS (
+           SELECT gid, CAST(len(ls) AS BIGINT) AS n_lines FROM lw)
+         SELECT t.gid AS id, coalesce(r.clean_text, '') AS clean_text,
+           t.n_lines, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         FROM tot t LEFT JOIN reb r ON t.gid = r.gid
+         ORDER BY id""",
+    // C4 line filter over a planted page corpus: same line unit, kept iff
+    // terminal punct + >=5 words + no 'javascript'; page verdict needs >=3
+    // kept lines and a clean page (no lorem ipsum / curly brace)
+    "q_c4_filter" ->
+      """WITH a1 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' etc'
+               ELSE text || '.' END AS a
+           FROM documents),
+         a2 AS (
+           SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN 'javascript ' || a ELSE a END AS a FROM a1),
+         a3 AS (
+           SELECT doc_id, CASE WHEN doc_id % 7 = 0
+             THEN 'Too short.' ELSE a END AS a FROM a2),
+         a4 AS (
+           SELECT doc_id, CASE WHEN doc_id % 17 = 0
+             THEN a || ' lorem ipsum' ELSE a END AS a FROM a3),
+         a5 AS (
+           SELECT doc_id, CASE WHEN doc_id % 19 = 0
+             THEN a || ' {' ELSE a END AS a FROM a4),
+         g AS (
+           SELECT doc_id % 40 AS gid,
+             string_agg(a, chr(10) ORDER BY doc_id) AS txt
+           FROM a5 GROUP BY 1),
+         lw AS (
+           SELECT gid, txt,
+             list_filter(list_transform(string_split(txt, chr(10)),
+               x -> trim(x)), x -> len(x) > 0) AS ls
+           FROM g),
+         k AS (
+           SELECT gid, txt, ls,
+             list_filter(ls, l ->
+               (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+                 OR ends_with(l, '"'))
+               AND len(list_filter(string_split(l, ' '),
+                 w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS ks
+           FROM lw)
+         SELECT gid,
+           coalesce(array_to_string(ks, chr(10)), '') AS c4_text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ks) AS BIGINT) AS n_kept,
+           (len(ks) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+             AND NOT contains(txt, '{')) AS c4_keep
+         FROM k ORDER BY gid""",
+    // C4 pre-pass composition: line rules (incl. the planted banner /
+    // newsletter boilerplate, which passes them), then corpus line dedup
+    // (cnt<4 + keep-first windows) over the kept lines, then the page
+    // verdict AND survivor existence
+    "q_clean_pages" ->
+      """WITH a1 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' etc'
+               ELSE text || '.' END AS a
+           FROM documents),
+         a2 AS (
+           SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN 'javascript ' || a ELSE a END AS a FROM a1),
+         a3 AS (
+           SELECT doc_id, CASE WHEN doc_id % 7 = 0
+             THEN 'Too short.' ELSE a END AS a FROM a2),
+         a4 AS (
+           SELECT doc_id, CASE WHEN doc_id % 17 = 0
+             THEN a || ' lorem ipsum' ELSE a END AS a FROM a3),
+         a5 AS (
+           SELECT doc_id, CASE WHEN doc_id % 19 = 0
+             THEN a || ' {' ELSE a END AS a FROM a4),
+         g0 AS (
+           SELECT doc_id % 40 AS gid,
+             string_agg(a, chr(10) ORDER BY doc_id) AS txt
+           FROM a5 GROUP BY 1),
+         g AS (
+           SELECT gid,
+             'Accept all cookies to continue reading.' || chr(10) || txt ||
+             CASE WHEN gid % 17 = 0
+               THEN chr(10) || 'Subscribe to our newsletter today!'
+               ELSE '' END AS txt
+           FROM g0),
+         lw AS (
+           SELECT gid, txt,
+             list_filter(list_transform(string_split(txt, chr(10)),
+               x -> trim(x)), x -> len(x) > 0) AS ls
+           FROM g),
+         k AS (
+           SELECT gid, txt, ls,
+             list_filter(ls, l ->
+               (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+                 OR ends_with(l, '"'))
+               AND len(list_filter(string_split(l, ' '),
+                 w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS ks
+           FROM lw),
+         u AS (
+           SELECT gid, i - 1 AS idx, ks[i] AS line
+           FROM k, unnest(range(1, len(ks) + 1)) t(i)),
+         mk AS (
+           SELECT gid, idx, line,
+             count(*) OVER (PARTITION BY line) AS cnt,
+             row_number() OVER (PARTITION BY line ORDER BY gid, idx) AS rn
+           FROM u),
+         reb AS (
+           SELECT gid, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS text
+           FROM mk WHERE cnt < 4 AND rn = 1 GROUP BY gid),
+         ver AS (
+           SELECT gid, CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(ks) AS BIGINT) AS n_kept_c4,
+             (len(ks) >= 3 AND NOT contains(lower(txt), 'lorem ipsum')
+               AND NOT contains(txt, '{')) AS c4k
+           FROM k)
+         SELECT v.gid, coalesce(r.text, '') AS text, v.n_lines,
+           v.n_kept_c4, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           (v.c4k AND coalesce(r.n_kept, 0) > 0) AS page_keep
+         FROM ver v LEFT JOIN reb r ON v.gid = r.gid
+         ORDER BY v.gid""",
     // benchmark decontamination: distinct word trigrams per doc, benchmark
     // set = grams of every 29th doc; n_contaminated = distinct grams of
     // the doc that appear in the benchmark set (same normative gram

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import vigil.dedup.Dedup
+import vigil.dedup.{Dedup, LineDedup}
 
 /** Composed document-corpus quality filter — the C4 (Raffel et al. 2020) /
   * Gopher (Rae et al. 2021) pipeline shape over a documents table, built
@@ -142,6 +142,55 @@ object DocFilter {
         col("symbol_word_ratio"), col("top2gram_char_frac"),
         col("dup2gram_char_frac"), col("stopword_frac"),
         col("quality_pass"), col("repetition_pass"), col("toxic"))
+
+  /** The C4 page-cleaning PRE-pass: line-level rules, then corpus-level
+    * line dedup — C4's own order (Raffel et al. 2020 §2.2: line filters
+    * first, then deduplication of repeated spans across the corpus, then
+    * the page-level language/quality filtering that [[filterDocs]] does).
+    *
+    * Per page: [[Quality.c4LineFilter]] keeps terminal-punctuated,
+    * ≥5-word, non-javascript lines; [[LineDedup.dedupLines]] then drops
+    * corpus-repeated survivors (keep-first and/or occurrence threshold —
+    * cookie banners and nav menus pass the C4 line rules but are
+    * boilerplate in every copy). Output, one row per input page:
+    * `(id, text, n_lines, n_kept_c4, n_kept, page_keep)` — `text` is the
+    * cleaned rebuild ('' when nothing survives), `page_keep` = the C4
+    * page verdict (≥ minKeptLines c4-kept lines, no lorem ipsum, no curly
+    * brace) AND at least one post-dedup survivor.
+    *
+    * Scale/composition contract: both stages are the LineDedup hash-keyed
+    * shuffle shape (two bounded exchanges, distinct-line-width stats). The
+    * output feeds [[filterDocs]] — but MATERIALIZE it first (parquet, or
+    * `localCheckpoint` in-session): filterDocs derives its scoring spine
+    * and every dedup side frame independently from its input, so feeding
+    * it a live cleanPages plan re-runs the clean lineage once per side
+    * frame (the r4 lineage-recompute lesson; same reason the incremental
+    * family stores its kept corpus). Cleaning BEFORE near-dedup also
+    * matters semantically: shared boilerplate inflates Jaccard similarity,
+    * so uncleaned near-dedup drops pages whose actual content is disjoint
+    * (spec-locked in DocFilterSpec).
+    */
+  def cleanPages(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      c4: Quality.C4Config = Quality.C4Config(),
+      dedupKeepFirst: Boolean = true,
+      dedupDropAtOrAbove: Long = Long.MaxValue): DataFrame = {
+    val c4Cols = Quality.c4LineFilter(col(textCol), c4)
+    val filtered = docs.select(
+      col(idCol) +: c4Cols.map { case (n, c) => c.as(n) }: _*)
+    // dedupLines' own n_lines counts c4_text's lines (= n_kept_c4); the
+    // raw pre-c4 count comes from the c4 frame instead
+    LineDedup.dedupLines(filtered, idCol, "c4_text",
+      dedupKeepFirst, dedupDropAtOrAbove)
+      .select(col("id"), col("clean_text"), col("n_kept"))
+      .join(filtered.select(col(idCol).as("id"), col("n_lines"),
+        col("n_kept").as("n_kept_c4"), col("c4_keep")), Seq("id"))
+      .select(col("id").as(idCol), col("clean_text").as("text"),
+        col("n_lines"), col("n_kept_c4"), col("n_kept"),
+        (col("c4_keep") && col("n_kept") > 0).as("page_keep"))
+  }
 
   /** Filter a document corpus; `docs` must carry (`idCol`, `textCol`).
     * Returns (id, keep, drop_reason, lang, perplexity, contem_pii,

@@ -233,6 +233,50 @@ object Quality {
         frac(l => l.endsWith("...") || l.endsWith("…")))
   }
 
+  /** C4 page-cleaning thresholds (Raffel et al. 2020 §2.2, normative
+    * constants of this engine). C4's own values: lines must end in a
+    * terminal punctuation mark and contain ≥ 5 words; pages need ≥ 3
+    * (retained) sentences and must not mention "lorem ipsum" or contain a
+    * curly brace; lines with the word "javascript" are dropped.
+    */
+  final case class C4Config(
+      minLineWords: Int = 5,
+      minKeptLines: Int = 3)
+
+  /** C4 line-level cleaning over a newline-joined document. Line unit =
+    * trimmed non-empty line (same normative definition as [[lineMetrics]]
+    * and [[vigil.dedup.LineDedup]]). A line is KEPT iff it ends in
+    * terminal punctuation (`.` `!` `?` `"`), has ≥ `minLineWords`
+    * space-separated words, and does not contain the word "javascript"
+    * (case-insensitive substring, as C4 does). Emits:
+    *   - `c4_text`: kept lines rejoined with `\n` in original order;
+    *   - `n_lines` / `n_kept`: line counts before/after;
+    *   - `c4_keep`: page verdict — ≥ `minKeptLines` kept lines, no
+    *     "lorem ipsum" (case-insensitive) anywhere, no `{` anywhere.
+    * Pure narrow column algebra: NO exchange, per-doc arrays bounded by
+    * the document's own line count. The corpus-level companion (repeated
+    * lines dropped across documents) is [[vigil.dedup.LineDedup]]; run
+    * this first, then LineDedup over `c4_text`, to reproduce the C4
+    * clean→dedup order.
+    */
+  def c4LineFilter(text: Column, cfg: C4Config = C4Config())
+      : Seq[(String, Column)] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+      size(filter(split(l, " "), w => length(w) > 0)) >= cfg.minLineWords &&
+      !lower(l).contains("javascript"))
+    Seq(
+      "c4_text" -> array_join(kept, "\n"),
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept" -> size(kept).cast("long"),
+      "c4_keep" -> (size(kept) >= cfg.minKeptLines &&
+        !lower(text).contains("lorem ipsum") &&
+        !text.contains("{")))
+  }
+
   /** Doc-level repetition thresholds (normative constants of this engine,
     * Gopher-style; tuned so they discriminate — a rule that keeps or drops
     * everything on a realistic corpus verifies nothing).

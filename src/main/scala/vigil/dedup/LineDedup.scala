@@ -1,0 +1,152 @@
+package vigil.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level duplicate-LINE removal — the C4 / CCNet / RefinedWeb
+  * boilerplate-dedup step (Raffel et al. 2020 §2.2 dedups repeated spans
+  * corpus-wide; Wenzek et al. 2019 (CCNet) hash-dedups paragraphs; Penedo
+  * et al. 2023 (RefinedWeb) drops lines repeated across the dump). The
+  * reference engine has no counterpart (north-rule surface, like L1–L6):
+  * its unit is a single transcript turn; this operator exists for the
+  * multi-line web/assembled-conversation documents a pretraining corpus is
+  * made of.
+  *
+  * Unit of work: the trimmed non-empty LINE (split on `\n`), the same
+  * normative line definition as [[vigil.Quality.lineMetrics]]. Two
+  * composable policies:
+  *
+  *   - '''keepFirst''' — every distinct line keeps only its first
+  *     occurrence corpus-wide (first = lexicographic min of
+  *     `(id, line_idx)`); later copies are dropped. This is the C4-style
+  *     span dedup at line granularity.
+  *   - '''dropAtOrAbove''' — a line whose corpus occurrence count reaches
+  *     the threshold is dropped EVERYWHERE, including the first copy
+  *     (RefinedWeb-style boilerplate: nav menus, cookie banners, footers
+  *     are noise in every copy, not content in one).
+  *
+  * An occurrence survives iff `cnt < dropAtOrAbove && (!keepFirst ||
+  * (id, idx) == argmin)`. Document text is rebuilt from surviving lines in
+  * original order; every input doc appears in the output (docs whose lines
+  * are all dropped — or that had no non-empty lines — rebuild to `""`).
+  *
+  * Scale shape (100 TB): the aggregation keys on `xxhash64(line)` + line
+  * length, NOT the line text — the count and the argmin are both map-side
+  * combinable aggregates, so the wide shuffle carries one `(hash, len,
+  * cnt, argmin)` row per DISTINCT line, and the per-occurrence exchange
+  * carries `(hash, len, id, idx)` at ~28 bytes/line instead of the text.
+  * The line text itself crosses the wire only once, in the rebuild
+  * exchange keyed on the doc id (it must — the output contains it). Two
+  * distinct 64-bit-hashed lines colliding AND having equal length is the
+  * accepted 2⁻⁶⁴-scale risk, the same trade CCNet makes with paragraph
+  * hashes; `LineDedupSpec` locks this path bit-equal to a string-keyed
+  * normative twin on the test corpora. Heavy skew (one banner line with
+  * 10⁹ copies) is safe: both aggregates combine map-side, and the
+  * count join fans each occurrence to exactly one row.
+  *
+  * All derived frames re-read `df` directly (storage-scan lineage, the r4
+  * lesson — deriving one side from another re-runs it).
+  */
+object LineDedup {
+
+  /** Trimmed non-empty units of `textCol` as `(id, idx, line)`; `idx` is
+    * the 0-based position among the KEPT (non-empty) units, which is the
+    * rebuild order. Docs with no non-empty units emit no rows.
+    */
+  def lines(df: DataFrame, idCol: String, textCol: String,
+      unitize: Column => Column = trimmedLines): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(unitize(col(textCol))).as(Seq("idx", "line")))
+
+  /** The normative line array: split on \n, trim, drop empties (the same
+    * line definition as [[vigil.Quality.lineMetrics]] — space-trim only,
+    * locked by the q_line_dedup oracle).
+    */
+  def trimmedLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Paragraph units (the CCNet granularity): split on blank lines
+    * (`\n\s*\n` — two newlines with optional interior whitespace),
+    * whole-whitespace-trim each fragment (paragraphs at text boundaries
+    * can carry stray leading/trailing newlines that space-only trim would
+    * keep, making identical paragraphs hash apart), drop empties.
+    * Paragraph-internal single newlines are PART of the unit.
+    */
+  def paragraphs(text: Column): Column =
+    filter(transform(split(text, "\\n\\s*\\n"),
+      p => regexp_replace(p, "^\\s+|\\s+$", "")), p => length(p) > 0)
+
+  /** Corpus-dedup the lines of `textCol` (policies above). Output:
+    * `(id, clean_text, n_lines, n_kept)` — one row per input doc,
+    * `n_lines` = its non-empty line count, `n_kept` ≤ `n_lines` survivors,
+    * `clean_text` the survivors rejoined with `\n` in original order.
+    */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      keepFirst: Boolean = true,
+      dropAtOrAbove: Long = Long.MaxValue): DataFrame =
+    rebuild(df, idCol, textCol,
+      keyed(lines(df, idCol, textCol)), keepFirst, dropAtOrAbove)
+
+  /** [[dedupLines]] at CCNet's paragraph granularity: unit = blank-line-
+    * separated paragraph ([[paragraphs]]), rebuild joins survivors with a
+    * blank line. Same hash-keyed scale shape.
+    */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String,
+      keepFirst: Boolean = true,
+      dropAtOrAbove: Long = Long.MaxValue): DataFrame =
+    rebuild(df, idCol, textCol,
+      keyed(lines(df, idCol, textCol, paragraphs)), keepFirst,
+      dropAtOrAbove, unitize = paragraphs, joinSep = "\n\n")
+
+  /** String-keyed normative twin of [[dedupLines]] (groups on the line
+    * text itself — collision-free by construction, ~2× the shuffle
+    * width). The spec asserts bit-equality between the two on corpora with
+    * planted duplicates; production uses the hash-keyed path.
+    */
+  def dedupLinesByString(
+      df: DataFrame, idCol: String, textCol: String,
+      keepFirst: Boolean = true,
+      dropAtOrAbove: Long = Long.MaxValue,
+      unitize: Column => Column = trimmedLines,
+      joinSep: String = "\n"): DataFrame =
+    rebuild(df, idCol, textCol,
+      lines(df, idCol, textCol, unitize).withColumn("k", col("line")),
+      keepFirst, dropAtOrAbove, unitize, joinSep)
+
+  private def keyed(lines: DataFrame): DataFrame =
+    lines.withColumn("k",
+      struct(xxhash64(col("line")), length(col("line"))))
+
+  private def rebuild(
+      df: DataFrame, idCol: String, textCol: String, keyedLines: DataFrame,
+      keepFirst: Boolean, dropAtOrAbove: Long,
+      unitize: Column => Column = trimmedLines,
+      joinSep: String = "\n"): DataFrame = {
+    // one row per distinct line: occurrence count + first (id, idx); both
+    // aggregates combine map-side, so the banner-line skew case reduces
+    // before the exchange
+    val stats = keyedLines.groupBy("k").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("id"), col("idx"))).as("first"))
+    val kept = keyedLines.join(stats, "k")
+      .filter(col("cnt") < lit(dropAtOrAbove) &&
+        (if (keepFirst) struct(col("id"), col("idx")) === col("first")
+         else lit(true)))
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(joinSep, transform(
+        array_sort(collect_list(struct(col("idx"), col("line")))),
+        x => x.getField("line"))).as("clean_text"))
+    // per-doc totals are narrow from the storage scan (r4 lineage lesson);
+    // left join restores all-dropped and zero-line docs
+    df.select(col(idCol).as("id"),
+        size(unitize(col(textCol))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+}

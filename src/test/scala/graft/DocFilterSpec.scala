@@ -247,4 +247,55 @@ class DocFilterSpec extends AnyFunSuite {
     // and the batch verdict is non-trivial
     assert(inc.exists(_.contains("true")) && inc.exists(_.contains("false")))
   }
+
+  // three boilerplate lines that PASS the C4 line rules (≥5 words,
+  // terminal punctuation) — only corpus-level dedup can remove them
+  private val banner3 =
+    "Accept all cookies to continue reading.\n" +
+    "Subscribe to our newsletter for updates.\n" +
+    "All rights reserved by the publisher."
+
+  test("cleanPages: C4 line filter then corpus dedup, hand values") {
+    val docs = Seq(
+      (1L, banner3 + "\nInteresting unique content sentence number one."),
+      (2L, banner3 + "\nAnother interesting unique content sentence two."),
+      (3L, "no punct line here at all\nTiny."),
+      (4L, banner3) // all-boilerplate page
+    ).toDF("doc_id", "text")
+    val out = DocFilter.cleanPages(docs, dedupDropAtOrAbove = 2L)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out == Seq(
+      // banner lines occur 3× ≥ 2 → dropped everywhere; content survives
+      (1L, "Interesting unique content sentence number one.", 4L, 4L, 1L,
+        true),
+      (2L, "Another interesting unique content sentence two.", 4L, 4L, 1L,
+        true),
+      // no line passes C4 (<5 words / no terminal punct) → c4_keep false
+      (3L, "", 2L, 0L, 0L, false),
+      // passes the C4 page verdict (3 kept lines) but dedup removes all
+      // survivors → page_keep composes to false
+      (4L, "", 3L, 3L, 0L, false)))
+  }
+
+  test("cleanPages before near-dedup: boilerplate no longer inflates J") {
+    // 60 shared banner tokens vs 2 distinct content tokens per doc:
+    // word-set Jaccard 60/64 ≈ 0.94 ≥ 0.9 on RAW text, ~0 after cleaning
+    val banner = (0 until 6).map(k =>
+      ((k * 10 + 1) to (k * 10 + 9)).map(i => s"w$i").mkString(" ") +
+        s" w${k * 10 + 10}.").mkString("\n")
+    val docs = Seq(
+      (1L, banner + "\nalpha alpha alpha alpha alpha."),
+      (2L, banner + "\nbeta beta beta beta beta.")
+    ).toDF("doc_id", "text")
+    assert(vigil.dedup.Dedup.neardupVerified(docs, "text", "doc_id", 0.9)
+      .count() == 1, "raw pages must near-dup through shared boilerplate")
+    // materialize the cleaned frame before re-deriving from it (the
+    // cleanPages contract: downstream operators re-scan their input)
+    val cleaned = DocFilter.cleanPages(docs, dedupDropAtOrAbove = 2L)
+      .localCheckpoint(true)
+    assert(vigil.dedup.Dedup.neardupVerified(cleaned, "text", "doc_id", 0.9)
+      .count() == 0, "cleaned pages share no boilerplate to near-dup on")
+  }
 }

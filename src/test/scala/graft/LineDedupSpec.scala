@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Quality
+import vigil.dedup.LineDedup
+
+/** Corpus-level line dedup + C4 line filter: hand-computed semantics per
+  * policy, hash-keyed path ≡ string-keyed normative twin on the real
+  * fixture, idempotence, and the C4 rules one by one.
+  */
+class LineDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def hand: DataFrame = Seq(
+    (1L, "x\n y \nx"),   // y trimmed; x duplicated within doc
+    (2L, "y\nz"),        // y's first copy lives in doc 1
+    (3L, "   \n\n"),     // no non-empty lines
+    (4L, "x")            // third corpus copy of x
+  ).toDF("doc_id", "text")
+
+  private def rows(df: DataFrame): Seq[(Long, String, Long, Long)] =
+    df.orderBy("id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+  test("keepFirst drops later corpus-wide copies; rebuild keeps order") {
+    val out = rows(LineDedup.dedupLines(hand, "doc_id", "text"))
+    assert(out == Seq(
+      (1L, "x\ny", 3L, 2L),   // second x dropped
+      (2L, "z", 2L, 1L),      // y already seen in doc 1
+      (3L, "", 0L, 0L),
+      (4L, "", 1L, 0L)))      // x already seen in doc 1
+  }
+
+  test("dropAtOrAbove removes every copy, including the first") {
+    // x occurs 3×, y 2×, z 1× — threshold 3 nukes x everywhere
+    val out = rows(LineDedup.dedupLines(hand, "doc_id", "text",
+      keepFirst = false, dropAtOrAbove = 3L))
+    assert(out == Seq(
+      (1L, "y", 3L, 1L),
+      (2L, "y\nz", 2L, 2L),
+      (3L, "", 0L, 0L),
+      (4L, "", 1L, 0L)))
+  }
+
+  test("policies compose: threshold first, keep-first among survivors") {
+    val out = rows(LineDedup.dedupLines(hand, "doc_id", "text",
+      keepFirst = true, dropAtOrAbove = 3L))
+    assert(out == Seq(
+      (1L, "y", 3L, 1L),      // x gone (cnt 3), y kept (first copy)
+      (2L, "z", 2L, 1L),
+      (3L, "", 0L, 0L),
+      (4L, "", 1L, 0L)))
+  }
+
+  test("hash-keyed path ≡ string-keyed normative twin on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the fixture's doc texts are all distinct — plant cross-page
+    // boilerplate (25 banner copies) so every policy has work to do
+    val pages = docs.groupBy(pmod(col("doc_id"), lit(25)).as("gid"))
+      .agg(concat_ws("\n", sort_array(collect_list(
+        struct(col("doc_id"), col("text")))).getField("text")).as("t0"))
+      .select(col("gid"),
+        concat(lit("Accept all cookies to continue reading.\n"),
+          col("t0")).as("txt"))
+    for ((kf, thr) <- Seq((true, Long.MaxValue), (true, 4L), (false, 4L))) {
+      val a = rows(LineDedup.dedupLines(pages, "gid", "txt", kf, thr))
+      val b = rows(LineDedup.dedupLinesByString(pages, "gid", "txt", kf, thr))
+      assert(a == b, s"keepFirst=$kf dropAtOrAbove=$thr")
+      assert(a.map(_._4).sum < a.map(_._3).sum,
+        s"corpus must contain duplicates for keepFirst=$kf to verify anything")
+    }
+  }
+
+  test("keep-first dedup is idempotent") {
+    val once = LineDedup.dedupLines(hand, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("clean_text"))
+    val twice = rows(LineDedup.dedupLines(once, "doc_id", "clean_text"))
+    assert(twice.forall(r => r._3 == r._4), s"second pass dropped lines: $twice")
+  }
+
+  test("paragraph unit: internal newlines are part of the unit") {
+    val df = Seq(
+      // "a\nb" twice within doc 1; "c" once
+      (1L, "a\nb\n\na\nb\n\nc"),
+      // boundary whitespace trimmed off the unit: " a\nb " == "a\nb",
+      // so doc 2's copy is the corpus' third and keep-first drops it
+      (2L, "\n a\nb \n\nd")
+    ).toDF("doc_id", "text")
+    val out = rows(LineDedup.dedupParagraphs(df, "doc_id", "text"))
+    assert(out == Seq(
+      (1L, "a\nb\n\nc", 3L, 2L),
+      (2L, "d", 2L, 1L)))
+    // under the LINE unit the same corpus has different duplicates
+    // ("a" and "b" each repeat as lines) — the unit is semantic
+    val lineOut = rows(LineDedup.dedupLines(df, "doc_id", "text"))
+    assert(lineOut == Seq(
+      (1L, "a\nb\nc", 5L, 3L),
+      (2L, "d", 3L, 1L)))
+  }
+
+  test("paragraph hash path ≡ string-keyed twin") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pages = docs.groupBy(pmod(col("doc_id"), lit(25)).as("gid"))
+      .agg(concat_ws("\n\n", sort_array(collect_list(
+        struct(col("doc_id"), col("text")))).getField("text")).as("t0"))
+      .select(col("gid"),
+        concat(lit("Accept all cookies.\n\n"), col("t0")).as("txt"))
+    val a = rows(LineDedup.dedupParagraphs(pages, "gid", "txt"))
+    val b = rows(LineDedup.dedupLinesByString(pages, "gid", "txt",
+      unitize = LineDedup.paragraphs, joinSep = "\n\n"))
+    assert(a == b)
+    assert(a.map(_._4).sum < a.map(_._3).sum)
+  }
+
+  test("C4 line rules, one by one") {
+    val doc =
+      "This line has enough words and ends well.\n" +   // kept
+      "no terminal punctuation on this line here\n" +    // dropped: punct
+      "Too short.\n" +                                    // dropped: < 5 words
+      "This one mentions JavaScript and is dropped anyway.\n" + // dropped
+      "Is a five word question?\n" +                      // kept: '?'
+      "He said the quote ends \"here.\"\n" +              // kept: '"'
+      "   \n"                                             // not a line
+    val out = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(col("doc_id") +: Quality.c4LineFilter(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(out.getString(1) ==
+      "This line has enough words and ends well.\n" +
+      "Is a five word question?\n" +
+      "He said the quote ends \"here.\"")
+    assert(out.getLong(2) == 6L && out.getLong(3) == 3L)
+    assert(out.getBoolean(4)) // 3 kept lines, no lorem ipsum, no brace
+  }
+
+  test("C4 page verdicts: kept-line minimum, lorem ipsum, curly brace") {
+    val good = "One good line right here.\nSecond good line right here.\n" +
+      "Third good line right here."
+    val out = Seq(
+      (1L, good),
+      (2L, "Only two good lines here.\nSecond good line right here."),
+      (3L, good + "\nAnd lorem IPSUM appears somewhere."),
+      (4L, good + "\nvar f = function() { return; }")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id") +: Quality.c4LineFilter(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(out == Seq((1L, true), (2L, false), (3L, false), (4L, false)))
+  }
+}
