@@ -204,6 +204,43 @@ object SparkEntry {
           x => x.getField("line"))).as("txt"))
   }
 
+  /** Corpus/batch page split for the incremental line-dedup pair: the
+    * gopher pages plus planted boilerplate chosen so every incremental
+    * rule fires — the banner is on ALL 50 pages (corpus count 40 alone
+    * crosses the ≥4 threshold), "Related articles" is on gids 0/21/42
+    * (2 corpus + 1 batch: total 3 survives the threshold, corpus-presence
+    * keep-first drops the batch copy), "Share this story" is on batch
+    * gids 40/44/48 only (3 batch copies: survives the threshold,
+    * batch-internal keep-first keeps exactly gid 1040's). Pages gid < 40
+    * are the corpus; gid ≥ 40 become the batch at +1000 ids (corpus ids
+    * sort first — the incremental theorem's precondition).
+    */
+  private def lineDedupSlices(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pages = gopherPages(s, dir).select(col("gid"),
+      concat(
+        lit("Accept all cookies to continue reading.\n"), col("txt"),
+        when(pmod(col("gid"), lit(21)) === 0,
+          lit("\nRelated articles you may also like.")).otherwise(lit("")),
+        when(pmod(col("gid"), lit(4)) === 0 && col("gid") >= 40,
+          lit("\nShare this story with your friends.")).otherwise(lit("")))
+        .as("txt"))
+    (pages.filter(col("gid") < 40),
+      pages.filter(col("gid") >= 40)
+        .withColumn("gid", col("gid") + lit(1000)))
+  }
+  private def lineBase(dir: String) = s"${storedTableRoot(dir)}/lines"
+  private def buildLineTables(
+      s: SparkSession, dir: String, force: Boolean): String = {
+    val base = lineBase(dir)
+    ensureBuilt(base, Seq("stats"), force) {
+      val (corpus, _) = lineDedupSlices(s, dir)
+      vigil.dedup.LineDedup.computeLineStats(corpus, "gid", "txt")
+        .write.mode("overwrite").parquet(s"$base/stats")
+    }
+    base
+  }
+
   /** Deterministic C4-rule page corpus shared by q_c4_filter and
     * q_clean_pages: every C4 line rule keeps AND drops here — doc_id%3
     * kills terminal punctuation (" etc"), %5 plants the javascript word,
@@ -793,6 +830,23 @@ object SparkEntry {
         keepFirst = true, dropAtOrAbove = 4L)
         .orderBy("id")
     }),
+    // --- incremental line dedup (oracle-paired): a NEW batch of pages
+    //     deduped against the STORED corpus line-stats table (real
+    //     parquet write+read; build/serve split as in the other
+    //     incremental families). Oracle = the batch slice of a full
+    //     corpus∪batch dedup in DuckDB — the equivalence theorem the
+    //     spec asserts, exercised end-to-end ----------------------------
+    "q_line_dedup_build" -> ((s, dir) => {
+      builtSummary(s, buildLineTables(s, dir, force = true), Seq("stats"))
+    }),
+    "q_line_dedup_incremental" -> ((s, dir) => {
+      val base = buildLineTables(s, dir, force = false)
+      val (_, batch) = lineDedupSlices(s, dir)
+      vigil.dedup.LineDedup.dedupLinesIncremental(
+        s.read.parquet(s"$base/stats"), batch, "gid", "txt",
+        keepFirst = true, dropAtOrAbove = 4L)
+        .orderBy("id")
+    }),
     // --- C4 line filter (oracle-paired): terminal punctuation + ≥5 words
     //     + javascript-line drop, page verdict on kept-line minimum /
     //     lorem ipsum / curly brace — every rule planted deterministically
@@ -1343,6 +1397,67 @@ object SparkEntry {
          SELECT t.gid AS id, coalesce(r.clean_text, '') AS clean_text,
            t.n_lines, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
          FROM tot t LEFT JOIN reb r ON t.gid = r.gid
+         ORDER BY id""",
+    // incremental line dedup: the DuckDB twin runs the FULL corpus∪batch
+    // dedup (corpus = pages gid<40, batch = gid>=40 at +1000 ids, so
+    // corpus occurrences win every keep-first argmin) and slices the
+    // batch rows — the equivalence theorem the Spark incremental path is
+    // spec-locked to
+    "q_line_dedup_incremental" ->
+      """WITH l0 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '- ' || text ELSE text END AS l1
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN l1 || '...' ELSE l1 END AS line
+           FROM l0),
+         c AS (
+           SELECT doc_id, line,
+             unnest(CASE WHEN doc_id % 7 = 0 THEN [0, 1] ELSE [0] END)
+               AS copy
+           FROM l),
+         g0 AS (
+           SELECT doc_id % 50 AS gid,
+             string_agg(line, chr(10) ORDER BY doc_id, copy) AS txt
+           FROM c GROUP BY 1),
+         g1 AS (
+           SELECT gid,
+             'Accept all cookies to continue reading.' || chr(10) || txt ||
+             CASE WHEN gid % 21 = 0
+               THEN chr(10) || 'Related articles you may also like.'
+               ELSE '' END ||
+             CASE WHEN gid % 4 = 0 AND gid >= 40
+               THEN chr(10) || 'Share this story with your friends.'
+               ELSE '' END AS txt
+           FROM g0),
+         g AS (
+           SELECT CASE WHEN gid < 40 THEN gid ELSE gid + 1000 END AS gid,
+             txt
+           FROM g1),
+         lw AS (
+           SELECT gid,
+             list_filter(list_transform(string_split(txt, chr(10)),
+               x -> trim(x)), x -> len(x) > 0) AS ls
+           FROM g),
+         ln AS (
+           SELECT gid, i - 1 AS idx, ls[i] AS line
+           FROM lw, unnest(range(1, len(ls) + 1)) t(i)),
+         mk AS (
+           SELECT gid, idx, line,
+             count(*) OVER (PARTITION BY line) AS cnt,
+             row_number() OVER (PARTITION BY line ORDER BY gid, idx) AS rn
+           FROM ln),
+         reb AS (
+           SELECT gid, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS clean_text
+           FROM mk WHERE cnt < 4 AND rn = 1 GROUP BY gid),
+         tot AS (
+           SELECT gid, CAST(len(ls) AS BIGINT) AS n_lines FROM lw)
+         SELECT t.gid AS id, coalesce(r.clean_text, '') AS clean_text,
+           t.n_lines, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         FROM tot t LEFT JOIN reb r ON t.gid = r.gid
+         WHERE t.gid >= 1000
          ORDER BY id""",
     // C4 line filter over a planted page corpus: same line unit, kept iff
     // terminal punct + >=5 words + no 'javascript'; page verdict needs >=3

@@ -119,6 +119,56 @@ object LineDedup {
     lines.withColumn("k",
       struct(xxhash64(col("line")), length(col("line"))))
 
+  /** Per-distinct-line occurrence counts of a corpus — the STORED table of
+    * the incremental path: `(k, cnt)`, one row per distinct line, keyed
+    * exactly as [[dedupLines]] bands its shuffle (`(xxhash64(line),
+    * length(line))`). Line width, not text width; a daily ingest appends
+    * by unioning with the batch's stats and re-aggregating
+    * (`groupBy(k).agg(sum(cnt))`).
+    */
+  def computeLineStats(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keyed(lines(df, idCol, textCol))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+
+  /** The recurring-ingest shape: dedup the lines of a NEW batch against a
+    * STORED kept-corpus line-stats table ([[computeLineStats]]), without
+    * touching corpus text. Semantics = the batch slice of [[dedupLines]]
+    * over corpus ∪ batch when corpus ids sort below batch ids (the ingest
+    * reality; spec-asserted): a batch occurrence survives iff
+    * `corpus_cnt + batch_cnt < dropAtOrAbove` AND (when `keepFirst`) the
+    * line is absent from the corpus and this is the batch's first copy.
+    * Corpus documents are canonical — already served, never rewritten —
+    * so a line that only NOW crosses the threshold disappears from batch
+    * docs while surviving in previously-ingested ones, the same
+    * corpus-canonical trade every incremental family here makes.
+    * Exchanges carry `(k, id, idx)` plus the stored stats' `(k, cnt)` —
+    * batch-sized, never corpus-text-sized.
+    */
+  def dedupLinesIncremental(
+      corpusStats: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      keepFirst: Boolean = true,
+      dropAtOrAbove: Long = Long.MaxValue): DataFrame = {
+    val bl = keyed(lines(batch, idCol, textCol))
+    val bstats = keyed(lines(batch, idCol, textCol))
+      .groupBy("k").agg(
+        count(lit(1)).as("__bcnt"),
+        min(struct(col("id"), col("idx"))).as("__bfirst"))
+    val kept = bl
+      .join(bstats, "k")
+      .join(corpusStats.select(col("k"), col("cnt").as("__ccnt")),
+        Seq("k"), "left")
+      .filter(
+        (coalesce(col("__ccnt"), lit(0L)) + col("__bcnt")) <
+          lit(dropAtOrAbove) &&
+        (if (keepFirst)
+          col("__ccnt").isNull &&
+            struct(col("id"), col("idx")) === col("__bfirst")
+         else lit(true)))
+    assemble(batch, idCol, textCol, kept, trimmedLines, "\n")
+  }
+
   private def rebuild(
       df: DataFrame, idCol: String, textCol: String, keyedLines: DataFrame,
       keepFirst: Boolean, dropAtOrAbove: Long,
@@ -134,13 +184,22 @@ object LineDedup {
       .filter(col("cnt") < lit(dropAtOrAbove) &&
         (if (keepFirst) struct(col("id"), col("idx")) === col("first")
          else lit(true)))
+    assemble(df, idCol, textCol, kept, unitize, joinSep)
+  }
+
+  /** Rebuild doc text from surviving `(id, idx, line)` occurrences:
+    * survivors rejoined with `joinSep` in `idx` order, per-doc totals
+    * re-derived narrow from the storage scan (r4 lineage lesson), left
+    * join restoring all-dropped and zero-line docs.
+    */
+  private def assemble(
+      df: DataFrame, idCol: String, textCol: String, kept: DataFrame,
+      unitize: Column => Column, joinSep: String): DataFrame = {
     val rebuilt = kept.groupBy("id").agg(
       count(lit(1)).as("n_kept"),
       concat_ws(joinSep, transform(
         array_sort(collect_list(struct(col("idx"), col("line")))),
         x => x.getField("line"))).as("clean_text"))
-    // per-doc totals are narrow from the storage scan (r4 lineage lesson);
-    // left join restores all-dropped and zero-line docs
     df.select(col(idCol).as("id"),
         size(unitize(col(textCol))).cast("long").as("n_lines"))
       .join(rebuilt, Seq("id"), "left")

@@ -121,6 +121,35 @@ class LineDedupSpec extends AnyFunSuite {
     assert(a.map(_._4).sum < a.map(_._3).sum)
   }
 
+  test("incremental ≡ batch slice of full dedup over corpus ∪ batch") {
+    // x: 2 corpus + 2 batch copies (crosses thr=4 only jointly); y: in
+    // corpus AND batch (keep-first kills the batch copy); q: batch-only
+    // dup (keep-first keeps the batch's first); w: unique
+    val corpus = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
+    val batch = Seq((1000L, "x\ny\nq\nq"), (1001L, "x\nw"))
+      .toDF("doc_id", "text")
+    // stored-table mirror: stats round-trip through parquet
+    val statsPath = java.nio.file.Files
+      .createTempDirectory("linestats").toString + "/stats"
+    LineDedup.computeLineStats(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(statsPath)
+    val stats = spark.read.parquet(statsPath)
+    for ((kf, thr) <- Seq((true, Long.MaxValue), (true, 4L), (false, 3L))) {
+      val full = rows(LineDedup.dedupLines(
+        corpus.unionByName(batch), "doc_id", "text", kf, thr)
+        .filter(col("id") >= 1000L))
+      val inc = rows(LineDedup.dedupLinesIncremental(
+        stats, batch, "doc_id", "text", kf, thr))
+      assert(inc == full, s"keepFirst=$kf dropAtOrAbove=$thr")
+    }
+    // spot-check the joint-threshold case by hand: thr=4 kills x via
+    // corpus(2)+batch(2); y dies to corpus keep-first; q keeps its first
+    val inc4 = rows(LineDedup.dedupLinesIncremental(
+      stats, batch, "doc_id", "text", keepFirst = true,
+      dropAtOrAbove = 4L))
+    assert(inc4 == Seq((1000L, "q", 4L, 1L), (1001L, "w", 2L, 1L)))
+  }
+
   test("C4 line rules, one by one") {
     val doc =
       "This line has enough words and ends well.\n" +   // kept
