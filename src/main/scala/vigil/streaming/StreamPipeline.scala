@@ -397,6 +397,63 @@ object StreamPipeline {
       } finally fresh.unpersist()
     }
 
+  /** EXACT streaming line dedup — the line-dedup family's micro-batch
+    * face, same contract shape as [[neardupStreamExact]]: each batch is
+    * deduped against the stored corpus line-stats table with the BATCH
+    * semantics ([[vigil.dedup.LineDedup.dedupLinesIncremental]] — joint
+    * occurrence threshold, corpus-presence keep-first), so after n
+    * batches the emitted outputs equal the per-batch slices of one big
+    * [[vigil.dedup.LineDedup.dedupLines]] over everything seen, in
+    * arrival order (ids must sort by arrival — the ingest reality;
+    * spec-asserted).
+    *
+    * Stored state (`storedBase`): `docs` = the deduped outputs (also the
+    * replay guard — a re-posted id emits nothing); `linestats` = RAW
+    * per-batch line stats, appended per batch and re-aggregated on read
+    * (`groupBy(k).sum(cnt)`) — RAW, not post-dedup, because the threshold
+    * counts corpus OCCURRENCES: storing only survivors would zero a
+    * threshold-dropped banner's count and let later batches keep it.
+    * The stats table grows one row per batch per distinct line; compact
+    * it offline (same re-aggregation) when fragment count matters.
+    * Batch results are `localCheckpoint`ed BEFORE the appends (the
+    * path-cache refresh trap — see [[neardupStreamExact]]).
+    */
+  def lineDedupStreamExact(
+      docs: DataFrame, idCol: String, textCol: String,
+      storedBase: String,
+      keepFirst: Boolean = true,
+      dropAtOrAbove: Long = Long.MaxValue)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      import vigil.dedup.LineDedup
+      val spark = batch.sparkSession
+      val docsPath = s"$storedBase/docs"
+      val statsPath = s"$storedBase/linestats"
+      val have = new java.io.File(s"$docsPath/_SUCCESS").exists()
+      val fresh = (if (have)
+        batch.select(col(idCol), col(textCol))
+          .join(spark.read.parquet(docsPath).select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+      else batch.select(col(idCol), col(textCol))).persist()
+      try {
+        if (fresh.count() > 0) {
+          val stats = (if (have)
+            spark.read.parquet(statsPath)
+              .groupBy("k").agg(sum(col("cnt")).as("cnt"))
+          else LineDedup.computeLineStats(fresh.limit(0), idCol, textCol))
+          val out = LineDedup.dedupLinesIncremental(
+            stats, fresh, idCol, textCol, keepFirst, dropAtOrAbove)
+            .localCheckpoint(true)
+          val freshStats = LineDedup.computeLineStats(fresh, idCol, textCol)
+            .localCheckpoint(true)
+          out.write.mode("append").parquet(docsPath)
+          freshStats.write.mode("append").parquet(statsPath)
+          emit(out, batchId)
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).
     */

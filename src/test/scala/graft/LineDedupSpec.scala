@@ -150,6 +150,57 @@ class LineDedupSpec extends AnyFunSuite {
     assert(inc4 == Seq((1000L, "q", 4L, 1L), (1001L, "w", 2L, 1L)))
   }
 
+  test("streaming exact face: per-batch outputs = arrival-order slices") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("vigil_lds_src").toString
+    val base = Files.createTempDirectory("vigil_lds_store").toString
+    val batches = Seq(
+      Seq((1L, "x\ny"), (2L, "x\nz")),
+      Seq((3L, "x\nw"), (4L, "y\nw")),
+      Seq((3L, "x\nw"), (4L, "y\nw")), // full replay — must emit nothing
+      Seq((5L, "x")))                  // x crosses thr=4 via RAW history
+    val emitted = scala.collection.mutable.Map[Long, Seq[(Long, String,
+      Long, Long)]]()
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    write(batches.head)
+    val stream = spark.readStream
+      .schema(batches.head.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = vigil.streaming.StreamPipeline.lineDedupStreamExact(
+      stream, "doc_id", "text", base,
+      keepFirst = true, dropAtOrAbove = 4L)(
+      (out, bid) => emitted.synchronized { emitted(bid) = rows(out) })
+      .start()
+    q.processAllAvailable()
+    batches.tail.foreach { b => write(b); q.processAllAvailable() }
+    q.stop()
+    // hand expectations: b2's x survives the threshold (2+1 < 4) but dies
+    // to corpus keep-first; w is batch-internal keep-first; b3 replay is
+    // id-suppressed; b4's x dies to the JOINT threshold — 3 RAW prior
+    // occurrences (incl. b2's own dropped copy) + 1 = 4
+    val got = emitted.toSeq.sortBy(_._1).map(_._2)
+    assert(got == Seq(
+      Seq((1L, "x\ny", 2L, 2L), (2L, "z", 2L, 1L)),
+      Seq((3L, "w", 2L, 1L), (4L, "", 2L, 0L)),
+      Seq((5L, "", 1L, 0L))))
+    // ...and each equals the arrival-order slice of one big batch dedup
+    val seen = Seq(batches(0), batches(1), batches(3))
+    for (k <- seen.indices) {
+      val cum = seen.take(k + 1).flatten.toDF("doc_id", "text")
+      val ids = seen(k).map(_._1)
+      val slice = rows(LineDedup.dedupLines(cum, "doc_id", "text",
+        keepFirst = true, dropAtOrAbove = 4L)
+        .filter(col("id").isin(ids: _*)))
+      assert(got(k) == slice, s"batch $k vs cumulative slice")
+    }
+    // stored docs table carries exactly the emitted ids, once each
+    val stored = spark.read.parquet(s"$base/docs")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(stored == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("C4 line rules, one by one") {
     val doc =
       "This line has enough words and ends well.\n" +   // kept
