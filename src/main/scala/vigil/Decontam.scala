@@ -75,17 +75,17 @@ object Decontam {
         s"benchmark gram set exceeds maxBroadcastGrams=$maxBroadcastGrams" +
           " — use broadcastBench = false (explode + broadcast semi-join)" +
           " or raise the bound")
-      val bc = docs.sparkSession.sparkContext.broadcast(grams.toSet)
-      val cnt = udf((gs: Seq[String]) => {
-        val set = bc.value
-        var c = 0L
-        val it = gs.iterator
-        while (it.hasNext) if (set.contains(it.next())) c += 1
-        c
-      })
+      val set = new java.util.HashSet[String](grams.length * 2)
+      grams.foreach(set.add)
+      val bc = docs.sparkSession.sparkContext.broadcast(set)
+      // fused flat-loop scan (GramOverlapCountExpr): the column algebra
+      // (gramsCol + membership count) pays the per-gram HOF interpreter
+      // re-entry; the expr is spec-locked bit-equal to the join path.
+      // Lowercasing stays in column space for tokenization parity.
       docs
         .select(col(idCol),
-          cnt(gramsCol(col(textCol), n)).as("n_contaminated"))
+          vigil.functions.gram_overlap_count(lower(col(textCol)), n, bc)
+            .as("n_contaminated"))
         .withColumn("contaminated", col("n_contaminated") > 0)
     } else {
       val docGrams = docs.select(col(idCol),

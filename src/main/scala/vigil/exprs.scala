@@ -639,6 +639,62 @@ case class VectorSumAgg(
       cs: IndexedSeq[Expression]): VectorSumAgg = copy(child = cs.head)
 }
 
+/** Flat-loop twin of [[Decontam]]'s normative gram-overlap column algebra
+  * (`gramsCol` + distinct-matched count): one pass over the ALREADY
+  * LOWERCASED text (lowercasing stays in column space — `lower()` — so
+  * tokenization parity with `split(lower(text), " ")` is byte-exact),
+  * split on single spaces, slide the n-window building each gram once in
+  * a reused StringBuilder, count grams present in the broadcast benchmark
+  * set — de-duplicated with a matched-grams-only HashSet, so memory is
+  * bounded by the doc's MATCHES, not its gram count. Exists because the
+  * column formulation pays the per-element HOF interpreter re-entry for
+  * every gram (`transform(sequence…, slice+concat_ws)` — the r3 lesson);
+  * DecontamSpec locks this path bit-equal to the explode+semi-join
+  * formulation, which stays the normative spec.
+  */
+case class GramOverlapCountExpr(
+    child: Expression, n: Int,
+    bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "gram_overlap_count"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val words = text.split(" ").filter(_.nonEmpty)
+    val total = words.length - n + 1
+    if (total <= 0) 0L
+    else {
+      val set = bench.value
+      var c = 0L
+      var seen: java.util.HashSet[String] = null
+      val sb = new java.lang.StringBuilder(64)
+      var g = 0
+      while (g < total) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(g + k))
+          k += 1
+        }
+        val gram = sb.toString
+        if (set.contains(gram)) {
+          if (seen == null) seen = new java.util.HashSet[String]()
+          if (seen.add(gram)) c += 1L
+        }
+        g += 1
+      }
+      c
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): GramOverlapCountExpr =
+    copy(child = c)
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -659,4 +715,8 @@ object functions {
   def vector_sum(v: Column, dim: Int): Column =
     VigilShim.column(VectorSumAgg(expr(v.cast("array<double>")), dim)
       .toAggregateExpression())
+  def gram_overlap_count(loweredText: Column, n: Int,
+      bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
+      : Column =
+    VigilShim.column(GramOverlapCountExpr(expr(loweredText), n, bench))
 }
