@@ -888,6 +888,18 @@ object SparkEntry {
       vigil.Decontam.flag(d, "doc_id", "text", bench, 3)
         .orderBy("doc_id")
     }),
+    // --- contaminated-span scrub (oracle-paired): the GPT-3-style
+    //     removal variant over the same planted benchmark — every word
+    //     covered by a matching trigram window removed, original case
+    //     preserved around the cut; benchmark members scrub to empty,
+    //     template cousins lose only the shared spans ------------------
+    "q_decontam_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = vigil.Decontam.gramSet(
+        d.filter(pmod(col("doc_id"), lit(29)) === 0), "text", 3)
+      vigil.Decontam.scrub(d, "doc_id", "text", bench, 3)
+        .orderBy("doc_id")
+    }),
     // --- composed C4/Gopher corpus filter (engine-native, rows-only):
     //     one narrow fused scoring spine + repetition + toxicity + exact
     //     and LSH-verified near-dedup, first-failing-rule drop reasons.
@@ -1599,6 +1611,50 @@ object SparkEntry {
            CAST(coalesce(cnt.n_contaminated, 0) AS BIGINT) AS n_contaminated,
            coalesce(cnt.n_contaminated, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+         ORDER BY d.doc_id""",
+    // contaminated-span scrub: a word (1-based idx) is removed iff some
+    // matching trigram window starts in [idx-2, idx]; rebuild preserves
+    // original case and order, matching runs on the lowercased twin
+    "q_decontam_scrub" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> len(x) > 0) AS ows,
+             list_filter(string_split(lower(text), ' '),
+               x -> len(x) > 0) AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+             THEN (SELECT list(array_to_string(ws[i:i+2], ' '))
+                   FROM unnest(range(1, len(ws)-1)) t(i))
+             ELSE [] END) AS gs
+           FROM w),
+         bench AS (
+           SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 29 = 0),
+         starts AS (
+           SELECT w.doc_id, i AS s
+           FROM w, unnest(range(1, len(ws) - 1)) t(i)
+           WHERE array_to_string(ws[i:i+2], ' ') IN
+             (SELECT gram FROM bench)),
+         sl AS (
+           SELECT doc_id, list(s) AS ss FROM starts GROUP BY doc_id),
+         occ AS (
+           SELECT w.doc_id, idx, ows[idx] AS word,
+             len(list_filter(coalesce(sl.ss, []),
+               s -> s <= idx AND idx < s + 3)) > 0 AS dropped
+           FROM w LEFT JOIN sl ON w.doc_id = sl.doc_id,
+             unnest(range(1, len(ows) + 1)) t(idx)),
+         reb AS (
+           SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT dropped THEN word END,
+               ' ' ORDER BY idx), '') AS clean_text,
+             sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_removed,
+             count(*) AS n_words
+           FROM occ GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           CAST(coalesce(r.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(r.n_removed, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
          ORDER BY d.doc_id""",
     // NOTE (shared convention with q_clean_text / all clean-based oracles):
     // DuckDB cannot do NFKC or control-char stripping, so the oracle's

@@ -55,6 +55,40 @@ object Decontam {
       .select(explode(gramsCol(col(textCol), n)).as("gram"))
       .distinct()
 
+  /** Scrub contaminated SPANS instead of flagging whole documents — the
+    * GPT-3-style removal (Brown et al. 2020 §C cut text around benchmark
+    * collisions; this engine's normative rule: every word covered by any
+    * matching n-gram window is removed, survivors rejoined with single
+    * spaces — whitespace-normalizing, like the PII scrubber's clean
+    * path). Returns one row per doc: (idCol, clean_text, n_words,
+    * n_removed: long, contaminated = n_removed > 0). Matching tokenizes
+    * exactly like [[flag]] (lowercase in column space, single-space
+    * split); removal applies to the ORIGINAL-case words. One narrow
+    * broadcast pass ([[GramScrubExpr]]), zero exchanges — the same 100 TB
+    * shape as the broadcast flag path.
+    */
+  def scrub(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchGrams: DataFrame, n: Int,
+      maxBroadcastGrams: Int = 2000000): DataFrame = {
+    val grams = benchGrams.select(col("gram"))
+      .limit(maxBroadcastGrams + 1)
+      .collect().map(_.getString(0))
+    require(grams.length <= maxBroadcastGrams,
+      s"benchmark gram set exceeds maxBroadcastGrams=$maxBroadcastGrams")
+    val set = new java.util.HashSet[String](grams.length * 2)
+    grams.foreach(set.add)
+    val bc = docs.sparkSession.sparkContext.broadcast(set)
+    docs
+      .select(col(idCol),
+        vigil.functions.gram_scrub(col(textCol), n, bc).as("__s"))
+      .select(col(idCol),
+        col("__s.clean_text").as("clean_text"),
+        col("__s.n_words").as("n_words"),
+        col("__s.n_removed").as("n_removed"))
+      .withColumn("contaminated", col("n_removed") > 0)
+  }
+
   /** Flag `docs` against a [[gramSet]] frame (`benchGrams`: one `gram`
     * column). Returns one row per doc: (idCol, n_contaminated: long,
     * contaminated: boolean).

@@ -1,8 +1,9 @@
 package vigil
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lower
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -695,6 +696,83 @@ case class GramOverlapCountExpr(
     copy(child = c)
 }
 
+/** Contaminated-span scrub — the GPT-3-style decontamination variant
+  * (Brown et al. 2020 §C remove text around benchmark collisions instead
+  * of dropping documents): every word covered by ANY benchmark-matching
+  * n-gram window is removed, the survivors are rejoined with single
+  * spaces. Matching runs over the LOWERCASED text (right child — kept in
+  * column space as `lower(text)` for parity with the benchmark gram set),
+  * removal over the ORIGINAL words (left child): no lowercase mapping
+  * adds or removes U+0020, so the two space-split word sequences index
+  * identically even where a mapping changes a word's length. Emits
+  * (clean_text, n_words, n_removed). Flat loop, one pass, same
+  * HOF-avoidance rationale as [[GramOverlapCountExpr]].
+  */
+case class GramScrubExpr(
+    left: Expression, right: Expression, n: Int,
+    bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
+    extends BinaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = GramScrubExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "gram_scrub"
+
+  override def eval(input: InternalRow): Any = {
+    val lv = left.eval(input)
+    val rv = right.eval(input)
+    val text = if (lv == null) "" else lv.asInstanceOf[UTF8String].toString
+    val low = if (rv == null) "" else rv.asInstanceOf[UTF8String].toString
+    val words = text.split(" ").filter(_.nonEmpty)
+    val lws = low.split(" ").filter(_.nonEmpty)
+    val nw = math.min(words.length, lws.length) // equal by construction
+    val drop = new Array[Boolean](nw)
+    val total = nw - n + 1
+    if (total > 0) {
+      val set = bench.value
+      val sb = new java.lang.StringBuilder(64)
+      var g = 0
+      while (g < total) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(lws(g + k))
+          k += 1
+        }
+        if (set.contains(sb.toString)) {
+          var k2 = 0
+          while (k2 < n) { drop(g + k2) = true; k2 += 1 }
+        }
+        g += 1
+      }
+    }
+    val out = new java.lang.StringBuilder(text.length)
+    var removed = 0L
+    var i = 0
+    var first = true
+    while (i < nw) {
+      if (drop(i)) removed += 1L
+      else {
+        if (!first) out.append(' ')
+        out.append(words(i))
+        first = false
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out.toString), nw.toLong, removed))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GramScrubExpr = copy(left = l, right = r)
+}
+
+object GramScrubExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -719,4 +797,8 @@ object functions {
       bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
       : Column =
     VigilShim.column(GramOverlapCountExpr(expr(loweredText), n, bench))
+  def gram_scrub(text: Column, n: Int,
+      bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
+      : Column =
+    VigilShim.column(GramScrubExpr(expr(text), expr(lower(text)), n, bench))
 }

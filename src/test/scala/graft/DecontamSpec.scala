@@ -69,6 +69,45 @@ class DecontamSpec extends AnyFunSuite {
       "contamination flag is constant on non-members — not discriminating")
   }
 
+  test("span scrub: hand values, case preservation, flag consistency") {
+    val bench = Decontam.gramSet(Seq((0L, "a b c d")).toDF("doc_id", "text"),
+      "text", 3) // grams: "a b c", "b c d"
+    val docs = Seq(
+      // windows 1-3 ("a b c") and 2-4 ("b c d") match → words 1-4 removed
+      (1L, "x a b c d y"),
+      // case-folds for MATCHING but the original case survives around the
+      // removed span
+      (2L, "Keep A B C D Keep"),
+      (3L, "nothing matches here at all"),
+      (4L, "a b"),            // <3 words → nothing to match
+      (5L, "a b c")           // whole doc is one matched gram → empty
+    ).toDF("doc_id", "text")
+    val out = Decontam.scrub(docs, "doc_id", "text", bench, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "x y", 6L, 4L, true),
+      (2L, "Keep Keep", 6L, 4L, true),
+      (3L, "nothing matches here at all", 5L, 0L, false),
+      (4L, "a b", 2L, 0L, false),
+      (5L, "", 3L, 3L, true)))
+    // scrub and flag agree on contamination over the real fixture
+    val fdocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val fbench = Decontam.gramSet(
+      fdocs.filter(pmod(col("doc_id"), lit(29)) === 0), "text", 3)
+    val f = Decontam.flag(fdocs, "doc_id", "text", fbench, 3)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val s = Decontam.scrub(fdocs, "doc_id", "text", fbench, 3)
+      .select("doc_id", "contaminated", "n_removed").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    s.foreach { case (id, c, rm) =>
+      assert(c == f(id) && c == (rm > 0), s"doc $id: flag=${f(id)} scrub=$c")
+    }
+    assert(s.exists(_._2) && s.exists(!_._2), "scrub must discriminate")
+  }
+
   test("broadcast bound violation fails loudly, not silently") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bench = Decontam.gramSet(
