@@ -241,6 +241,29 @@ object SparkEntry {
     base
   }
 
+  /** span-dedup (ExactSubstr) family: every 3rd doc is the new batch, the
+    * rest the corpus whose window stats are the stored table. The slices
+    * partition `documents`, so the incremental theorem's corpus∪batch IS
+    * the whole table — the oracle runs the full dup detection and slices
+    * the batch.
+    */
+  private def spanSlices(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(s, dir).select("doc_id", "text")
+    (d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(3)) === 0))
+  }
+  private def spanBase(dir: String) = s"${storedTableRoot(dir)}/spans"
+  private def buildSpanTables(
+      s: SparkSession, dir: String, force: Boolean): String = {
+    val base = spanBase(dir)
+    ensureBuilt(base, Seq("stats"), force) {
+      val (corpus, _) = spanSlices(s, dir)
+      vigil.dedup.SpanDedup.computeSpanStats(corpus, "doc_id", "text", L = 50)
+        .write.mode("overwrite").parquet(s"$base/stats")
+    }
+    base
+  }
+
   /** Deterministic C4-rule page corpus shared by q_c4_filter and
     * q_clean_pages: every C4 line rule keeps AND drops here — doc_id%3
     * kills terminal punctuation (" etc"), %5 plants the javascript word,
@@ -845,6 +868,34 @@ object SparkEntry {
       vigil.dedup.LineDedup.dedupLinesIncremental(
         s.read.parquet(s"$base/stats"), batch, "gid", "txt",
         keepFirst = true, dropAtOrAbove = 4L)
+        .orderBy("id")
+    }),
+    // --- ExactSubstr repeated-span scrub (oracle-paired): every code
+    //     point covered by a 50-codepoint window occurring ≥2× corpus-wide
+    //     is cut from every occurrence (Lee et al. 2021 suffix-array dedup
+    //     semantics). The fixture's template cousins share long verbatim
+    //     sentence spans → ~10% of docs lose spans, most survive partial —
+    //     the flag, the counts and the splice all discriminate ----------
+    "q_substr_dedup" -> ((s, dir) => {
+      vigil.dedup.SpanDedup.scrubRepeatedSpans(
+        docs(s, dir).select("doc_id", "text"), "doc_id", "text",
+        L = 50, minCount = 2L)
+        .orderBy("id")
+    }),
+    // --- incremental span scrub (oracle-paired): a NEW batch scrubbed
+    //     against the STORED corpus window-stats table (real parquet
+    //     write+read; build/serve split as in the other incremental
+    //     families). Oracle = the batch slice of the full-table scrub —
+    //     exact because removal has no keep-first (spec-asserted) -------
+    "q_substr_build" -> ((s, dir) => {
+      builtSummary(s, buildSpanTables(s, dir, force = true), Seq("stats"))
+    }),
+    "q_substr_incremental" -> ((s, dir) => {
+      val base = buildSpanTables(s, dir, force = false)
+      val (_, batch) = spanSlices(s, dir)
+      vigil.dedup.SpanDedup.scrubRepeatedSpansIncremental(
+        s.read.parquet(s"$base/stats"), batch, "doc_id", "text",
+        L = 50, minCount = 2L)
         .orderBy("id")
     }),
     // --- C4 line filter (oracle-paired): terminal punctuation + ≥5 words
@@ -1470,6 +1521,77 @@ object SparkEntry {
            t.n_lines, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
          FROM tot t LEFT JOIN reb r ON t.gid = r.gid
          WHERE t.gid >= 1000
+         ORDER BY id""",
+    // ExactSubstr repeated-span scrub: a code point (1-based idx) is cut
+    // iff some corpus-duplicated 50-char window starts in [idx-49, idx];
+    // rebuild concatenates survivors in order (Spark splices 0-based code
+    // point positions — same coverage)
+    "q_substr_dedup" ->
+      """WITH w AS (
+           SELECT doc_id, i, substr(text, i, 50) AS s
+           FROM documents, unnest(range(1, len(text) - 48)) t(i)
+           WHERE len(text) >= 50),
+         dup AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+         st AS (
+           SELECT doc_id, list(i) AS ss, count(*) AS nd
+           FROM w WHERE s IN (SELECT s FROM dup) GROUP BY doc_id),
+         ch AS (
+           SELECT d.doc_id, idx, substr(d.text, idx, 1) AS c,
+             len(list_filter(coalesce(st.ss, []),
+               s -> s <= idx AND idx < s + 50)) > 0 AS cov
+           FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id,
+             unnest(range(1, len(d.text) + 1)) t(idx)),
+         reb AS (
+           SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT cov THEN c END,
+               '' ORDER BY idx), '') AS clean_text,
+             sum(CASE WHEN cov THEN 1 ELSE 0 END) AS n_removed
+           FROM ch GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(greatest(len(d.text) - 49, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(st.nd, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(st.nd, 0) > 0 AS deduped
+         FROM documents d
+         LEFT JOIN reb r ON d.doc_id = r.doc_id
+         LEFT JOIN st ON d.doc_id = st.doc_id
+         ORDER BY id""",
+    // incremental span scrub: the %3 slices PARTITION documents, so
+    // corpus∪batch = the whole table — full-table dup detection sliced to
+    // the batch (removal has no keep-first, so the slice is exact)
+    "q_substr_incremental" ->
+      """WITH w AS (
+           SELECT doc_id, i, substr(text, i, 50) AS s
+           FROM documents, unnest(range(1, len(text) - 48)) t(i)
+           WHERE len(text) >= 50),
+         dup AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+         st AS (
+           SELECT doc_id, list(i) AS ss, count(*) AS nd
+           FROM w WHERE s IN (SELECT s FROM dup) GROUP BY doc_id),
+         ch AS (
+           SELECT d.doc_id, idx, substr(d.text, idx, 1) AS c,
+             len(list_filter(coalesce(st.ss, []),
+               s -> s <= idx AND idx < s + 50)) > 0 AS cov
+           FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id,
+             unnest(range(1, len(d.text) + 1)) t(idx)
+           WHERE d.doc_id % 3 = 0),
+         reb AS (
+           SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT cov THEN c END,
+               '' ORDER BY idx), '') AS clean_text,
+             sum(CASE WHEN cov THEN 1 ELSE 0 END) AS n_removed
+           FROM ch GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(greatest(len(d.text) - 49, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(st.nd, 0) AS BIGINT) AS n_dup_windows,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(st.nd, 0) > 0 AS deduped
+         FROM documents d
+         LEFT JOIN reb r ON d.doc_id = r.doc_id
+         LEFT JOIN st ON d.doc_id = st.doc_id
+         WHERE d.doc_id % 3 = 0
          ORDER BY id""",
     // C4 line filter over a planted page corpus: same line unit, kept iff
     // terminal punct + >=5 words + no 'javascript'; page verdict needs >=3

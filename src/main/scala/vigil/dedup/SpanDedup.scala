@@ -1,0 +1,167 @@
+package vigil.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ExactSubstr-style repeated-SPAN removal — the suffix-array dedup of
+  * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  * Better", ExactSubstr: any substring of ≥ 50 tokens occurring more than
+  * once in the corpus is cut from every occurrence), re-expressed for a
+  * distributed engine. The reference engine has no counterpart
+  * (north-rule surface, like [[LineDedup]]): its unit is a single
+  * transcript turn; this operator exists for the verbatim cross-document
+  * span duplication (syndicated articles, quoted passages, license
+  * headers) that whole-doc near-dedup scores below threshold and
+  * line-dedup misses when the copy isn't line-aligned.
+  *
+  * Normative rule: with window length `L` (Unicode code points) and
+  * occurrence threshold `minCount` (default 2), a code point of a doc is
+  * CONTAMINATED iff some L-window containing it occurs ≥ `minCount` times
+  * corpus-wide (same-doc repeats count — a doc that repeats itself is
+  * duplication too, exactly the suffix-array behavior). Contaminated code
+  * points are removed from EVERY occurrence (the google
+  * deduplicate-text-datasets default; there is no keep-first — a span
+  * the corpus repeats is boilerplate in all its homes), survivors rejoin
+  * in order. A repeated substring of length `len ≥ L` is covered in full:
+  * all `len − L + 1` of its windows are duplicated.
+  *
+  * Scale shape (100 TB): the corpus text is hashed in ONE narrow pass
+  * ([[vigil.SpanWindowHashesExpr]] — two independent 64-bit rolling
+  * hashes, O(len) per doc), and every exchange carries `(h1, h2, id,
+  * pos)` rows (~28 B/code point), never window text. The occurrence
+  * count is a map-side-combinable groupBy (per-partition distinct
+  * windows reduce before the wire — boilerplate-heavy corpora combine
+  * hard); the duplicated-window set then joins back against a second
+  * narrow window scan (storage-scan lineage, the r4 lesson — and a
+  * shuffle join AQE can skew-split, which a window-function count could
+  * not). Per-doc state is bounded by the doc's own length (`collect_list`
+  * of its duplicated positions). Both-hash collisions between distinct
+  * windows are the accepted 2⁻¹²⁸-scale risk (~10⁻¹¹ expected at 10¹⁴
+  * windows); `SpanDedupSpec` locks this path bit-equal to the
+  * string-keyed [[scrubRepeatedSpansByString]] twin on the test corpora.
+  *
+  * Like the suffix-array original this inventories every window — the
+  * exchange is ~28× the text bytes (the single-machine tool pays the
+  * same constant in suffix-array memory). That is the honest cost of
+  * EXACT span dedup; the cheap approximations (MinHash, SimHash, line
+  * hash) are the sibling operators in this package.
+  */
+object SpanDedup {
+
+  /** One row per L-window: `(id, pos, h1, h2)`, `pos` the 0-based code
+    * point index of the window start. Docs shorter than L emit no rows.
+    */
+  def windows(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(vigil.functions.span_window_hashes(col(textCol), L))
+          .as(Seq("pos", "w")))
+      .select(col("id"), col("pos"),
+        col("w.h1").as("h1"), col("w.h2").as("h2"))
+
+  /** Per-distinct-window occurrence counts — the STORED table of the
+    * incremental path: `(h1, h2, cnt)`. Map-side combinable; one row per
+    * distinct window, hash width not text width. A daily ingest appends
+    * by unioning with the batch's stats and re-aggregating
+    * (`groupBy(h1, h2).agg(sum(cnt))`).
+    */
+  def computeSpanStats(df: DataFrame, idCol: String, textCol: String,
+      L: Int): DataFrame =
+    windows(df, idCol, textCol, L)
+      .groupBy("h1", "h2").agg(count(lit(1)).as("cnt"))
+
+  /** Scrub every code point covered by a corpus-repeated L-window.
+    * Output: one row per input doc —
+    * `(id, clean_text, n_windows, n_dup_windows, n_removed, deduped)`
+    * with `n_windows = max(len − L + 1, 0)`, `n_removed` the code points
+    * cut, `deduped = n_dup_windows > 0`.
+    */
+  def scrubRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      L: Int = 50, minCount: Long = 2L): DataFrame = {
+    val dup = computeSpanStats(df, idCol, textCol, L)
+      .filter(col("cnt") >= minCount).select("h1", "h2")
+    val hits = windows(df, idCol, textCol, L)
+      .join(dup, Seq("h1", "h2"))
+      .groupBy("id").agg(
+        collect_list(col("pos")).as("ss"),
+        count(lit(1)).as("n_dup"))
+    assemble(df, idCol, textCol, hits, L)
+  }
+
+  /** String-keyed normative twin of [[scrubRepeatedSpans]] (windows keyed
+    * on the substring itself — collision-free by construction, window-text
+    * width on the wire). The spec asserts bit-equality between the two;
+    * production uses the hash-keyed path.
+    */
+  def scrubRepeatedSpansByString(
+      df: DataFrame, idCol: String, textCol: String,
+      L: Int = 50, minCount: Long = 2L): DataFrame = {
+    def w(frame: DataFrame): DataFrame =
+      frame.select(col(idCol).as("id"), col(textCol).as("t"))
+        .select(col("id"), posexplode(
+          when(length(col("t")) >= L,
+            transform(sequence(lit(1), length(col("t")) - lit(L - 1)),
+              i => col("t").substr(i, lit(L))))
+            .otherwise(array())).as(Seq("pos", "s")))
+    val dup = w(df).groupBy("s").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("s")
+    val hits = w(df).join(dup, Seq("s"))
+      .groupBy("id").agg(
+        collect_list(col("pos")).as("ss"),
+        count(lit(1)).as("n_dup"))
+    assemble(df, idCol, textCol, hits, L)
+  }
+
+  /** The recurring-ingest shape: scrub a NEW batch against a STORED
+    * corpus span-stats table ([[computeSpanStats]]), without touching
+    * corpus text. Semantics = the batch slice of [[scrubRepeatedSpans]]
+    * over corpus ∪ batch (spec-asserted) — exact, not approximate,
+    * because removal has no keep-first: a batch window is duplicated iff
+    * `corpus_cnt + batch_cnt ≥ minCount`, independent of id order.
+    * Corpus documents are canonical — already served, never rewritten —
+    * so a span that only NOW crosses the threshold is cut from batch
+    * docs while surviving in previously-ingested ones, the same
+    * corpus-canonical trade every incremental family here makes.
+    * Exchanges are batch-sized plus the stored stats' hash-width rows.
+    */
+  def scrubRepeatedSpansIncremental(
+      corpusStats: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      L: Int = 50, minCount: Long = 2L): DataFrame = {
+    val dup = computeSpanStats(batch, idCol, textCol, L)
+      .join(corpusStats.select(col("h1"), col("h2"), col("cnt").as("__c")),
+        Seq("h1", "h2"), "left")
+      .filter(col("cnt") + coalesce(col("__c"), lit(0L)) >= minCount)
+      .select("h1", "h2")
+    val hits = windows(batch, idCol, textCol, L)
+      .join(dup, Seq("h1", "h2"))
+      .groupBy("id").agg(
+        collect_list(col("pos")).as("ss"),
+        count(lit(1)).as("n_dup"))
+    assemble(batch, idCol, textCol, hits, L)
+  }
+
+  /** Splice the duplicated windows out of each doc: one narrow pass over
+    * the storage scan joined with the per-doc duplicated positions
+    * ([[vigil.SpanSpliceExpr]] merge walk), left join restoring docs
+    * with nothing to cut.
+    */
+  private def assemble(df: DataFrame, idCol: String, textCol: String,
+      hits: DataFrame, L: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("__text"),
+        greatest(length(col(textCol)) - lit(L - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        vigil.functions.span_splice(
+          col("__text"),
+          coalesce(col("ss"), array().cast("array<int>")), L).as("__sp"),
+        col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"))
+      .select(col("id"),
+        col("__sp.clean_text").as("clean_text"),
+        col("n_windows"), col("n_dup_windows"),
+        col("__sp.n_removed").as("n_removed"))
+      .withColumn("deduped", col("n_dup_windows") > 0)
+}

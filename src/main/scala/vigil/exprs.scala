@@ -773,6 +773,127 @@ object GramScrubExpr {
     StructField("n_removed", LongType, nullable = false)))
 }
 
+/** All L-codepoint window hashes of a string — the per-doc kernel of the
+  * ExactSubstr repeated-span dedup ([[vigil.dedup.SpanDedup]]; Lee et al.
+  * 2021 find substrings repeated corpus-wide with a suffix array — a
+  * single-machine structure; the distributed equivalent inventories
+  * fixed-length windows). Emits `array<struct<h1,h2>>`, element i = the
+  * two independent 64-bit polynomial rolling hashes of codepoints
+  * [i, i+n): O(len) per doc total, not O(len·n) — the whole corpus is
+  * hashed in one narrow pass and only (id, pos, h1, h2) rows ever reach
+  * an exchange, never window text. Windows and positions are in Unicode
+  * CODE POINTS (matching `length`/`substring` semantics on both engines,
+  * robust to astral chars). Two distinct windows colliding on BOTH
+  * 64-bit hashes is the accepted 2⁻¹²⁸-scale risk (~10⁻¹¹ expected
+  * collisions at 10¹⁴ windows); `SpanDedupSpec` locks this path
+  * bit-equal to a string-keyed normative twin.
+  */
+case class SpanWindowHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"window length must be >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(SpanWindowHashesExpr.entry, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "span_window_hashes"
+
+  // M^(n-1), the leading-codepoint weights the rolling update subtracts
+  @transient private lazy val pw1: Long = {
+    var p = 1L; var i = 0
+    while (i < n - 1) { p *= SpanWindowHashesExpr.M1; i += 1 }; p
+  }
+  @transient private lazy val pw2: Long = {
+    var p = 1L; var i = 0
+    while (i < n - 1) { p *= SpanWindowHashesExpr.M2; i += 1 }; p
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val cps = text.codePoints().toArray
+    val total = cps.length - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < n) {
+      h1 = h1 * SpanWindowHashesExpr.M1 + cps(i)
+      h2 = h2 * SpanWindowHashesExpr.M2 + cps(i)
+      i += 1
+    }
+    out(0) = new GenericInternalRow(Array[Any](h1, h2))
+    var p = 1
+    while (p < total) {
+      val drop = cps(p - 1); val add = cps(p + n - 1)
+      h1 = (h1 - drop * pw1) * SpanWindowHashesExpr.M1 + add
+      h2 = (h2 - drop * pw2) * SpanWindowHashesExpr.M2 + add
+      out(p) = new GenericInternalRow(Array[Any](h1, h2))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SpanWindowHashesExpr =
+    copy(child = c)
+}
+
+object SpanWindowHashesExpr {
+  // independent odd multipliers (MMIX LCG / golden-gamma), mod 2^64
+  val M1: Long = 6364136223846793005L
+  val M2: Long = -7046029254386353131L
+  val entry: StructType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+}
+
+/** Remove every codepoint covered by a window starting at any of `starts`
+  * (0-based, window length n) and rejoin the survivors in order — the
+  * splice step of the ExactSubstr span dedup. Starts arrive unsorted
+  * (collect_list order is nondeterministic); the merge walk sorts once
+  * and runs O(len + k). Emits (clean_text, n_removed: long = codepoints
+  * cut). Null/missing starts (docs with no duplicated window) pass the
+  * text through unchanged.
+  */
+case class SpanSpliceExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(n >= 1, s"window length must be >= 1, got $n")
+  override def dataType: DataType = SpanSpliceExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "span_splice"
+
+  override def eval(input: InternalRow): Any = {
+    val lv = left.eval(input)
+    val text = if (lv == null) "" else lv.asInstanceOf[UTF8String].toString
+    val rv = right.eval(input)
+    val ss: Array[Int] =
+      if (rv == null) Array.emptyIntArray
+      else rv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    if (ss.isEmpty) {
+      return new GenericInternalRow(Array[Any](UTF8String.fromString(text), 0L))
+    }
+    java.util.Arrays.sort(ss)
+    val cps = text.codePoints().toArray
+    val out = new java.lang.StringBuilder(text.length)
+    var removed = 0L
+    var j = 0; var end = -1; var i = 0
+    while (i < cps.length) {
+      while (j < ss.length && ss(j) <= i) {
+        val e = ss(j) + n; if (e > end) end = e; j += 1
+      }
+      if (i < end) removed += 1L else out.appendCodePoint(cps(i))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out.toString), removed))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SpanSpliceExpr = copy(left = l, right = r)
+}
+
+object SpanSpliceExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -801,4 +922,8 @@ object functions {
       bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
       : Column =
     VigilShim.column(GramScrubExpr(expr(text), expr(lower(text)), n, bench))
+  def span_window_hashes(text: Column, n: Int): Column =
+    VigilShim.column(SpanWindowHashesExpr(expr(text), n))
+  def span_splice(text: Column, starts: Column, n: Int): Column =
+    VigilShim.column(SpanSpliceExpr(expr(text), expr(starts), n))
 }

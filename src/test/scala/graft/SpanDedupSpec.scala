@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.dedup.SpanDedup
+
+/** ExactSubstr repeated-span scrub: hand-computed coverage semantics,
+  * hash-keyed path ≡ string-keyed normative twin on the real fixture,
+  * incremental ≡ the batch slice of the full scrub, discrimination.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[(Long, String, Long, Long, Long, Boolean)] =
+    df.orderBy("id").collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+
+  test("hand values: cross-doc, same-doc, interior, short-doc, unique") {
+    val docs = Seq(
+      (1L, "abcdeZZ"),  // shares abcde with doc 2 → windows 0-2 dup
+      (2L, "XXabcde"),  // coverage [2,7) → survivors "XX"
+      (3L, "aaaa"),     // SAME-DOC repeat: aaa at 0 and 1 → whole doc cut
+      (4L, "ab"),       // shorter than L → no windows, untouched
+      (5L, "unique!"),  // nothing repeats → untouched
+      (6L, "QQabcQQ")   // interior cut: only "abc" dup → "QQQQ" survives
+    ).toDF("doc_id", "text")
+    val out = rows(SpanDedup.scrubRepeatedSpans(docs, "doc_id", "text",
+      L = 3, minCount = 2L))
+    assert(out == Seq(
+      (1L, "ZZ", 5L, 3L, 5L, true),
+      (2L, "XX", 5L, 3L, 5L, true),
+      (3L, "", 2L, 2L, 4L, true),
+      (4L, "ab", 0L, 0L, 0L, false),
+      (5L, "unique!", 5L, 0L, 0L, false),
+      (6L, "QQQQ", 5L, 1L, 3L, true)))
+  }
+
+  test("hash-keyed path ≡ string-keyed normative twin on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val hashed = rows(SpanDedup.scrubRepeatedSpans(docs, "doc_id", "text",
+      L = 50, minCount = 2L))
+    val string = rows(SpanDedup.scrubRepeatedSpansByString(docs, "doc_id",
+      "text", L = 50, minCount = 2L))
+    assert(hashed == string)
+    // the corpus discriminates: some docs cut, some untouched, some PARTIAL
+    assert(hashed.exists(_._6) && hashed.exists(!_._6),
+      "deduped flag is constant — not discriminating")
+    assert(hashed.exists(r => r._6 && r._2.nonEmpty),
+      "every deduped doc scrubbed to empty — no partial coverage exercised")
+  }
+
+  test("incremental ≡ the batch slice of the full corpus∪batch scrub") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val stats = SpanDedup.computeSpanStats(corpus, "doc_id", "text", L = 50)
+    val inc = rows(SpanDedup.scrubRepeatedSpansIncremental(
+      stats, batch, "doc_id", "text", L = 50, minCount = 2L))
+    val full = rows(SpanDedup.scrubRepeatedSpans(docs, "doc_id", "text",
+      L = 50, minCount = 2L).join(batch.select(col("doc_id").as("id")), Seq("id"), "leftsemi"))
+    assert(inc == full)
+    assert(inc.exists(_._6) && inc.exists(!_._6),
+      "incremental slice not discriminating")
+  }
+
+  test("a repeated substring longer than L is covered in full") {
+    // 60-codepoint shared prefix of DISTINCT chars (no self-repeats — the
+    // duplication is strictly cross-doc), L=50: all 11 of its windows
+    // duplicate, coverage = the whole 60 chars; the distinct tails survive
+    val shared = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '7')).mkString
+    val docs = Seq((1L, shared + "TAIL_ONE"), (2L, shared + "tail-two"))
+      .toDF("doc_id", "text")
+    val out = rows(SpanDedup.scrubRepeatedSpans(docs, "doc_id", "text",
+      L = 50, minCount = 2L))
+    assert(out == Seq(
+      (1L, "TAIL_ONE", 19L, 11L, 60L, true),
+      (2L, "tail-two", 19L, 11L, 60L, true)))
+  }
+}
