@@ -454,6 +454,61 @@ object StreamPipeline {
       } finally fresh.unpersist()
     }
 
+  /** EXACT streaming repeated-span scrub — the ExactSubstr family's
+    * micro-batch face, same contract shape as [[lineDedupStreamExact]]:
+    * each batch is scrubbed against the stored corpus window-stats table
+    * ([[vigil.dedup.SpanDedup.scrubRepeatedSpansIncremental]]). Because
+    * span removal has no keep-first, the per-batch theorem is clean:
+    * batch k's emitted output EQUALS the batch-k slice of one big
+    * [[vigil.dedup.SpanDedup.scrubRepeatedSpans]] over batches 0..k
+    * (windows from later batches don't exist yet; a span that crosses the
+    * threshold only later is not retro-scrubbed from already-emitted docs
+    * — the corpus-canonical trade, spec-asserted).
+    *
+    * Stored state (`storedBase`): `docs` = the scrubbed outputs (also the
+    * replay guard — a re-posted id emits nothing); `spanstats` = RAW
+    * per-batch window stats ([[vigil.dedup.SpanDedup.computeSpanStats]]
+    * over the PRE-scrub batch text), appended per batch and re-aggregated
+    * on read (`groupBy(h1, h2).sum(cnt)`) — RAW, not post-scrub, because
+    * the threshold counts corpus OCCURRENCES: storing survivors' windows
+    * would zero a scrubbed span's count and let later batches keep it.
+    * Batch results are `localCheckpoint`ed BEFORE the appends (the
+    * path-cache refresh trap — see [[neardupStreamExact]]).
+    */
+  def spanDedupStreamExact(
+      docs: DataFrame, idCol: String, textCol: String,
+      storedBase: String, L: Int = 50, minCount: Long = 2L)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      import vigil.dedup.SpanDedup
+      val spark = batch.sparkSession
+      val docsPath = s"$storedBase/docs"
+      val statsPath = s"$storedBase/spanstats"
+      val have = new java.io.File(s"$docsPath/_SUCCESS").exists()
+      val fresh = (if (have)
+        batch.select(col(idCol), col(textCol))
+          .join(spark.read.parquet(docsPath).select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+      else batch.select(col(idCol), col(textCol))).persist()
+      try {
+        if (fresh.count() > 0) {
+          val stats = (if (have)
+            spark.read.parquet(statsPath)
+              .groupBy("h1", "h2").agg(sum(col("cnt")).as("cnt"))
+          else SpanDedup.computeSpanStats(fresh.limit(0), idCol, textCol, L))
+          val out = SpanDedup.scrubRepeatedSpansIncremental(
+            stats, fresh, idCol, textCol, L, minCount)
+            .localCheckpoint(true)
+          val freshStats = SpanDedup.computeSpanStats(fresh, idCol, textCol, L)
+            .localCheckpoint(true)
+          out.write.mode("append").parquet(docsPath)
+          freshStats.write.mode("append").parquet(statsPath)
+          emit(out, batchId)
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).
     */

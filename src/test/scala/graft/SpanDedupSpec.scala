@@ -71,6 +71,53 @@ class SpanDedupSpec extends AnyFunSuite {
       "incremental slice not discriminating")
   }
 
+  test("streaming exact face: per-batch outputs = cumulative-slice scrubs") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("vigil_sds_src").toString
+    val base = Files.createTempDirectory("vigil_sds_store").toString
+    val batches = Seq(
+      Seq((1L, "abcXX"), (2L, "abcYY")),  // abc dup WITHIN the batch
+      Seq((3L, "ZabcZ")),                 // abc dup vs stored RAW stats
+      Seq((3L, "ZabcZ")),                 // full replay — must emit nothing
+      // bcX/cXX reach 2 only via doc 1's RAW windows — doc 1's EMITTED
+      // text no longer contains them (survivor-only stats would miss this)
+      Seq((4L, "QQbcXX"), (5L, "unique")))
+    val emitted = scala.collection.mutable.Map[Long,
+      Seq[(Long, String, Long, Long, Long, Boolean)]]()
+    def write(rs: Seq[(Long, String)]): Unit =
+      rs.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    write(batches.head)
+    val stream = spark.readStream
+      .schema(batches.head.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = vigil.streaming.StreamPipeline.spanDedupStreamExact(
+      stream, "doc_id", "text", base, L = 3, minCount = 2L)(
+      (out, bid) => emitted.synchronized { emitted(bid) = rows(out) })
+      .start()
+    q.processAllAvailable()
+    batches.tail.foreach { b => write(b); q.processAllAvailable() }
+    q.stop()
+    val got = emitted.toSeq.sortBy(_._1).map(_._2)
+    assert(got == Seq(
+      Seq((1L, "XX", 3L, 1L, 3L, true), (2L, "YY", 3L, 1L, 3L, true)),
+      Seq((3L, "ZZ", 3L, 1L, 3L, true)),
+      Seq((4L, "QQ", 4L, 2L, 4L, true),
+        (5L, "unique", 4L, 0L, 0L, false))))
+    // ...and each equals the batch-k slice of one big scrub over 0..k
+    val seen = Seq(batches(0), batches(1), batches(3))
+    for (k <- seen.indices) {
+      val cum = seen.take(k + 1).flatten.toDF("doc_id", "text")
+      val ids = seen(k).map(_._1)
+      val slice = rows(SpanDedup.scrubRepeatedSpans(cum, "doc_id", "text",
+        L = 3, minCount = 2L).filter(col("id").isin(ids: _*)))
+      assert(got(k) == slice, s"batch $k vs cumulative slice")
+    }
+    val stored = spark.read.parquet(s"$base/docs")
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(stored == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("a repeated substring longer than L is covered in full") {
     // 60-codepoint shared prefix of DISTINCT chars (no self-repeats — the
     // duplication is strictly cross-doc), L=50: all 11 of its windows
