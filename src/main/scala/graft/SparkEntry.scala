@@ -870,6 +870,18 @@ object SparkEntry {
         keepFirst = true, dropAtOrAbove = 4L)
         .orderBy("id")
     }),
+    // --- corpus mixing (oracle-paired): per-source token budgets executed
+    //     as a deterministic greedy rank prefix (Knuth multiplicative hash
+    //     order — reproducible in ANSI SQL, unlike xxhash64). Budgets =
+    //     40% of each source's whitespace-token total, src0 unconstrained
+    //     → every constrained source both keeps and drops ---------------
+    "q_corpus_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val budgets = vigil.Mix.totals(d, "source", "text")
+        .map { case (src, t) => src -> (if (src == "src0") t else t * 2 / 5) }
+      vigil.Mix.sampleByBudget(d, "doc_id", "source", "text", budgets)
+        .orderBy("doc_id")
+    }),
     // --- ExactSubstr repeated-span scrub (oracle-paired): every code
     //     point covered by a 50-codepoint window occurring ≥2× corpus-wide
     //     is cut from every occurrence (Lee et al. 2021 suffix-array dedup
@@ -1522,6 +1534,32 @@ object SparkEntry {
          FROM tot t LEFT JOIN reb r ON t.gid = r.gid
          WHERE t.gid >= 1000
          ORDER BY id""",
+    // corpus mixing: greedy rank-prefix budget sampling; rank = Knuth
+    // multiplicative hash (id * 2654435761 mod 2^32), kept while the
+    // running token total within the source stays <= the budget
+    "q_corpus_mix" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 AS rank
+           FROM documents),
+         tot AS (SELECT source, sum(n_tokens) AS t FROM tok GROUP BY source),
+         b AS (
+           SELECT source, CAST(CASE WHEN source = 'src0' THEN t
+             ELSE (t * 2) // 5 END AS BIGINT) AS budget
+           FROM tot),
+         c AS (
+           SELECT tok.*,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY rank, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           FROM tok)
+         SELECT c.doc_id, c.source, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.rank AS BIGINT) AS rank,
+           CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+           b.budget, c.cum_tokens <= b.budget AS kept
+         FROM c JOIN b USING (source)
+         ORDER BY doc_id""",
     // ExactSubstr repeated-span scrub: a code point (1-based idx) is cut
     // iff some corpus-duplicated 50-char window starts in [idx-49, idx];
     // rebuild concatenates survivors in order (Spark splices 0-based code

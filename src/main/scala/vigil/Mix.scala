@@ -1,0 +1,106 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing — the data-mixing step of a pretraining recipe (The
+  * Pile's per-source sampling proportions; Llama-style recipe tables;
+  * DoReMi/DSIR tune the proportions, this operator EXECUTES them): given
+  * per-source TOKEN budgets, select a deterministic, reproducible subset
+  * of each source whose token total fills but never exceeds its budget.
+  * The reference engine has no counterpart (north-rule surface, like
+  * [[dedup.LineDedup]]).
+  *
+  * Determinism is the design center: the "random" order is
+  * [[Mix.docRank]], a Knuth multiplicative hash of the doc id
+  * (`id · 2654435761 mod 2³²` — Knuth 1998 §6.4, with the golden-ratio
+  * multiplier) — a normative engine constant chosen because it is pure
+  * integer arithmetic, exactly reproducible in ANSI SQL (unlike
+  * xxhash64), uniform enough to decorrelate the sample from id
+  * assignment order, and injective on ids < 2³² (the multiplier is odd).
+  * Same corpus + budgets → the same subset on any cluster size, any run,
+  * any engine.
+  *
+  * Two selection shapes:
+  *
+  *   - '''sampleByBudget''' — the greedy rank prefix: within each source,
+  *     docs ordered by `(rank, id)` are kept while the running token
+  *     total INCLUDING the current doc stays ≤ the budget. Budget
+  *     adherence is exact-by-construction (never exceeds; maximal — the
+  *     first dropped doc would overflow). One exchange + spillable sort
+  *     per source (the window). At 100 TB a giant source pays a
+  *     tera-row sort; when budget precision to one document doesn't
+  *     matter, use the threshold variant instead.
+  *   - '''sampleByRate''' — Bernoulli by rank threshold
+  *     (`rank < rate · 2³²`): zero exchanges, purely narrow, keeps each
+  *     doc independently with the given probability. Token totals are
+  *     expected, not exact.
+  *
+  * Rates/budgets are per-source maps; sources absent from the map get
+  * the default (keep everything — mixing recipes list the sources they
+  * constrain).
+  */
+object Mix {
+
+  /** Deterministic per-doc rank in [0, 2³²): Knuth multiplicative hash.
+    * Odd multiplier → injective on ids < 2³² (ties impossible there);
+    * the `(rank, id)` orderings below tiebreak anyway.
+    */
+  def docRank(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L))
+
+  private def perSource(m: Map[String, Long], default: Long,
+      sourceCol: String): Column =
+    m.foldLeft(lit(default)) { case (acc, (s, v)) =>
+      when(col(sourceCol) === s, lit(v)).otherwise(acc) }
+
+  /** Greedy rank-prefix budget sampling. Output: one row per input doc —
+    * `(idCol, sourceCol, n_tokens, rank, cum_tokens, budget, kept)` with
+    * `n_tokens` = whitespace token count ([[TextStats.wsTokenCount]]),
+    * `cum_tokens` the running total over `(rank, id)` order within the
+    * source, `kept = cum_tokens ≤ budget`.
+    */
+  def sampleByBudget(
+      df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col("rank"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(sourceCol),
+        TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("rank", docRank(col(idCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("budget", perSource(budgets, defaultBudget, sourceCol))
+      .withColumn("kept", col("cum_tokens") <= col("budget"))
+  }
+
+  /** Bernoulli-by-threshold rate sampling (the no-sort scale path).
+    * Output: `(idCol, sourceCol, n_tokens, rank, kept)` with
+    * `kept = rank < floor(rate · 2³²)` — narrow, zero exchanges.
+    */
+  def sampleByRate(
+      df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    val thresholds = rates.map { case (s, r) =>
+      s -> math.floor(r * 4294967296.0).toLong }
+    df.select(col(idCol), col(sourceCol),
+        TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("rank", docRank(col(idCol)))
+      .withColumn("kept", col("rank") < perSource(thresholds,
+        math.floor(defaultRate * 4294967296.0).toLong, sourceCol))
+  }
+
+  /** Per-source whitespace-token totals, collected to a driver map —
+    * bounded by the number of SOURCES (a recipe-sized list, not data-
+    * sized). The usual budget derivation: `totals(df).map { case (s, t)
+    * => s -> t * 2 / 5 }` etc.
+    */
+  def totals(df: DataFrame, sourceCol: String, textCol: String):
+      Map[String, Long] =
+    df.groupBy(sourceCol)
+      .agg(sum(TextStats.wsTokenCount(col(textCol))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Mix
+
+/** Corpus mixing: hand-computed Knuth ranks and greedy-prefix budgets,
+  * budget adherence + maximality on the fixture, rate-threshold variant,
+  * determinism.
+  */
+class MixSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def hand: DataFrame = Seq(
+    (1L, "A", "a b c"),    // rank 2654435761
+    (2L, "A", "d e"),      // rank 1013904226 — A's first in rank order
+    (3L, "A", "f g h i"),  // rank 3668339987
+    (4L, "B", "x"),        // rank 2027808452
+    (5L, "B", "y z"),      // rank 387276917 — B's first
+    (6L, "B", "w v u")     // rank 3041712678
+  ).toDF("doc_id", "source", "text")
+
+  test("budget sampling: hand ranks, greedy prefix, default budget") {
+    val out = Mix.sampleByBudget(hand, "doc_id", "source", "text",
+      Map("A" -> 5L)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    // A in rank order: doc2 (cum 2), doc1 (cum 5 = budget, kept), doc3
+    // (cum 9, dropped); B unconstrained → default keeps all
+    assert(out == Seq(
+      (1L, "A", 3L, 2654435761L, 5L, 5L, true),
+      (2L, "A", 2L, 1013904226L, 2L, 5L, true),
+      (3L, "A", 4L, 3668339987L, 9L, 5L, false),
+      (4L, "B", 1L, 2027808452L, 3L, Long.MaxValue, true),
+      (5L, "B", 2L, 387276917L, 2L, Long.MaxValue, true),
+      (6L, "B", 3L, 3041712678L, 6L, Long.MaxValue, true)))
+  }
+
+  test("fixture: budget adherence is exact and the prefix is maximal") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val budgets = Mix.totals(docs, "source", "text")
+      .map { case (s, t) => s -> t * 2 / 5 }
+    val out = Mix.sampleByBudget(docs, "doc_id", "source", "text", budgets)
+    val per = out.groupBy("source").agg(
+      sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kt"),
+      min(when(!col("kept"), col("cum_tokens"))).as("firstDropCum"),
+      first(col("budget")).as("b"))
+      .collect()
+    per.foreach { r =>
+      val (kt, b) = (r.getLong(1), r.getLong(3))
+      assert(kt <= b, s"${r.getString(0)}: kept tokens $kt exceed budget $b")
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) > b,
+          s"${r.getString(0)}: first dropped doc would have fit — not maximal")
+    }
+    // discriminates: every source both keeps and drops at 40%
+    assert(per.forall(r => !r.isNullAt(2)) && per.forall(_.getLong(1) > 0))
+  }
+
+  test("rate sampling: rank threshold, zero-exchange, deterministic") {
+    val out = Mix.sampleByRate(hand, "doc_id", "source", "text",
+      Map("A" -> 0.5, "B" -> 0.5)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toSeq
+    // kept iff rank < 2^31: docs 2 (1.01e9), 4 (2.03e9), 5 (0.39e9)
+    assert(out == Seq((1L, false), (2L, true), (3L, false),
+      (4L, true), (5L, true), (6L, false)))
+    // no exchange in the physical plan (narrow path)
+    val plan = Mix.sampleByRate(hand, "doc_id", "source", "text",
+      Map("A" -> 0.5)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rate sampling shuffled:\n$plan")
+  }
+
+  test("determinism: identical output across independent evaluations") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val budgets = Mix.totals(docs, "source", "text")
+      .map { case (s, t) => s -> t / 2 }
+    def run() = Mix.sampleByBudget(docs, "doc_id", "source", "text", budgets)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+}
