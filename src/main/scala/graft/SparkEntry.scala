@@ -882,6 +882,15 @@ object SparkEntry {
       vigil.Mix.sampleByBudget(d, "doc_id", "source", "text", budgets)
         .orderBy("doc_id")
     }),
+    // --- epoch-weighted upsampling (oracle-paired): the full mixing-
+    //     recipe semantic — src0 at 2.5 epochs (2 whole copies + a 50%
+    //     fractional rank prefix), everything else downsampled to 0.4;
+    //     one output row per emitted copy -------------------------------
+    "q_corpus_upsample" -> ((s, dir) => {
+      vigil.Mix.upsample(docs(s, dir), "doc_id", "source", "text",
+        Map("src0" -> 2.5), defaultEpochs = 0.4)
+        .orderBy("doc_id", "copy")
+    }),
     // --- ExactSubstr repeated-span scrub (oracle-paired): every code
     //     point covered by a 50-codepoint window occurring ≥2× corpus-wide
     //     is cut from every occurrence (Lee et al. 2021 suffix-array dedup
@@ -1560,6 +1569,32 @@ object SparkEntry {
            b.budget, c.cum_tokens <= b.budget AS kept
          FROM c JOIN b USING (source)
          ORDER BY doc_id""",
+    // epoch upsampling: k = floor(epochs) whole copies per doc + copy k
+    // for the greedy rank prefix within floor(frac * source_total) tokens
+    "q_corpus_upsample" ->
+      """WITH tok AS (
+           SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 AS rank,
+             CASE WHEN source = 'src0' THEN 2.5 ELSE 0.4 END AS ep
+           FROM documents),
+         whole AS (
+           SELECT doc_id, CAST(c AS BIGINT) AS copy, source, n_tokens
+           FROM tok, unnest(range(0, CAST(floor(ep) AS BIGINT))) t(c)),
+         cw AS (
+           SELECT tok.*,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY rank, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_tokens) OVER (PARTITION BY source) AS t
+           FROM tok),
+         fr AS (
+           SELECT doc_id, CAST(floor(ep) AS BIGINT) AS copy, source,
+             n_tokens
+           FROM cw WHERE cum <= floor((ep - floor(ep)) * t))
+         SELECT doc_id, copy, source, CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM (SELECT * FROM whole UNION ALL SELECT * FROM fr)
+         ORDER BY doc_id, copy""",
     // ExactSubstr repeated-span scrub: a code point (1-based idx) is cut
     // iff some corpus-duplicated 50-char window starts in [idx-49, idx];
     // rebuild concatenates survivors in order (Spark splices 0-based code

@@ -93,6 +93,62 @@ object Mix {
         math.floor(defaultRate * 4294967296.0).toLong, sourceCol))
   }
 
+  private def perSourceD(m: Map[String, Double], default: Double,
+      sourceCol: String): Column =
+    m.foldLeft(lit(default)) { case (acc, (s, v)) =>
+      when(col(sourceCol) === s, lit(v)).otherwise(acc) }
+
+  /** Epoch-weighted up/down-sampling — the full mixing-recipe semantic
+    * (sources repeat: The Pile lists epochs per component, e.g. Wikipedia
+    * 3, web 0.3–1). Each doc of a source with `epochs = k + f`
+    * (k = ⌊epochs⌋, f ∈ [0,1)) is emitted k times (copies 0..k−1), and
+    * once more (copy k) iff it falls in the greedy rank prefix whose
+    * token total stays ≤ ⌊f · source_total⌋ — so the emitted token count
+    * per source is `k·total + ⌊f·total⌋` to within one document, exactly
+    * and deterministically. `epochs < 1` is pure fractional downsampling
+    * (the [[sampleByBudget]] semantic); output rows are `(idCol, copy,
+    * sourceCol, n_tokens)`, one per emitted copy — remap `(id, copy)` to
+    * fresh ids downstream if the consumer needs uniqueness.
+    *
+    * Scale shape: the whole-copy fan-out is a narrow explode (no
+    * exchange); the fractional prefix reuses the budget window's single
+    * per-source exchange + sort. Emitting k copies multiplies downstream
+    * bytes, not this operator's shuffle.
+    */
+  def upsample(
+      df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      epochs: Map[String, Double],
+      defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0.0),
+      "epochs must be >= 0")
+    val kMap = epochs.map { case (s, e) => s -> math.floor(e).toLong }
+    val fMap = epochs.map { case (s, e) => s -> (e - math.floor(e)) }
+    val kDef = math.floor(defaultEpochs).toLong
+    val fDef = defaultEpochs - math.floor(defaultEpochs)
+    val base = df.select(col(idCol), col(sourceCol),
+        TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("rank", docRank(col(idCol)))
+      .withColumn("__k", perSource(kMap, kDef, sourceCol))
+    val whole = base
+      .select(col(idCol),
+        explode(when(col("__k") >= 1,
+          sequence(lit(0L), col("__k") - 1))
+          .otherwise(array().cast("array<long>"))).as("copy"),
+        col(sourceCol), col("n_tokens"))
+    val cumW = Window.partitionBy(sourceCol)
+      .orderBy(col("rank"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(sourceCol)
+    val fractional = base
+      .withColumn("__cum", sum(col("n_tokens")).over(cumW))
+      .withColumn("__fb", floor(
+        perSourceD(fMap, fDef, sourceCol) * sum(col("n_tokens")).over(totW)))
+      .filter(col("__cum") <= col("__fb"))
+      .select(col(idCol), col("__k").as("copy"), col(sourceCol),
+        col("n_tokens"))
+    whole.unionByName(fractional)
+  }
+
   /** Per-source whitespace-token totals, collected to a driver map —
     * bounded by the number of SOURCES (a recipe-sized list, not data-
     * sized). The usual budget derivation: `totals(df).map { case (s, t)

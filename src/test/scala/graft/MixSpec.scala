@@ -78,6 +78,45 @@ class MixSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"rate sampling shuffled:\n$plan")
   }
 
+  test("upsample: whole copies + fractional greedy prefix, hand values") {
+    // A epochs 2.5: k=2, frac budget = floor(0.5·9) = 4 → doc2 (cum 2)
+    // gets copy 2, doc1 (cum 5) does not; B epochs 0.5: k=0, budget
+    // floor(0.5·6) = 3 → docs 5 (cum 2) and 4 (cum 3) emit their only
+    // copy, doc 6 vanishes
+    val out = Mix.upsample(hand, "doc_id", "source", "text",
+      Map("A" -> 2.5), defaultEpochs = 0.5)
+      .orderBy("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 0L, "A", 3L), (1L, 1L, "A", 3L),
+      (2L, 0L, "A", 2L), (2L, 1L, "A", 2L), (2L, 2L, "A", 2L),
+      (3L, 0L, "A", 4L), (3L, 1L, "A", 4L),
+      (4L, 0L, "B", 1L), (5L, 0L, "B", 2L)))
+  }
+
+  test("upsample: epochs 1.0 is the identity fan-out; token accounting") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val ident = Mix.upsample(docs, "doc_id", "source", "text", Map.empty)
+    assert(ident.count() == docs.count() &&
+      ident.agg(max(col("copy"))).head.getLong(0) == 0L)
+    // per-source emitted tokens = k·total + floor(f·total), short at most
+    // one doc (the greedy prefix stops before overflowing)
+    val up = Mix.upsample(docs, "doc_id", "source", "text",
+      Map("src0" -> 2.5), defaultEpochs = 0.4)
+    val tot = Mix.totals(docs, "source", "text")
+    val emitted = up.groupBy("source").agg(
+      sum(col("n_tokens")).as("e"), max(col("n_tokens")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    emitted.foreach { case (s, e, m) =>
+      val ep = if (s == "src0") 2.5 else 0.4
+      val want = math.floor(ep).toLong * tot(s) +
+        math.floor((ep - math.floor(ep)) * tot(s)).toLong
+      assert(e <= want && e > want - m,
+        s"$s: emitted $e not within one doc of target $want")
+    }
+  }
+
   test("determinism: identical output across independent evaluations") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val budgets = Mix.totals(docs, "source", "text")
