@@ -891,6 +891,28 @@ object SparkEntry {
         Map("src0" -> 2.5), defaultEpochs = 0.4)
         .orderBy("doc_id", "copy")
     }),
+    // --- end-to-end pretraining pipeline (engine-native, rows-only):
+    //     cleanPages → ExactSubstr scrub → cascade filter → epoch mixing,
+    //     with materialization boundaries built in (PretrainSpec locks it
+    //     ≡ the hand-composed stages). Pages = 40 multi-line assemblies of
+    //     the fixture docs; repetition threshold corpus-tuned to 0.5 so
+    //     the rung discriminates (fixture pages land at 0.41-0.56) ------
+    "q_pretrain_pipeline" -> ((s, dir) => {
+      val pages = docs(s, dir)
+        .select(pmod(col("doc_id"), lit(40)).as("gid"),
+          concat(col("text"), lit(".")).as("line"), col("doc_id"))
+        .groupBy("gid").agg(concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("doc_id"),
+            col("line")))), x => x.getField("line"))).as("text"))
+        .withColumn("source", concat(lit("s"), pmod(col("gid"), lit(4))))
+      vigil.Pretrain.pretrainCorpus(pages, "gid", "text", "source",
+        vigil.Pretrain.Config(
+          epochs = Map("s0" -> 2.5), defaultEpochs = 0.5,
+          filter = vigil.DocFilter.Default.copy(
+            repetition = vigil.Quality.RepetitionConfig(
+              maxDup2gramCharFrac = 0.5))))
+        .orderBy("gid", "copy")
+    }),
     // --- ExactSubstr repeated-span scrub (oracle-paired): every code
     //     point covered by a 50-codepoint window occurring ≥2× corpus-wide
     //     is cut from every occurrence (Lee et al. 2021 suffix-array dedup

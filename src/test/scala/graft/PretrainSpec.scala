@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.{DocFilter, Mix, Pretrain}
+import vigil.dedup.SpanDedup
+
+/** End-to-end pretraining pipeline: the composed run equals the
+  * hand-composed stages, both materialization modes agree, and the
+  * corpus exercises every stage.
+  */
+class PretrainSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Fixture docs assembled into 40 multi-line pages (terminal '.' added
+    * so honest lines pass the C4 punctuation rule), 4 sources by gid.
+    */
+  private def pages: DataFrame = {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.select(pmod(col("doc_id"), lit(40)).as("gid"),
+        concat(col("text"), lit(".")).as("line"), col("doc_id"))
+      .groupBy("gid").agg(concat_ws("\n",
+        transform(sort_array(collect_list(struct(col("doc_id"),
+          col("line")))), x => x.getField("line"))).as("text"))
+      .withColumn("source", concat(lit("s"), pmod(col("gid"), lit(4))))
+  }
+
+  // corpus-tuned repetition threshold (the knob every real pipeline
+  // tunes): the template-generated fixture pages land at dup-2gram char
+  // frac 0.41-0.56, so 0.5 makes the repetition rung DISCRIMINATE
+  // (default 0.10 would drop every page — measured)
+  private val cfg = Pretrain.Config(
+    epochs = Map("s0" -> 2.5), defaultEpochs = 0.5,
+    filter = DocFilter.Default.copy(
+      repetition = vigil.Quality.RepetitionConfig(
+        maxDup2gramCharFrac = 0.5)))
+
+  private def rows(df: DataFrame): Seq[(Long, Long, String, String, Long)] =
+    df.orderBy("gid", "copy").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+
+  test("pipeline ≡ hand-composed stages; every stage exercised") {
+    val p = pages.localCheckpoint(true)
+    val out = rows(Pretrain.pretrainCorpus(p, "gid", "text", "source", cfg))
+    // hand composition with explicit boundaries
+    val p1 = DocFilter.cleanPages(p, "gid", "text",
+        cfg.c4, cfg.dedupKeepFirst, cfg.dedupDropAtOrAbove)
+      .filter(col("page_keep")).select(col("gid"), col("text"))
+      .localCheckpoint(true)
+    val p2 = SpanDedup.scrubRepeatedSpans(p1, "gid", "text",
+        cfg.spanL, cfg.spanMinCount)
+      .select(col("id").as("gid"), col("clean_text").as("text"))
+      .localCheckpoint(true)
+    val p3 = DocFilter.filterDocs(p2, "gid", "text", cfg.filter)
+      .filter(col("keep"))
+      .select(col("gid"), col("scrubbed_text").as("text"))
+      .localCheckpoint(true)
+    val hand = rows(Mix.upsample(
+        p3.join(p.select("gid", "source"), Seq("gid")),
+        "gid", "source", "text", cfg.epochs, cfg.defaultEpochs)
+      .join(p3, Seq("gid"))
+      .select(col("gid"), col("copy"), col("source"), col("text"),
+        col("n_tokens")))
+    assert(out == hand)
+    assert(out.nonEmpty, "pipeline emitted nothing — corpus or cfg broken")
+    // mixing exercised both ways: s0 pages repeat, some non-s0 pages are
+    // fractionally dropped
+    assert(out.exists(r => r._3 == "s0" && r._2 >= 1L),
+      "no upsampled copy emitted")
+    val nonS0Emitted = out.filter(_._3 != "s0").map(_._1).distinct.size
+    val nonS0Survivors = rows(Mix.upsample(
+      p3.join(p.select("gid", "source"), Seq("gid")),
+      "gid", "source", "text", Map.empty, 1.0).join(p3, Seq("gid"))
+      .select(col("gid"), col("copy"), col("source"), col("text"),
+        col("n_tokens"))).count(_._3 != "s0")
+    assert(nonS0Emitted < nonS0Survivors,
+      "fractional downsampling dropped nothing")
+  }
+
+  test("workDir parquet boundaries ≡ in-session localCheckpoint") {
+    val p = pages.localCheckpoint(true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("vigil_pretrain").toString
+    val a = rows(Pretrain.pretrainCorpus(p, "gid", "text", "source", cfg,
+      workDir = Some(dir)))
+    val b = rows(Pretrain.pretrainCorpus(p, "gid", "text", "source", cfg))
+    assert(a == b)
+    // the stage tables exist and are restart-inspectable
+    for (s <- Seq("pages", "scrubbed", "filtered"))
+      assert(new java.io.File(s"$dir/$s/_SUCCESS").exists(), s)
+  }
+}
