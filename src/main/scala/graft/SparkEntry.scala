@@ -891,6 +891,23 @@ object SparkEntry {
         Map("src0" -> 2.5), defaultEpochs = 0.4)
         .orderBy("doc_id", "copy")
     }),
+    // --- GPT-3-style quality classifier (engine-native, rows-only —
+    //     float LM scores have no SQL twin, the langid precedent): NB
+    //     trigram log-odds fit on en-vs-rest, mean-per-trigram score,
+    //     deterministic pareto(9) keep rule over the doc-rank uniform;
+    //     QualityClassifierSpec hand-locks the model math ----------------
+    "q_quality_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = vigil.QualityClassifier.fit(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"), "text")
+      vigil.QualityClassifier.score(
+        d.select("doc_id", "lang", "text"), "text", model)
+        .select(col("doc_id"), col("lang"), col("score"),
+          vigil.QualityClassifier.paretoKeep(col("score") * 10,
+            col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // --- end-to-end pretraining pipeline (engine-native, rows-only):
     //     cleanPages → ExactSubstr scrub → cascade filter → epoch mixing,
     //     with materialization boundaries built in (PretrainSpec locks it

@@ -1,0 +1,89 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference-vs-crawl quality classifier — the GPT-3 quality-filter shape
+  * (Brown et al. 2020 §A: a classifier trained to separate a high-quality
+  * reference corpus from raw crawl, documents kept when
+  * `pareto(α=9) > 1 − score`; Llama's pipeline runs the same step via a
+  * fastText classifier). The reference engine has no counterpart
+  * (north-rule surface, like L1–L6).
+  *
+  * The model here is the deterministic cousin: Naive Bayes log-odds over
+  * char trigrams (add-k smoothed, k = 0.5 — the same smoothing as the
+  * engine's langid table), score = MEAN per-trigram log-odds so length
+  * doesn't dominate. Deterministic end to end: fitting is two
+  * map-side-combinable count aggregations, scoring is one broadcast flat
+  * loop, and the Pareto draw uses the [[Mix.docRank]] uniform instead of
+  * an RNG — same corpus, same verdicts, any cluster size, any run.
+  *
+  * Scale shape (100 TB): fit exchanges carry one `(trigram, count)` row
+  * per DISTINCT trigram per side (the trigram space is charset-bounded,
+  * not corpus-bounded — it saturates in the low millions for real text);
+  * the driver holds only the ≤ `maxFeatures` model (loud failure beyond,
+  * never a silent cap). Scoring and the keep rule are purely narrow.
+  */
+object QualityClassifier {
+
+  /** Broadcastable model: packed-trigram → log-odds(ref vs crawl), plus
+    * the unseen-trigram log-odds.
+    */
+  final case class Model(
+      logOdds: java.util.HashMap[Long, java.lang.Double],
+      unkLogOdds: Double) extends Serializable
+
+  /** Fit on a reference corpus (the "high-quality" side) and a crawl
+    * corpus. `maxFeatures` bounds driver/broadcast state; exceeding it
+    * fails loudly (raise it or pre-truncate — never silently dropped).
+    */
+  def fit(ref: DataFrame, crawl: DataFrame, textCol: String,
+      maxFeatures: Int = 2000000): Model = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(vigil.functions.trigram_keys(col(textCol))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as(as))
+    val rows = counts(ref, "cr")
+      .join(counts(crawl, "cc"), Seq("g"), "full")
+      .select(col("g"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+      .limit(maxFeatures + 1)
+      .collect()
+    require(rows.length <= maxFeatures,
+      s"trigram feature space exceeds maxFeatures=$maxFeatures — raise it " +
+        "(driver/broadcast bound) or pre-normalize the corpora")
+    val k = 0.5
+    val vocab = rows.length.toDouble + 1.0
+    val totR = rows.map(_.getLong(1)).sum.toDouble
+    val totC = rows.map(_.getLong(2)).sum.toDouble
+    val m = new java.util.HashMap[Long, java.lang.Double](rows.length * 2)
+    rows.foreach { r =>
+      val lo = math.log((r.getLong(1) + k) / (totR + k * vocab)) -
+        math.log((r.getLong(2) + k) / (totC + k * vocab))
+      m.put(r.getLong(0), lo)
+    }
+    val unk = math.log(k / (totR + k * vocab)) -
+      math.log(k / (totC + k * vocab))
+    Model(m, unk)
+  }
+
+  /** Score a corpus: `(…input cols…, score)` — mean per-trigram log-odds
+    * under the broadcast model (0 = neutral; > 0 reads reference-like).
+    */
+  def score(df: DataFrame, textCol: String, model: Model): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    df.withColumn("score", vigil.functions.nb_score(col(textCol), bc))
+  }
+
+  /** The GPT-3 §A keep rule, deterministic: keep iff
+    * `pareto(α) > 1 − score`, with the Pareto draw inverted from the
+    * [[Mix.docRank]] uniform (`x = (1−u)^(−1/α) − 1`, the standard
+    * inverse-CDF). High-score docs always survive (score ≥ 1 keeps even
+    * at x = 0); low-score docs survive with the Pareto tail probability —
+    * the paper's trade that keeps SOME low-score mass so the filter
+    * doesn't collapse the distribution.
+    */
+  def paretoKeep(score: Column, id: Column, alpha: Double = 9.0): Column = {
+    val u = (Mix.docRank(id) + lit(0.5)) / lit(4294967296.0)
+    (pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)) > (lit(1.0) - score)
+  }
+}

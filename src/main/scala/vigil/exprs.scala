@@ -894,6 +894,99 @@ object SpanSpliceExpr {
     StructField("n_removed", LongType, nullable = false)))
 }
 
+/** Packed char-trigram keys of a normalized text — the feature extractor
+  * of [[vigil.QualityClassifier]]. Normalization (normative): every
+  * Unicode LETTER code point lowercased, every other code point becomes a
+  * space, space runs collapse to one. Each surviving trigram (window of 3
+  * normalized code points) packs into a long `(a << 42) | (b << 21) | c`
+  * (code points ≤ 0x10FFFF fit 21 bits). Emits one element per trigram
+  * OCCURRENCE (multiplicity matters — the fit counts them). Flat loop,
+  * zero intermediate strings.
+  */
+case class TriGramKeysExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "trigram_keys"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val norm = TriGramKeysExpr.normalize(text)
+    val n = norm.length - 2
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (norm(i).toLong << 42) | (norm(i + 1).toLong << 21) |
+        norm(i + 2).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TriGramKeysExpr =
+    copy(child = c)
+}
+
+object TriGramKeysExpr {
+  /** Normalized code points: letters lowercased, runs of anything else
+    * collapse to one space.
+    */
+  def normalize(text: String): Array[Int] = {
+    val cps = text.codePoints().toArray
+    val out = new Array[Int](cps.length)
+    var n = 0
+    var lastSpace = true
+    var i = 0
+    while (i < cps.length) {
+      val cp = cps(i)
+      if (Character.isLetter(cp)) {
+        out(n) = Character.toLowerCase(cp); n += 1; lastSpace = false
+      } else if (!lastSpace) {
+        out(n) = ' '.toInt; n += 1; lastSpace = true
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+}
+
+/** Mean trigram log-odds of a text under a broadcast
+  * [[vigil.QualityClassifier.Model]] — the scoring pass of the
+  * reference-vs-crawl quality classifier. Same normalization and packing
+  * as [[TriGramKeysExpr]]; texts with no trigram score 0 (neutral).
+  * Narrow flat loop, one hash probe per trigram.
+  */
+case class NbScoreExpr(
+    child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[QualityClassifier.Model])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nb_score"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val norm = TriGramKeysExpr.normalize(text)
+    val n = norm.length - 2
+    if (n <= 0) return 0.0
+    val m = model.value
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val k = (norm(i).toLong << 42) | (norm(i + 1).toLong << 21) |
+        norm(i + 2).toLong
+      val lo = m.logOdds.get(k)
+      s += (if (lo == null) m.unkLogOdds else lo.doubleValue())
+      i += 1
+    }
+    s / n
+  }
+  override protected def withNewChildInternal(c: Expression): NbScoreExpr =
+    copy(child = c)
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -926,4 +1019,10 @@ object functions {
     VigilShim.column(SpanWindowHashesExpr(expr(text), n))
   def span_splice(text: Column, starts: Column, n: Int): Column =
     VigilShim.column(SpanSpliceExpr(expr(text), expr(starts), n))
+  def trigram_keys(text: Column): Column =
+    VigilShim.column(TriGramKeysExpr(expr(text)))
+  def nb_score(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[QualityClassifier.Model])
+      : Column =
+    VigilShim.column(NbScoreExpr(expr(text), model))
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.QualityClassifier
+
+/** Reference-vs-crawl quality classifier: hand-computed NB log-odds,
+  * normalization, Pareto keep-rule semantics, fixture discrimination,
+  * determinism, loud feature-bound failure.
+  */
+class QualityClassifierSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("hand NB: add-k log-odds, unseen trigram neutral, mean not sum") {
+    val model = QualityClassifier.fit(
+      Seq((1L, "aaaa")).toDF("id", "text"),
+      Seq((2L, "bbbb")).toDF("id", "text"), "text")
+    // vocab = {aaa, bbb} + 1, totals 2/2, k = 0.5:
+    // logOdds(aaa) = ln(2.5/3.5) - ln(0.5/3.5) = ln 5; bbb symmetric;
+    // unk = ln(0.5/3.5) - ln(0.5/3.5) = 0
+    val out = QualityClassifier.score(
+      Seq((1L, "aaaa"), (2L, "bbbb"), (3L, "cccc"), (4L, "ab"))
+        .toDF("id", "text"), "text", model)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(math.abs(out(0)._2 - math.log(5.0)) < 1e-12) // mean of 2× ln 5
+    assert(math.abs(out(1)._2 + math.log(5.0)) < 1e-12)
+    assert(out(2)._2 == 0.0)   // unseen trigram → unk = 0 here
+    assert(out(3)._2 == 0.0)   // < 3 normalized chars → neutral
+  }
+
+  test("normalization: case-folded letters, everything else one space") {
+    // "Hello,   WORLD!" and "hello world!" normalize identically (both
+    // end in a collapsed trailing space from the '!')
+    val model = QualityClassifier.fit(
+      Seq((1L, "hello world")).toDF("id", "text"),
+      Seq((2L, "zzz qqq vvv")).toDF("id", "text"), "text")
+    val s = QualityClassifier.score(
+      Seq((1L, "Hello,   WORLD!"), (2L, "hello world!")).toDF("id", "text"),
+      "text", model)
+      .orderBy("id").collect().map(_.getDouble(2))
+    assert(s(0) == s(1))
+  }
+
+  test("pareto keep: high scores always survive, tail is deterministic") {
+    val df = spark.range(0, 2000).select(col("id"),
+      lit(1.5).as("hi"), lit(-5.0).as("lo"), lit(0.7).as("mid"))
+    val out = df.select(col("id"),
+      QualityClassifier.paretoKeep(col("hi"), col("id")).as("kh"),
+      QualityClassifier.paretoKeep(col("lo"), col("id")).as("kl"),
+      QualityClassifier.paretoKeep(col("mid"), col("id")).as("km"))
+      .collect()
+    assert(out.forall(_.getBoolean(1)), "score > 1 must always keep")
+    val loKept = out.count(_.getBoolean(2))
+    val midKept = out.count(_.getBoolean(3))
+    // monotone in score, and the tail keeps SOME low-score mass (the
+    // paper's trade) but not much at score = -5 (P ≈ (1-score)^-9 ≈ 1e-7)
+    assert(loKept == 0 && midKept > 0 && midKept < 2000)
+    // deterministic: same ids, same verdicts
+    val again = df.select(
+      QualityClassifier.paretoKeep(col("mid"), col("id"))).collect()
+      .count(_.getBoolean(0))
+    assert(again == midKept)
+  }
+
+  test("fixture: en-vs-rest fit separates the classes on average") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val model = QualityClassifier.fit(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"), "text")
+    val scored = QualityClassifier.score(
+      docs.select("doc_id", "lang", "text"), "text", model)
+    val avg = scored.groupBy(col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.avg("score")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(avg(true) > avg(false),
+      s"en ${avg(true)} should score above rest ${avg(false)}")
+    val kept = scored.select(QualityClassifier.paretoKeep(
+      col("score") * 10, col("doc_id")).as("k"))
+      .groupBy("k").count().collect().map(r => r.getBoolean(0)).toSet
+    assert(kept == Set(true, false), "keep rule must discriminate")
+  }
+
+  test("feature bound fails loudly, not silently") {
+    val ref = Seq((1L, ('a' to 'z').mkString(" "))).toDF("id", "text")
+    val crawl = Seq((2L, "zz")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.fit(ref, crawl, "text", maxFeatures = 3)
+    }
+    assert(e.getMessage.contains("maxFeatures"))
+  }
+}
