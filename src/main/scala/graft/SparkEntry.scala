@@ -891,6 +891,26 @@ object SparkEntry {
         Map("src0" -> 2.5), defaultEpochs = 0.4)
         .orderBy("doc_id", "copy")
     }),
+    // --- SemDeDup (engine-native, rows-only — k-means float centroids
+    //     have no SQL twin): cluster the planted-copies embedding corpus
+    //     with the stored-index k-means, drop within-cluster pairs at
+    //     cos ≥ 0.99; SemDedupSpec locks k=1 ≡ brute all-pairs and ≥90%
+    //     planted recall at k=16 --------------------------------------
+    "q_semdedup" -> ((s, dir) => {
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      val copies = base
+        .select((col("vec_id") + lit(1000000L)).as("new_id"),
+          col("embedding"))
+        .select(col("new_id").as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.005))
+              .cast("float")).as("embedding"))
+      val all = base.unionByName(copies).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      vigil.ann.SemDedup.semDedup(all, "vec_id", "embedding",
+        nCentroids = 16, minCos = 0.99)
+        .orderBy("vec_id")
+    }),
     // --- GPT-3-style quality classifier (engine-native, rows-only —
     //     float LM scores have no SQL twin, the langid precedent): NB
     //     trigram log-odds fit on en-vs-rest, mean-per-trigram score,

@@ -1,0 +1,78 @@
+package vigil.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication — SemDeDup (Abbas et al. 2023: k-means-cluster
+  * the embedding space, then drop near-duplicate pairs WITHIN each
+  * cluster), composed from this engine's stored-index k-means
+  * ([[Ann.ivfBuild]]) and the flat-loop cosine kernel. The reference
+  * engine has no counterpart (north-rule surface).
+  *
+  * Where [[Ann.cosineNearDupPairs]] finds candidates by sign-LSH banding
+  * (probabilistic recall, designed at a target cosine), SemDeDup blocks
+  * by cluster membership: exact within a cluster, and missing exactly
+  * the pairs that straddle a Voronoi boundary — the paper's own
+  * recall trade. Pair volume is Σ|cluster|², so `nCentroids` should
+  * scale ∝ corpus/targetClusterSize (the paper runs 50k clusters at
+  * 100M scale); the within-cluster join shuffles on `cid`, which AQE
+  * skew-splits when one cluster balloons.
+  *
+  * Drop policy (normative): greedy smallest-id — every `id_b` of a
+  * within-cluster pair at `cos ≥ minCos` drops, so the smallest id of
+  * each duplicate group survives (the same greedy policy as
+  * [[vigil.DocFilter]]'s near-dup rung; the paper keeps the member
+  * farthest from the centroid — id-greedy is deterministic under
+  * re-clustering and spec-checkable, and the kept-count is identical).
+  * `transitive = true` instead drops everything but the smallest id of
+  * each CONNECTED COMPONENT of the pair graph
+  * ([[vigil.dedup.Dedup.connectedComponents]]).
+  *
+  * `SemDedupSpec` locks `nCentroids = 1` ≡ the brute all-pairs dedup
+  * (clustering can then hide nothing) and soundness at any k (every
+  * dropped id has a same-cluster partner at `cos ≥ minCos`).
+  */
+object SemDedup {
+
+  /** Within-cluster duplicate pairs over an [[Ann.ivfBuild]]/
+    * [[Ann.ivfAssign]] posting table `(cid, nn_id, nn_vec)`:
+    * `(cid, id_a, id_b, cos)` with `id_a < id_b`, `cos ≥ minCos`.
+    */
+  def semDedupPairs(posting: DataFrame, minCos: Double): DataFrame = {
+    val a = posting.select(col("cid"), col("nn_id").as("id_a"),
+      col("nn_vec").as("__va"))
+    val b = posting.select(col("cid"), col("nn_id").as("id_b"),
+      col("nn_vec").as("__vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Ann.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= minCos)
+      .select("cid", "id_a", "id_b", "cos")
+  }
+
+  /** Cluster + dedup in one call. Output: one row per (non-null-vector)
+    * input embedding — `(idCol, cid, keep)`.
+    */
+  def semDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, minCos: Double = 0.99,
+      transitive: Boolean = false,
+      iterations: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val (_, posting) = Ann.ivfBuild(embeddings, idCol, vecCol,
+      nCentroids, iterations, dim, seed)
+    val p = posting.localCheckpoint(true) // built once; pairs join it twice
+    val pairs = semDedupPairs(p, minCos)
+    val drops =
+      (if (transitive)
+        vigil.dedup.Dedup.connectedComponents(
+          p.select(col("nn_id").as(idCol)), idCol,
+          pairs.select("id_a", "id_b"))
+          .filter(col(idCol) =!= col("component")).select(col(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct())
+        .withColumn("__drop", lit(true))
+    p.select(col("nn_id").as(idCol), col("cid"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        (!coalesce(col("__drop"), lit(false))).as("keep"))
+  }
+}

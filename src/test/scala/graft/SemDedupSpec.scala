@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.ann.{Ann, SemDedup}
+
+/** SemDeDup: nCentroids=1 ≡ brute all-pairs dedup, planted-duplicate
+  * recall at real cluster counts, greedy vs transitive policies,
+  * determinism.
+  */
+class SemDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  /** Fixture embeddings plus deterministic near-identical copies at
+    * cos ≈ 0.9999 (the q_cosine_neardup planting).
+    */
+  private def planted: DataFrame = {
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val copies = base
+      .select((col("vec_id") + lit(1000000L)).as("new_id"), col("embedding"))
+      .select(col("new_id").as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.005))
+            .cast("float")).as("embedding"))
+    base.unionByName(copies)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+  }
+
+  private def keeps(df: DataFrame): Map[Long, Boolean] =
+    df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+
+  test("nCentroids = 1 ≡ brute all-pairs dedup (clustering hides nothing)") {
+    val p = planted.localCheckpoint(true)
+    val sem = keeps(SemDedup.semDedup(p, "vec_id", "embedding",
+      nCentroids = 1, minCos = 0.99))
+    val a = p.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = p.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val bruteDrops = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        Ann.cosine(col("va"), col("vb")) >= 0.99)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(sem.size == 1000)
+    sem.foreach { case (id, keep) =>
+      assert(keep == !bruteDrops.contains(id), s"id $id")
+    }
+    assert(bruteDrops.nonEmpty && bruteDrops.size < 1000)
+  }
+
+  test("planted duplicates: recall at a real cluster count + determinism") {
+    val p = planted.localCheckpoint(true)
+    val sem = keeps(SemDedup.semDedup(p, "vec_id", "embedding",
+      nCentroids = 16, minCos = 0.99))
+    // every planted copy whose original shares its cluster must drop; the
+    // paper's trade is ONLY boundary-straddling pairs — demand ≥ 90%
+    val dropped = (0L until 500L).count(i => !sem(i + 1000000L) || !sem(i))
+    assert(dropped >= 450, s"only $dropped/500 planted pairs deduped")
+    // soundness: drops come only from real pairs — every dropped id has a
+    // same-cluster partner at cos ≥ minCos (re-derive pairs and check)
+    val (_, posting) = Ann.ivfBuild(p, "vec_id", "embedding", 16)
+    val pairIds = SemDedup.semDedupPairs(posting.localCheckpoint(true), 0.99)
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    sem.filterNot(_._2).keys.foreach(id =>
+      assert(pairIds.contains(id), s"dropped $id has no qualifying pair"))
+    assert(keeps(SemDedup.semDedup(p, "vec_id", "embedding",
+      nCentroids = 16, minCos = 0.99)) == sem, "not deterministic")
+  }
+
+  test("greedy keeps star leaves; transitive collapses the component") {
+    // c is within cos 0.7 of both a and b, but a ⊥ b
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val greedy = keeps(SemDedup.semDedup(vs, "vec_id", "embedding",
+      nCentroids = 1, minCos = 0.7, dim = 4))
+    assert(greedy == Map(1L -> true, 2L -> true, 3L -> false))
+    val trans = keeps(SemDedup.semDedup(vs, "vec_id", "embedding",
+      nCentroids = 1, minCos = 0.7, transitive = true, dim = 4))
+    assert(trans == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+}
