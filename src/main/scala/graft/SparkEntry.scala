@@ -241,6 +241,23 @@ object SparkEntry {
     base
   }
 
+  /** semdedup family: stored k-means index (centroids + posting) over the
+    * cosine family's planted corpus; the batch is the same slice.
+    */
+  private def semDedupBase(dir: String) = s"${storedTableRoot(dir)}/semdedup"
+  private def buildSemDedupTables(
+      s: SparkSession, dir: String, force: Boolean): String = {
+    val base = semDedupBase(dir)
+    ensureBuilt(base, Seq("centroids", "posting"), force) {
+      val (corpus, _) = cosineCorpusBatch(s, dir)
+      val (c, p) = Ann.ivfBuild(corpus, "vec_id", "embedding",
+        nCentroids = 16)
+      c.write.mode("overwrite").parquet(s"$base/centroids")
+      p.write.mode("overwrite").parquet(s"$base/posting")
+    }
+    base
+  }
+
   /** span-dedup (ExactSubstr) family: every 3rd doc is the new batch, the
     * rest the corpus whose window stats are the stored table. The slices
     * partition `documents`, so the incremental theorem's corpus∪batch IS
@@ -909,6 +926,23 @@ object SparkEntry {
         col("embedding").cast("array<double>").as("embedding"))
       vigil.ann.SemDedup.semDedup(all, "vec_id", "embedding",
         nCentroids = 16, minCos = 0.99)
+        .orderBy("vec_id")
+    }),
+    // --- incremental SemDeDup (engine-native, rows-only): a NEW batch
+    //     assigned with the STORED centroids, deduped against the stored
+    //     posting table — the no-retrain ingest shape; spec-locked ≡ the
+    //     batch slice of same-centroids dedup over the union ------------
+    "q_semdedup_build" -> ((s, dir) => {
+      builtSummary(s, buildSemDedupTables(s, dir, force = true),
+        Seq("centroids", "posting"))
+    }),
+    "q_semdedup_incremental" -> ((s, dir) => {
+      val base = buildSemDedupTables(s, dir, force = false)
+      val (_, batch) = cosineCorpusBatch(s, dir)
+      vigil.ann.SemDedup.semDedupIncremental(
+        s.read.parquet(s"$base/centroids"),
+        s.read.parquet(s"$base/posting"),
+        batch, "vec_id", "embedding", minCos = 0.99)
         .orderBy("vec_id")
     }),
     // --- GPT-3-style quality classifier (engine-native, rows-only —

@@ -50,6 +50,42 @@ object SemDedup {
       .select("cid", "id_a", "id_b", "cos")
   }
 
+  /** The recurring-ingest shape: semantically dedup a NEW batch against a
+    * STORED index (centroids + posting tables from [[Ann.ivfBuild]] /
+    * prior [[Ann.ivfAssign]] appends) — no retraining, no corpus
+    * recompute. The batch is assigned with the stored centroids; a batch
+    * embedding drops iff it has a same-cluster partner at `cos ≥ minCos`
+    * in the CORPUS (corpus is canonical — already served, never
+    * rewritten — so it drops regardless of id order) or among
+    * smaller-id batch members (the greedy batch-internal policy).
+    * When corpus ids sort below batch ids this equals the batch slice of
+    * [[semDedup]] run with the SAME stored centroids over corpus ∪ batch
+    * (spec-asserted — retraining on the union would move centroids, which
+    * is exactly what the no-retrain contract avoids). Append the kept
+    * rows' [[Ann.ivfAssign]] output to the posting table afterwards.
+    * Output: `(idCol, cid, keep)`, one row per batch embedding.
+    */
+  def semDedupIncremental(
+      centroidsDf: DataFrame, posting: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minCos: Double = 0.99): DataFrame = {
+    val b = Ann.ivfAssign(centroidsDf, batch, idCol, vecCol)
+      .localCheckpoint(true) // assigned once; three frames below read it
+    val bx = b.select(col("cid"), col("nn_id").as("id_b"),
+      col("nn_vec").as("__vb"))
+    val vsCorpus = posting
+      .select(col("cid"), col("nn_id").as("id_a"), col("nn_vec").as("__va"))
+      .join(bx, Seq("cid"))
+      .filter(Ann.cosine(col("__va"), col("__vb")) >= minCos)
+      .select(col("id_b"))
+    val vsBatch = semDedupPairs(b, minCos).select(col("id_b"))
+    val drops = vsCorpus.unionByName(vsBatch).distinct()
+      .select(col("id_b").as(idCol)).withColumn("__drop", lit(true))
+    b.select(col("nn_id").as(idCol), col("cid"))
+      .join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        (!coalesce(col("__drop"), lit(false))).as("keep"))
+  }
+
   /** Cluster + dedup in one call. Output: one row per (non-null-vector)
     * input embedding — `(idCol, cid, keep)`.
     */

@@ -77,6 +77,48 @@ class SemDedupSpec extends AnyFunSuite {
       nCentroids = 16, minCos = 0.99)) == sem, "not deterministic")
   }
 
+  test("incremental ≡ batch slice of same-centroids dedup over the union") {
+    val all = planted.localCheckpoint(true)
+    val corpus = all.filter(col("vec_id") < 1000000L)
+    // batch = every 3rd planted copy (drops against its corpus original)
+    // plus NOVEL vectors at a 0.5-amplitude perturbation (cos far below
+    // 0.99 against anything → must survive)
+    val novel = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select((col("vec_id") + lit(2000000L)).as("new_id"), col("embedding"))
+      .select(col("new_id").as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.5))
+            .cast("float")).as("embedding"))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val batch = all.filter(col("vec_id") >= 1000000L &&
+      pmod(col("vec_id"), lit(3)) === 0).unionByName(novel)
+    // stored-index mirror: centroids + posting round-trip through parquet
+    val dir = java.nio.file.Files.createTempDirectory("vigil_semidx").toString
+    val (cents, posting) = Ann.ivfBuild(corpus, "vec_id", "embedding", 16)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    posting.write.mode("overwrite").parquet(s"$dir/posting")
+    val sc = spark.read.parquet(s"$dir/centroids")
+    val sp = spark.read.parquet(s"$dir/posting")
+    val inc = keeps(SemDedup.semDedupIncremental(sc, sp, batch,
+      "vec_id", "embedding", minCos = 0.99))
+    // reference: assign corpus∪batch with the SAME stored centroids,
+    // pairwise within clusters, greedy drop — sliced to batch ids
+    val postingAll = Ann.ivfAssign(sc,
+      corpus.unionByName(batch), "vec_id", "embedding").localCheckpoint(true)
+    val drops = SemDedup.semDedupPairs(postingAll, 0.99)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(inc.keySet == batchIds)
+    inc.foreach { case (id, keep) =>
+      assert(keep == !drops.contains(id), s"id $id") }
+    // discriminates: planted copies drop against their corpus originals,
+    // and at least one batch member survives
+    assert(inc.values.exists(!_) && inc.values.exists(identity))
+  }
+
   test("greedy keeps star leaves; transitive collapses the component") {
     // c is within cos 0.7 of both a and b, but a ⊥ b
     val vs = Seq(
