@@ -15,8 +15,9 @@ import vigil.dedup.{Dedup, LineDedup}
   * (normative cascade order below), and the scrubbed text for kept docs.
   *
   * Cascade order (normative): language → quality → repetition → toxicity →
-  * [contaminated, when a benchmark table is configured] → exact_duplicate →
-  * near_duplicate. PII never drops a document — it is scrubbed (reference
+  * [classifier, when a fitted model is configured] → [contaminated, when a
+  * benchmark table is configured] → exact_duplicate → near_duplicate.
+  * PII never drops a document — it is scrubbed (reference
   * semantics: detector scrubs, conversation-level density rules are
   * transcript-shaped, not doc-shaped).
   *
@@ -70,7 +71,15 @@ object DocFilter {
         * exact-dedup in the cascade. None (default) disables the rule.
         */
       benchmark: Option[DataFrame] = None,
-      decontamN: Int = 3)
+      decontamN: Int = 3,
+      /** GPT-3-style quality-classifier hook: when set, documents whose
+        * mean trigram log-odds under the fitted
+        * [[QualityClassifier.Model]] falls below the threshold drop with
+        * reason `classifier`, between toxicity and decontamination in
+        * the cascade (rule-based quality first, statistical second).
+        * None (default) disables the rung.
+        */
+      classifier: Option[(QualityClassifier.Model, Double)] = None)
   val Default: Config = Config()
 
   /** The stateless prefix: fused scoring spine + stopword frac + doc-level
@@ -110,14 +119,28 @@ object DocFilter {
         .select(col(idCol), lit(true).as("__contaminated"))
     }
 
+  /** (id, __low_quality) flag frame for the classifier rule, or None when
+    * no model is configured. Narrow lineage from the storage scan (one
+    * broadcast flat-loop scoring pass).
+    */
+  private def classifierFlags(
+      docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): Option[DataFrame] =
+    cfg.classifier.map { case (model, minScore) =>
+      QualityClassifier.score(docs.select(col(idCol), col(textCol)),
+          textCol, model)
+        .filter(col("score") < minScore)
+        .select(col(idCol), lit(true).as("__low_quality"))
+    }
+
   /** Cascade verdict + output projection over the stateless frame joined
     * with (id, __exact_dup) / (id, __near_dup) flag frames.
     */
   private def assemble(
       stateless: DataFrame, exactDups: DataFrame, nearDups: DataFrame,
-      contaminated: Option[DataFrame],
+      contaminated: Option[DataFrame], lowQuality: Option[DataFrame],
       idCol: String, cfg: Config): DataFrame =
-    contaminated.foldLeft(
+    (contaminated.toSeq ++ lowQuality.toSeq).foldLeft(
       stateless
         .join(exactDups, Seq(idCol), "left")
         .join(nearDups, Seq(idCol), "left"))(
@@ -127,6 +150,11 @@ object DocFilter {
           .when(!col("quality_pass"), "quality")
           .when(!col("repetition_pass"), "repetition")
           .when(col("toxic"), "toxicity")
+          .when(
+            if (lowQuality.isDefined)
+              coalesce(col("__low_quality"), lit(false))
+            else lit(false),
+            "classifier")
           .when(
             if (contaminated.isDefined)
               coalesce(col("__contaminated"), lit(false))
@@ -219,7 +247,8 @@ object DocFilter {
     else vpairs.select(col("id_b").as(idCol)).distinct())
       .withColumn("__near_dup", lit(true))
     assemble(statelessScored(docs, idCol, textCol, cfg),
-      exactDups, nearDups, contamFlags(docs, idCol, textCol, cfg), idCol, cfg)
+      exactDups, nearDups, contamFlags(docs, idCol, textCol, cfg),
+      classifierFlags(docs, idCol, textCol, cfg), idCol, cfg)
   }
 
   /** The recurring-ingest shape: filter a NEW batch against a STORED
@@ -282,7 +311,7 @@ object DocFilter {
       .withColumn("__near_dup", lit(true))
 
     assemble(statelessScored(batch, idCol, textCol, cfg),
-      exactDups, nearDups, contamFlags(batch, idCol, textCol, cfg), idCol,
-      cfg)
+      exactDups, nearDups, contamFlags(batch, idCol, textCol, cfg),
+      classifierFlags(batch, idCol, textCol, cfg), idCol, cfg)
   }
 }

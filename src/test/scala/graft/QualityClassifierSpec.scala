@@ -88,6 +88,37 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(kept == Set(true, false), "keep rule must discriminate")
   }
 
+  test("DocFilter cascade rung: classifier drops land between toxicity " +
+      "and contamination") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val model = QualityClassifier.fit(
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(col("lang") === "en"),
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(col("lang") =!= "en"), "text")
+    val cfg = vigil.DocFilter.Default.copy(
+      classifier = Some((model, 0.0)))
+    val out = vigil.DocFilter.filterDocs(docs, "doc_id", "text", cfg)
+    val reasons = out.groupBy("drop_reason").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("keep") -> r.getLong(1))
+      .toMap
+    assert(reasons.contains("classifier"), s"no classifier drops: $reasons")
+    // every classifier drop really scores below the threshold, and
+    // every rule EARLIER in the cascade still claims its own docs
+    val dropped = out.filter(col("drop_reason") === "classifier")
+      .select("doc_id")
+    val scored = QualityClassifier.score(docs, "text", model)
+      .join(dropped, Seq("doc_id"), "leftsemi")
+    assert(scored.filter(col("score") >= 0.0).count() == 0)
+    assert(reasons.contains("language"),
+      "language rung should fire before classifier on this corpus")
+    // default config (no model) is untouched — no classifier reason
+    val def0 = vigil.DocFilter.filterDocs(docs, "doc_id", "text")
+      .filter(col("drop_reason") === "classifier").count()
+    assert(def0 == 0)
+  }
+
   test("feature bound fails loudly, not silently") {
     val ref = Seq((1L, ('a' to 'z').mkString(" "))).toDF("id", "text")
     val crawl = Seq((2L, "zz")).toDF("id", "text")

@@ -118,6 +118,26 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(stored == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("extreme key skew: one banner window shared by every doc") {
+    // 2000 docs = one 60-char banner + an x-padded id tail: the banner's
+    // 11 interior windows occur 2000× each, and the x-run windows occur
+    // tens of thousands of times ACROSS positions — two white-hot join
+    // key families at once. The claim under that skew is exactness:
+    // bit-equal to the string-keyed twin, with the banner always covered.
+    val banner = (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '7')).mkString
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"),
+      concat(lit(banner), lpad(col("id").cast("string"), 60, "x"))
+        .as("text")).localCheckpoint(true)
+    val out = rows(SpanDedup.scrubRepeatedSpans(docs, "doc_id", "text",
+      L = 50, minCount = 2L))
+    val twin = rows(SpanDedup.scrubRepeatedSpansByString(docs, "doc_id",
+      "text", L = 50, minCount = 2L))
+    assert(out == twin, "skewed-key scrub diverged from the twin")
+    assert(out.size == 2000 &&
+      out.forall(r => r._6 && r._4 >= 11L && r._5 >= 60L),
+      "banner not covered everywhere under skew")
+  }
+
   test("a repeated substring longer than L is covered in full") {
     // 60-codepoint shared prefix of DISTINCT chars (no self-repeats — the
     // duplication is strictly cross-doc), L=50: all 11 of its windows
