@@ -928,6 +928,17 @@ object SparkEntry {
         nCentroids = 16, minCos = 0.99)
         .orderBy("vec_id")
     }),
+    // --- sequence packing (oracle-paired): the corpus as one token
+    //     stream in id order, chunked into 1024-token training blocks;
+    //     two-phase distributed prefix sum (explicit id-range buckets →
+    //     per-bucket totals → parallel within-bucket windows), output
+    //     bucket-count-invariant (PackSpec) and pure integer math — the
+    //     DuckDB global-window cumsum is bit-exact ----------------------
+    "q_pack" -> ((s, dir) => {
+      vigil.Pack.chunkOffsets(docs(s, dir), "doc_id", "text",
+        blockTokens = 1024L)
+        .orderBy("doc_id")
+    }),
     // --- incremental SemDeDup (engine-native, rows-only): a NEW batch
     //     assigned with the STORED centroids, deduped against the stored
     //     posting table — the no-retrain ingest shape; spec-locked ≡ the
@@ -1636,6 +1647,27 @@ object SparkEntry {
          FROM tot t LEFT JOIN reb r ON t.gid = r.gid
          WHERE t.gid >= 1000
          ORDER BY id""",
+    // sequence packing: global token-stream cumsum in doc_id order,
+    // chunked into 1024-token blocks; empty docs sit at the cursor
+    "q_pack" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS gs
+           FROM tok)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(gs AS BIGINT) AS global_start,
+           CAST(gs // 1024 AS BIGINT) AS first_block,
+           CAST(CASE WHEN n_tokens > 0
+             THEN (gs + n_tokens - 1) // 1024
+             ELSE gs // 1024 END AS BIGINT) AS last_block,
+           CAST(gs % 1024 AS BIGINT) AS offset_in_first
+         FROM c ORDER BY doc_id""",
     // corpus mixing: greedy rank-prefix budget sampling; rank = Knuth
     // multiplicative hash (id * 2654435761 mod 2^32), kept while the
     // running token total within the source stays <= the budget

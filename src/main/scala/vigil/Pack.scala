@@ -1,0 +1,118 @@
+package vigil
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the last step before a training run: the corpus is
+  * one token stream in document-id order, chunked into fixed
+  * `blockTokens` training blocks; a document starts wherever the stream
+  * cursor is and may straddle block boundaries (the GPT-style
+  * concatenate-then-chunk packing; the alternative never-split greedy
+  * bin packing is inherently sequential — a carry that resets on
+  * overflow cannot be expressed as a prefix sum — and at 100 TB the
+  * chunked form is what trainers actually consume).
+  *
+  * The core is a GLOBAL prefix sum in id order, which Spark's window
+  * functions only offer as a single-reducer sort (one `ORDER BY` window
+  * over the whole corpus — a non-starter at scale). This implements the
+  * classic two-phase distributed prefix sum instead:
+  *
+  *   1. rows bucket by EXPLICIT id range (deterministic — unlike
+  *      `repartitionByRange`, whose sampled boundaries are not
+  *      reproducible across runs, and the bucket id must be identical in
+  *      both phases);
+  *   2. phase 1 aggregates one `(bucket, total)` row per bucket (driver
+  *      state = #buckets), whose exclusive running sums become broadcast
+  *      offsets;
+  *   3. phase 2 computes the within-bucket running sum with a window
+  *      PARTITIONED by bucket (parallel, spillable) and adds the
+  *      bucket's offset.
+  *
+  * Output is bucket-count-INVARIANT (spec-asserted at several counts and
+  * against the one-window twin): one row per doc —
+  * `(idCol, n_tokens, global_start, first_block, last_block,
+  * offset_in_first)` — where `global_start` is the doc's first token's
+  * position in the corpus stream, blocks are `blockTokens` wide, and
+  * empty docs occupy `[first_block, last_block] = [block, block]` of
+  * width zero at the cursor.
+  */
+object Pack {
+
+  def chunkOffsets(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Long, buckets: Int = 64): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol),
+      TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+
+    // deterministic ordered buckets from the id span (one tiny agg job);
+    // skewed id ranges only skew bucket SIZES, never correctness
+    val mm = base.agg(min(col(idCol)), max(col(idCol))).head()
+    if (mm.isNullAt(0)) return emptyOut(base, idCol)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val withB = base.withColumn("__b",
+      ((col(idCol) - lit(lo)) / lit(width)).cast("long"))
+
+    // phase 1: per-bucket totals → exclusive prefix offsets (driver math
+    // over ≤ `buckets` rows)
+    val totals = withB.groupBy("__b").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((-1L, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).map { case Array((_, acc), (b, _)) => b -> acc }.toMap
+    val offDf = spark.createDataFrame(
+      offsets.toSeq.map(kv => (kv._1, kv._2)))
+      .toDF("__b", "__off")
+
+    // phase 2: within-bucket running sum (parallel window) + offset
+    val w = Window.partitionBy("__b").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(offDf), Seq("__b"))
+      .withColumn("global_start", col("__off") + col("__cum") - col("n_tokens"))
+      .withColumn("first_block",
+        floor(col("global_start") / lit(blockTokens)))
+      .withColumn("last_block",
+        when(col("n_tokens") > 0, floor(
+          (col("global_start") + col("n_tokens") - 1) / lit(blockTokens)))
+          .otherwise(col("first_block")))
+      .withColumn("offset_in_first", pmod(col("global_start"), lit(blockTokens)))
+      .select(col(idCol), col("n_tokens"), col("global_start"),
+        col("first_block"), col("last_block"), col("offset_in_first"))
+  }
+
+  /** One-window normative twin (single-reducer global sort — the spec
+    * compares against it; production uses [[chunkOffsets]]).
+    */
+  def chunkOffsetsByWindow(
+      docs: DataFrame, idCol: String, textCol: String,
+      blockTokens: Long): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol),
+        TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("global_start",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("first_block",
+        floor(col("global_start") / lit(blockTokens)))
+      .withColumn("last_block",
+        when(col("n_tokens") > 0, floor(
+          (col("global_start") + col("n_tokens") - 1) / lit(blockTokens)))
+          .otherwise(col("first_block")))
+      .withColumn("offset_in_first", pmod(col("global_start"), lit(blockTokens)))
+      .select(col(idCol), col("n_tokens"), col("global_start"),
+        col("first_block"), col("last_block"), col("offset_in_first"))
+  }
+
+  private def emptyOut(base: DataFrame, idCol: String): DataFrame =
+    base.withColumn("global_start", lit(0L))
+      .withColumn("first_block", lit(0L))
+      .withColumn("last_block", lit(0L))
+      .withColumn("offset_in_first", lit(0L))
+      .limit(0)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Pack
+
+/** Sequence packing: hand-computed chunk offsets, bucket-count
+  * invariance of the two-phase prefix sum, equality with the
+  * single-window twin, zero-token docs.
+  */
+class PackSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Long, Long, Long)] =
+    df.orderBy("doc_id").collect().toSeq.map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+
+  test("hand values: stream cursor, straddling docs, empty doc") {
+    val docs = Seq(
+      (1L, "a b c"),      // tokens 3: stream [0,3) → block 0 only
+      (2L, "d e"),        // tokens 2: [3,5) → straddles blocks 0-1
+      (3L, ""),           // tokens 0: cursor 5 → [block 1, block 1], width 0
+      (4L, "f g h i")     // tokens 4: [5,9) → blocks 1-2
+    ).toDF("doc_id", "text")
+    val out = rows(Pack.chunkOffsets(docs, "doc_id", "text",
+      blockTokens = 4L, buckets = 2))
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L, 0L, 0L),
+      (2L, 2L, 3L, 0L, 1L, 3L),
+      (3L, 0L, 5L, 1L, 1L, 1L),
+      (4L, 4L, 5L, 1L, 2L, 1L)))
+  }
+
+  test("bucket-count invariance and the one-window twin on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val twin = rows(Pack.chunkOffsetsByWindow(docs, "doc_id", "text", 1024L))
+    for (b <- Seq(1, 3, 64, 500))
+      assert(rows(Pack.chunkOffsets(docs, "doc_id", "text", 1024L,
+        buckets = b)) == twin, s"buckets=$b diverged")
+    // the packing is tight: last doc's end == total token count
+    val total = twin.map(_._2).sum
+    assert(twin.last._3 + twin.last._2 == total)
+    // straddling docs exist at this block size (the interesting case)
+    assert(twin.exists(r => r._4 != r._5))
+  }
+}
