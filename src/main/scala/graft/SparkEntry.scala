@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import vigil.{Decide, DocFilter, Eval, Quality, Review, Synth, TextStats, Toxicity}
-import vigil.ann.Ann
+import vigil.ann.{Ann, Pq}
 import vigil.dedup.Dedup
 import vigil.media.Media
 import vigil.{functions => vf}
@@ -718,6 +718,37 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // --- product-quantization ANN (oracle-paired) ------------------------
+    //     the compressed-index tier (Jégou et al. 2011): 8 sub-codebooks ×
+    //     64 centroids → 8-byte codes (32× vs raw float), ADC scan over the
+    //     codes table (8 lookups/candidate), shortlist 40, exact-cosine
+    //     refine over the original vectors. Same planted provable-recall
+    //     corpus as q_ann_lsh (5 copies per query at cos ≥ 0.9996, back-
+    //     ground ≤ ~0.51): quantization error cannot bridge that margin,
+    //     so the refined top-5 EQUALS the brute-force top-5 of the DuckDB
+    //     twin, and the emitted cos is the same bit-exact double fold.
+    "q_pq_ann" -> ((s, dir) => {
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      val planted = base
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(5))).as("j"))
+        .select((col("vec_id") + col("j") * lit(1000000L)).as("new_id"),
+          col("j"), col("embedding"))
+        .select(
+          col("new_id").as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + sin(col("new_id") * (i + 1)) *
+              (col("j") * lit(0.002))).cast("float"))
+            .as("embedding"))
+      val corpus = base.unionByName(planted)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Pq.pqTopK(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numSub = 8, kCodes = 64,
+        iterations = 2, shortlist = 40)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // --- embedding-cosine near-dup pairs (oracle-paired) -----------------
     //     the test embeddings are near-orthogonal (max pairwise cos ≈ 0.51)
     //     so the corpus is augmented with a deterministic perturbed copy of
@@ -1406,6 +1437,28 @@ object SparkEntry {
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
                  list_cosine_similarity(q.v, e.v) AS cos
                FROM e JOIN q ON q.vec_id <> e.vec_id)
+         SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, nn_id ASC) AS rank,
+           nn_id, cos
+         FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // brute-force twin of the PQ compressed-index search over the same
+    // planted corpus as q_ann_lsh: ADC shortlist + exact refine provably
+    // contains every planted neighbor (margin 0.9996 vs 0.51 background),
+    // so the refined top-5 equals this exhaustive top-5
+    "q_pq_ann" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         planted AS (SELECT vec_id + j*1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (embedding[i] + sin((vec_id + j*1000000)*i)*(0.002*j))::FLOAT)
+               AS embedding
+           FROM base, range(1, 6) t(j) WHERE vec_id < 10),
+         allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+                  UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM planted),
+         q AS (SELECT vec_id, v FROM allv WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+                 list_cosine_similarity(q.v, e.v) AS cos
+               FROM allv e JOIN q ON q.vec_id <> e.vec_id)
          SELECT query_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, nn_id ASC) AS rank,

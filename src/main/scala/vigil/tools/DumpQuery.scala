@@ -1,0 +1,50 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump ONLY the named SparkEntry queries (plus oracle_sql.json) in the
+  * exact Verify layout, so scripts/oracle_gate.py can gate a single new
+  * query at any sf without re-running the full 60+-query dump.
+  *
+  * Usage: runMain vigil.tools.DumpQuery <sfDir> <outDir> <query> [query ...]
+  */
+object DumpQuery {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: DumpQuery <sfDir> <outDir> <query> [query ...]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2)
+    names.foreach(n => require(graft.SparkEntry.queries.contains(n),
+      s"unknown query '$n'"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.vigil.decide.wavesPerCore", "1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql
+      .filter { case (k, _) => names.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.ann.{Ann, Pq}
+
+/** Product-quantization ANN: exact degeneration, stored-index round-trip,
+  * planted-recall compressed search, and edge handling.
+  */
+class PqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "nn_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("shortlist covering the corpus degenerates pqSearch to exact brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val pq = Pq.pqTopK(emb, queries, "vec_id", "embedding", k = 5,
+      numSub = 8, kCodes = 8, iterations = 2, shortlist = 100000)
+    assert(rows(pq) == rows(brute))
+  }
+
+  test("pqAssign against the stored codebook reproduces the codes table") {
+    val (codebook, codes) =
+      Pq.pqBuild(emb, "vec_id", "embedding", numSub = 8, kCodes = 16)
+    val again = Pq.pqAssign(codebook, emb, "vec_id", "embedding")
+    val a = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = again.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    // shape: full codebook grid, codes one cell per subspace in range
+    assert(codebook.count() == 8 * 16)
+    assert(codebook.select(size(col("c_vec"))).distinct().head.getInt(0) == 8)
+    assert(a.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("compressed PQ with a modest shortlist recovers planted top-5 exactly") {
+    // q_ann_lsh playbook: 5 perturbed copies per query at cos ≈ 0.9996+,
+    // background pairs ≤ ~0.51 — the ADC margin dwarfs quantization error
+    val base = emb
+    val planted = base
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), lit(5))).as("j"))
+      .select((col("vec_id") + col("j") * lit(1000000L)).as("new_id"),
+        col("j"), col("embedding"))
+      .select(col("new_id").as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + sin(col("new_id") * (i + 1)) * (col("j") * lit(0.002)))
+          .as("embedding"))
+    val corpus = base.unionByName(planted)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val brute = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+    val pq = Pq.pqTopK(corpus, queries, "vec_id", "embedding", k = 5,
+      numSub = 8, kCodes = 64, iterations = 2, shortlist = 40)
+    assert(rows(pq) == rows(brute))
+  }
+
+  test("null vectors are dropped; ragged vectors are zero-padded, not fatal") {
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(0.5))),
+      (2L, Some(Seq.fill(60)(0.25))), // ragged: padded per subspace
+      (3L, None: Option[Seq[Double]]),
+      (4L, Some(Seq.tabulate(64)(i => math.sin(i + 1.0))))
+    ).toDF("vec_id", "embedding")
+    val (codebook, codes) =
+      Pq.pqBuild(df, "vec_id", "embedding", numSub = 4, kCodes = 2, iterations = 1)
+    assert(codes.select("nn_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    val r = Pq.pqSearch(codebook, codes, df, df.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", k = 2, shortlist = 10)
+    assert(r.count() == 2)
+  }
+}
