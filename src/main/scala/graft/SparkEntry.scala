@@ -646,6 +646,23 @@ object SparkEntry {
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     }),
+    // --- Bloom-prefiltered incremental exact dedup (oracle-paired) -------
+    //     the daily-ingest face of exact dedup: corpus = tagged originals
+    //     with doc_id % 3 != 0; batch = the rest (originals % 3 == 0 plus
+    //     every planted copy). Copies of corpus docs are corpus-dups
+    //     (found through the Bloom maybe-set + text-verify join); copies
+    //     of batch docs are earlier-batch dups (window); untagged-unique
+    //     originals stay false. The corpus side is never shuffled.
+    "q_bloom_dedup" -> ((s, dir) => {
+      val all = taggedCopyCorpus(s, dir)
+      val corpus = all.filter(
+        col("doc_id") < 1000000L && pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = all.filter(
+        col("doc_id") >= 1000000L || pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.bloomExactIncremental(corpus, batch, "ttext", "doc_id")
+        .select("doc_id", "is_dup")
+        .orderBy("doc_id")
+    }),
     // --- winnowing fingerprints (engine-native, rows-only) ---------------
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -1520,6 +1537,33 @@ object SparkEntry {
          FROM corpus a JOIN corpus b
            ON a.ttext = b.ttext AND a.doc_id < b.doc_id
          ORDER BY id_a, id_b""",
+    // incremental exact dedup over the tagged-copy corpus: a batch row is
+    // dup iff its text exists in the corpus slice or in an earlier batch
+    // row — the Bloom prefilter is recall-lossless (no false negatives)
+    // and the text-verify join kills false positives, so the exact SQL
+    // twin is the definition itself
+    "q_bloom_dedup" ->
+      """WITH tagged AS (
+           SELECT doc_id, array_to_string(list_transform(
+             string_split(text, ' '),
+             w -> doc_id::VARCHAR || '_' || w), ' ') AS ttext
+           FROM documents),
+         allc AS (
+           SELECT doc_id, ttext FROM tagged
+           UNION ALL
+           SELECT doc_id + j * 1000000, ttext
+           FROM tagged, range(1, 3) r(j)
+           WHERE doc_id % 5 = 0 AND j <= 1 + doc_id % 2),
+         corpus AS (SELECT * FROM allc
+                    WHERE doc_id < 1000000 AND doc_id % 3 <> 0),
+         batch AS (SELECT * FROM allc
+                   WHERE doc_id >= 1000000 OR doc_id % 3 = 0)
+         SELECT b.doc_id,
+           (EXISTS(SELECT 1 FROM corpus c WHERE c.ttext = b.ttext)
+            OR EXISTS(SELECT 1 FROM batch b2
+                      WHERE b2.ttext = b.ttext AND b2.doc_id < b.doc_id))
+             AS is_dup
+         FROM batch b ORDER BY doc_id""",
     "q_simhash_dedup" ->
       """WITH tagged AS (
            SELECT doc_id, array_to_string(list_transform(

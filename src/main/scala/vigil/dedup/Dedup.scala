@@ -28,6 +28,73 @@ object Dedup {
     df.withColumn("is_dup", row_number().over(w) > 1)
   }
 
+  /** Bloom-prefiltered incremental exact dedup — the daily-ingest face of
+    * [[exact]] when the corpus dwarfs the batch. A batch row is `is_dup`
+    * iff its text equals a corpus text OR an earlier (smaller id) batch
+    * text; the output is the batch frame + `is_dup`, exactly the
+    * `batch-rows` slice of [[exact]] over corpus ∪ batch (spec-asserted).
+    *
+    * Shape at scale: the corpus is touched by exactly TWO narrow passes
+    * and NO shuffle — (1) one aggregation building a Bloom filter over
+    * xxhash64(text) (fixed-size bitset merge, ~1.2 bytes/key at fpp 1%),
+    * (2) one scan filtered by the broadcast candidate-hash set. Batch
+    * rows that miss the Bloom (no false negatives) never join anything —
+    * at typical ingest dup rates that is almost all of them; the rows
+    * that might match are verified by an equi-join on (hash, text)
+    * against the corpus slice sharing those hashes, so Bloom false
+    * positives AND xxhash64 collisions are both harmless (the final
+    * test is text equality). Within-batch dedup is [[exact]]'s window
+    * over the batch alone.
+    *
+    * The broadcast sketch caps out around 10^9–10^10 corpus keys
+    * (~1.2–12 GB); past that, shard the filter by hash range or use the
+    * stored hash-table join face (`DocFilter.filterDocsIncremental`) —
+    * this operator is the cheap-serve tier below it.
+    */
+  def bloomExactIncremental(
+      corpus: DataFrame, newBatch: DataFrame,
+      textCol: String, idCol: String,
+      fpp: Double = 0.01, expectedItems: Long = 0L): DataFrame = {
+    val spark = corpus.sparkSession
+    // zero corpus rows leave stat.bloomFilter's merge zero-value with a
+    // null bitset (mightContain NPEs) — and an empty corpus can't produce
+    // corpus-dups anyway, so degenerate to the batch-only window
+    if (corpus.isEmpty) return exact(newBatch, textCol, idCol)
+    val n = if (expectedItems > 0) expectedItems else math.max(1L, corpus.count())
+    val bf = corpus.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", n, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((x: Long) => bfB.value.mightContainLong(x))
+    // candidate hashes: bounded by the batch (true dups + fpp·|batch|)
+    val maybeHashes = newBatch
+      .select(xxhash64(col(textCol)).as("__h"))
+      .filter(might(col("__h")))
+      .distinct()
+    // corpus slice sharing a candidate hash — broadcast-filtered narrow
+    // scan, no corpus shuffle; (hash, text) both join keys so the verify
+    // is an equi-join and text equality is the final word
+    val corpusCand = corpus
+      .select(xxhash64(col(textCol)).as("__ch"), col(textCol).as("__ctext"))
+      .join(broadcast(maybeHashes), col("__ch") === col("__h"))
+      .select("__ch", "__ctext").distinct()
+    val inCorpusIds = newBatch
+      .select(col(idCol).as("__dup_id"), col(textCol).as("__btext"))
+      .withColumn("__h", xxhash64(col("__btext")))
+      .filter(might(col("__h")))
+      .join(broadcast(corpusCand),
+        col("__h") === col("__ch") && col("__btext") === col("__ctext"),
+        "left_semi")
+      .select("__dup_id")
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    newBatch
+      .withColumn("__batch_dup", row_number().over(w) > 1)
+      .join(inCorpusIds.withColumn("__in_corpus", lit(true)),
+        col(idCol) === col("__dup_id"), "left")
+      .withColumn("is_dup",
+        col("__batch_dup") || coalesce(col("__in_corpus"), lit(false)))
+      .drop("__batch_dup", "__in_corpus", "__dup_id")
+  }
+
   // ---------- MinHash -----------------------------------------------------
 
   /** Per-row MinHash kernel: word-shingle the text, hash each shingle, and

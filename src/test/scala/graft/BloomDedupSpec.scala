@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.dedup.Dedup
+
+/** Bloom-prefiltered incremental exact dedup: equivalence with the
+  * batch-slice of full exact dedup, robustness to degenerate Bloom
+  * configurations, and edge cases.
+  */
+class BloomDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, "delta epsilon zeta"),
+    (3L, "eta theta iota")
+  ).toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (10L, "alpha beta gamma"), // dup of corpus 1
+    (11L, "fresh new text one"), // unique
+    (12L, "fresh new text one"), // dup of earlier batch row 11
+    (13L, "eta theta iota"), // dup of corpus 3
+    (14L, "another unique row")
+  ).toDF("doc_id", "text")
+
+  private def flags(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+    df.select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+  private val expected =
+    Map(10L -> true, 11L -> false, 12L -> true, 13L -> true, 14L -> false)
+
+  test("batch flags = corpus-dup OR earlier-batch-dup") {
+    assert(flags(Dedup.bloomExactIncremental(corpus, batch, "text", "doc_id"))
+      == expected)
+  }
+
+  test("equivalence with the batch slice of exact() over the union") {
+    // every corpus id below every batch id, so exact()'s first-wins over
+    // the union marks exactly the rows bloomExactIncremental must flag
+    val naive = flags(Dedup.exact(corpus.unionByName(batch), "text", "doc_id")
+      .filter(col("doc_id") >= 10L))
+    assert(flags(Dedup.bloomExactIncremental(corpus, batch, "text", "doc_id"))
+      == naive)
+  }
+
+  test("degenerate Bloom configs stay exact (verify join is the word)") {
+    // saturated filter (everything 'maybe'): fpp ~1 via 1 expected item
+    assert(flags(Dedup.bloomExactIncremental(
+      corpus, batch, "text", "doc_id", fpp = 0.5, expectedItems = 1L))
+      == expected)
+    // oversized filter: harmless
+    assert(flags(Dedup.bloomExactIncremental(
+      corpus, batch, "text", "doc_id", fpp = 1e-6, expectedItems = 1000000L))
+      == expected)
+  }
+
+  test("empty corpus degenerates to exact() on the batch; empty batch is empty") {
+    val noCorpus = corpus.filter(lit(false))
+    val got = flags(Dedup.bloomExactIncremental(noCorpus, batch, "text", "doc_id"))
+    val solo = flags(Dedup.exact(batch, "text", "doc_id"))
+    assert(got == solo)
+    assert(Dedup.bloomExactIncremental(
+      corpus, batch.filter(lit(false)), "text", "doc_id").count() == 0)
+  }
+
+  test("sf0.001 tagged corpus: equivalence at fixture density") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tagged = docs.select(col("doc_id"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        w => concat(col("doc_id"), lit("_"), w))).as("text"))
+    val copies = tagged.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"))).as("j"))
+      .select((col("doc_id") + col("j") * lit(1000000L)).as("doc_id"), col("text"))
+    val all = tagged.unionByName(copies)
+    val c = all.filter(col("doc_id") < 1000000L && pmod(col("doc_id"), lit(3)) =!= 0)
+    val b = all.filter(col("doc_id") >= 1000000L || pmod(col("doc_id"), lit(3)) === 0)
+    val naive = flags(Dedup.exact(c.unionByName(b), "text", "doc_id")
+      .join(b.select("doc_id"), Seq("doc_id"), "left_semi"))
+    assert(flags(Dedup.bloomExactIncremental(c, b, "text", "doc_id")) == naive)
+  }
+}
