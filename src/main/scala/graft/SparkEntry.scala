@@ -437,6 +437,15 @@ object SparkEntry {
           col("ls.perplexity").as("perplexity"))
         .orderBy("doc_id")
     }),
+    // --- CCNet perplexity buckets (engine-native, rows-only: the LM is
+    //     not SQL-expressible). head/middle/tail at the 1/3 and 2/3
+    //     quantiles from one percentile_approx aggregate — no global
+    //     sort; spec pins monotonicity, fraction sizing, determinism -----
+    "q_ppl_buckets" -> ((s, dir) => {
+      Quality.pplBuckets(docs(s, dir), "text")
+        .select("doc_id", "perplexity", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
     // --- the flagship transcript pipeline (engine-native, rows-only):
     //     clean → analyze → keep/drop → scrub → conversation decisions.
     //     decideWindowed = score-once: conversation decisions via window

@@ -292,6 +292,53 @@ object Quality {
     (col("dup2gram_char_frac") <= cfg.maxDup2gramCharFrac) &&
     (col("stopword_frac") >= cfg.minStopwordFrac)
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", 2020): rank
+    * the corpus by LM perplexity and label head / middle / tail at the
+    * given quantile fractions — CCNet's quality slice is head+middle.
+    * Adds `lang_pred`, `perplexity`, `ppl_bucket` columns.
+    *
+    * Scale shape: cutoffs come from ONE map-side-combined
+    * percentile_approx aggregate — per predicted language when
+    * `langPartitioned` (CCNet's actual per-language recipe; bounded
+    * group count, broadcast join back) — never a global sort or a
+    * single-partition window. With accuracy ≥ corpus size the quantile
+    * summary is rank-exact; at 10^12 turns the default trades ≤
+    * n/accuracy rank error for bounded memory, which is exactly CCNet's
+    * sampled-threshold trade. Scoring shares the fused lang_score
+    * trigram pass (langid + perplexity in one extraction).
+    */
+  def pplBuckets(df: DataFrame, textCol: String,
+      headFrac: Double = 1.0 / 3, middleFrac: Double = 2.0 / 3,
+      langPartitioned: Boolean = false,
+      accuracy: Int = 100000): DataFrame = {
+    require(headFrac > 0 && headFrac <= middleFrac && middleFrac <= 1,
+      s"pplBuckets: need 0 < headFrac <= middleFrac <= 1 (got $headFrac, $middleFrac)")
+    val scored = df
+      .withColumn("__ls", functions.lang_score(functions.clean_text(col(textCol))))
+      .withColumn("lang_pred", col("__ls").getField("lang"))
+      .withColumn("perplexity", col("__ls").getField("perplexity"))
+      .drop("__ls")
+    def bucket(h: Column, m: Column): Column =
+      when(col("perplexity") <= h, lit("head"))
+        .when(col("perplexity") <= m, lit("middle"))
+        .otherwise(lit("tail"))
+    if (langPartitioned) {
+      val cuts = scored.groupBy("lang_pred")
+        .agg(percentile_approx(col("perplexity"),
+          array(lit(headFrac), lit(middleFrac)), lit(accuracy)).as("__cuts"))
+      scored.join(broadcast(cuts), Seq("lang_pred"))
+        .withColumn("ppl_bucket",
+          bucket(element_at(col("__cuts"), 1), element_at(col("__cuts"), 2)))
+        .drop("__cuts")
+    } else {
+      val c = scored.agg(percentile_approx(col("perplexity"),
+        array(lit(headFrac), lit(middleFrac)), lit(accuracy)).as("c"))
+        .head.getSeq[Double](0)
+      scored.withColumn("ppl_bucket", bucket(lit(c(0)), lit(c(1))))
+    }
+  }
+
   /** Verdict over metric columns produced by [[metrics]] (+ perplexity). */
   def passes(cfg: Config = Default): Column = {
     (col("n_words") >= cfg.minWords) &&

@@ -127,4 +127,54 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxFeatures"))
   }
+
+  test("pplBuckets: ordered, fraction-sized, deterministic buckets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = vigil.Quality.pplBuckets(docs, "text")
+      .select("doc_id", "perplexity", "ppl_bucket").cache()
+    val n = out.count()
+    // no interleaving: max(head) <= min(middle) <= ... via per-bucket ranges
+    def range(b: String) = {
+      val r = out.filter(col("ppl_bucket") === b)
+        .agg(min("perplexity"), max("perplexity")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (h, m, t) = (range("head"), range("middle"), range("tail"))
+    assert(h._2 <= m._1 && m._2 <= t._1, s"interleaved: $h $m $t")
+    // cutoffs are rank-exact at this size (accuracy >> n): head ends at
+    // the ~1/3 quantile value, so counts land within the tie width
+    val counts = out.groupBy("ppl_bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("head") - n / 3.0) <= 5, counts.toString)
+    assert(math.abs(counts("head") + counts("middle") - 2 * n / 3.0) <= 5)
+    // deterministic
+    val again = vigil.Quality.pplBuckets(docs, "text")
+      .select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select("doc_id", "ppl_bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+    out.unpersist()
+  }
+
+  test("pplBuckets langPartitioned: per-language monotone buckets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = vigil.Quality.pplBuckets(docs, "text", langPartitioned = true)
+      .select("lang_pred", "perplexity", "ppl_bucket").cache()
+    val langs = out.select("lang_pred").distinct().collect().map(_.getString(0))
+    langs.foreach { lg =>
+      val sl = out.filter(col("lang_pred") === lg)
+      def mx(b: String) = sl.filter(col("ppl_bucket") === b)
+        .agg(max("perplexity")).head.getDouble(0)
+      def mn(b: String) = sl.filter(col("ppl_bucket") === b)
+        .agg(min("perplexity")).head.getDouble(0)
+      val buckets = sl.select("ppl_bucket").distinct().collect()
+        .map(_.getString(0)).toSet
+      if (buckets.contains("head") && buckets.contains("middle"))
+        assert(mx("head") <= mn("middle"), s"lang $lg interleaved")
+      if (buckets.contains("middle") && buckets.contains("tail"))
+        assert(mx("middle") <= mn("tail"), s"lang $lg interleaved")
+    }
+    out.unpersist()
+  }
 }
