@@ -379,6 +379,27 @@ object SparkEntry {
           .as("n_bpe_tokens"))
         .orderBy("doc_id")
     }),
+    // --- trainable BPE tokenizer (Sennrich et al. 2016) ------------------
+    //     q_bpe_base (oracle-paired): zero merges degenerate tokens to the
+    //     code points of each word, so n_tokens = length(replace(text,' ',''))
+    //     — the SQL-pairable plumbing check for the encode expression.
+    "q_bpe_base" -> ((s, dir) => {
+      vigil.Bpe.encode(docs(s, dir), "text", vigil.Bpe.Model(Vector.empty))
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    //     q_bpe_tokens (rows-only: the trained merge list is engine-native
+    //     model state): fit 200 merges on the corpus word histogram (one
+    //     shuffle; merge loop driver-side over the bounded vocab — the
+    //     standard trainer split), then encode every doc.
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = vigil.Bpe.fit(d, "text", numMerges = 200)
+      vigil.Bpe.encode(d, "text", model)
+        .select(col("doc_id"), col("n_tokens"),
+          slice(col("tokens"), 1, 5).as("head_tokens"))
+        .orderBy("doc_id")
+    }),
     // --- exact dedup (hash-groupBy; first doc_id wins) -------------------
     "q_dedup_exact" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1189,6 +1210,13 @@ object SparkEntry {
          len(string_split_regex(text, '\s+')) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
            AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    // zero-merge BPE: every word tokenizes to its code points, so the
+    // count is the spaceless character length (DuckDB length() counts
+    // code points, same as the Spark-side splitter)
+    "q_bpe_base" ->
+      """SELECT doc_id,
+         length(replace(text, ' ', ''))::BIGINT AS n_tokens
          FROM documents ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT doc_id,

@@ -987,6 +987,49 @@ case class NbScoreExpr(
     copy(child = c)
 }
 
+/** BPE tokenization over broadcast merge ranks — text → array<string>
+  * tokens. Words are single-space-split (engine convention); each word
+  * runs the [[vigil.Bpe.encodeWord]] lowest-rank-first merge loop. Flat
+  * per-row loop with JVM-shared model state via Broadcast, same shape as
+  * [[GramOverlapCountExpr]]: narrow, no exchange, CodegenFallback is fine
+  * (still pipelined inside the stage).
+  */
+case class BpeEncodeExpr(
+    child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[vigil.Bpe.Model])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bpe_encode"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val m = model.value
+    val out = new scala.collection.mutable.ArrayBuffer[Any](text.length / 4 + 4)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val toks = vigil.Bpe.encodeWord(text.substring(start, i), m)
+          var t = 0
+          while (t < toks.length) {
+            out += UTF8String.fromString(toks(t))
+            t += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -1015,6 +1058,9 @@ object functions {
       bench: org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]])
       : Column =
     VigilShim.column(GramScrubExpr(expr(text), expr(lower(text)), n, bench))
+  def bpe_encode(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[vigil.Bpe.Model]): Column =
+    VigilShim.column(BpeEncodeExpr(expr(text), model))
   def span_window_hashes(text: Column, n: Int): Column =
     VigilShim.column(SpanWindowHashesExpr(expr(text), n))
   def span_splice(text: Column, starts: Column, n: Int): Column =

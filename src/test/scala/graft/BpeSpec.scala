@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Bpe
+
+/** BPE tokenizer: hand-traced merge training, encode replay, zero-merge
+  * degeneration, losslessness, determinism, stop conditions.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // classic Sennrich-style histogram: low×5 lower×2 newest×6 widest×3
+  private def classic = Seq(
+    (("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)).trim
+  ).map(Tuple1(_)).toDF("text")
+
+  test("hand-traced merges: (e,s), (es,t), (l,o) with lexicographic ties") {
+    // pair counts round 1: es=9 ties st=9 → smallest pair (e,s) wins;
+    // round 2: (es,t)=9; round 3: lo=7 ties ow=7 → (l,o)
+    val m = Bpe.fit(classic, "text", numMerges = 3, minCount = 1)
+    assert(m.merges == Vector(("e", "s"), ("es", "t"), ("l", "o")))
+  }
+
+  test("encode replays ranked merges lowest-rank-first") {
+    val m = Bpe.Model(Vector(("e", "s"), ("es", "t"), ("l", "o")))
+    assert(Bpe.encodeWord("lowest", m).toSeq == Seq("lo", "w", "est"))
+    assert(Bpe.encodeWord("newest", m).toSeq == Seq("n", "e", "w", "est"))
+    assert(Bpe.encodeWord("x", m).toSeq == Seq("x"))
+    assert(Bpe.encodeWord("", m).toSeq == Seq.empty)
+  }
+
+  test("fit-time words round-trip to their trained symbol sequences") {
+    val m = Bpe.fit(classic, "text", numMerges = 10, minCount = 1)
+    // training applied merges to the histogram; encode must reproduce the
+    // same segmentation for every word the trainer saw
+    val toks = Bpe.encode(classic, "text", m)
+      .select(col("tokens")).head.getSeq[String](0)
+    // lossless: concatenation restores the spaceless text
+    assert(toks.mkString("") ==
+      classic.select(translate(col("text"), " ", "")).head.getString(0))
+  }
+
+  test("zero merges degenerate to code points; n_tokens = spaceless length") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Bpe.encode(docs, "text", Bpe.Model(Vector.empty))
+    val bad = out.filter(
+      col("n_tokens") =!= length(translate(col("text"), " ", "")).cast("long"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("losslessness and monotone compression on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.fit(docs, "text", numMerges = 100)
+    val out = Bpe.encode(docs, "text", m).cache()
+    assert(out.filter(array_join(col("tokens"), "") =!=
+      translate(col("text"), " ", "")).count() == 0)
+    // merges only ever shrink: n_tokens <= zero-merge count, >= word count
+    val viol = out.filter(
+      col("n_tokens") > length(translate(col("text"), " ", "")) ||
+      col("n_tokens") < size(filter(split(col("text"), " "),
+        w => length(w) > 0)))
+      .count()
+    assert(viol == 0)
+    // and at least SOME compression happened
+    val sums = out.agg(
+      sum(col("n_tokens")),
+      sum(length(translate(col("text"), " ", "")).cast("long"))).head
+    assert(sums.getLong(0) < sums.getLong(1))
+    out.unpersist()
+    // determinism
+    assert(Bpe.fit(docs, "text", numMerges = 100).merges == m.merges)
+  }
+
+  test("stop conditions: no pairs, minCount floor, loud vocab bound") {
+    assert(Bpe.fit(Seq(Tuple1("a b c")).toDF("text"), "text", 5, minCount = 1)
+      .merges.isEmpty)
+    assert(Bpe.fit(Seq(Tuple1("ab ab")).toDF("text"), "text", 5, minCount = 3)
+      .merges.isEmpty)
+    assert(Bpe.fit(Seq(Tuple1("ab ab")).toDF("text"), "text", 5, minCount = 2)
+      .merges == Vector(("a", "b")))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.fit(Seq(Tuple1("a b c d e f")).toDF("text"), "text", 1,
+        maxWordForms = 2)
+    }
+    assert(e.getMessage.contains("maxWordForms"))
+  }
+}
