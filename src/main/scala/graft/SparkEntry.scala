@@ -1057,6 +1057,12 @@ object SparkEntry {
     //     ≡ the hand-composed stages). Pages = 40 multi-line assemblies of
     //     the fixture docs; repetition threshold corpus-tuned to 0.5 so
     //     the rung discriminates (fixture pages land at 0.41-0.56) ------
+    // --- one-row corpus report (oracle-paired): the before/after summary
+    //     every pipeline run logs — one map-side-combined agg, the only
+    //     exchange is the exact distinct over text hashes ----------------
+    "q_corpus_stats" -> ((s, dir) => {
+      vigil.Pretrain.corpusStats(docs(s, dir), "text")
+    }),
     "q_pretrain_pipeline" -> ((s, dir) => {
       val pages = docs(s, dir)
         .select(pmod(col("doc_id"), lit(40)).as("gid"),
@@ -1211,6 +1217,21 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
            AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    // single-row corpus report; integer sums are exact so the avg double
+    // is bit-reproducible (sum/count in both engines)
+    "q_corpus_stats" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct_texts,
+         sum(length(text))::BIGINT AS total_chars,
+         sum(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0)))::BIGINT AS total_words,
+         min(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0)))::BIGINT AS min_words,
+         max(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0)))::BIGINT AS max_words,
+         avg(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0))) AS avg_words
+         FROM documents""",
     // zero-merge BPE: every word tokenizes to its code points, so the
     // count is the spaceless character length (DuckDB length() counts
     // code points, same as the Spark-side splitter)

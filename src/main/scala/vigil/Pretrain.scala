@@ -105,4 +105,26 @@ object Pretrain {
       .select(col(idCol), col("copy"), col(sourceCol), col(textCol),
         col("n_tokens"))
   }
+
+  /** One-row corpus report — the summary every pipeline run logs before
+    * and after filtering: document/char/word totals, the exact-duplicate
+    * footprint, and word-count extremes. ONE map-side-combined
+    * aggregation; the only exchange is the count-distinct over 16-byte
+    * text hashes (swap in approx_count_distinct at 10^12 docs if the
+    * exact distinct shuffle is not worth it — the rest of the row is
+    * pure partial aggregation). avg_words divides an exact long sum, so
+    * the double is reproducible across engines.
+    */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame = {
+    val words = size(filter(split(col(textCol), " "),
+      w => length(w) > 0)).cast("long")
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol).cast("binary"))).as("n_distinct_texts"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      sum(words).as("total_words"),
+      min(words).as("min_words"),
+      max(words).as("max_words"),
+      avg(words).as("avg_words"))
+  }
 }

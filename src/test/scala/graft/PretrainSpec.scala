@@ -97,4 +97,21 @@ class PretrainSpec extends AnyFunSuite {
     for (s <- Seq("pages", "scrubbed", "filtered"))
       assert(new java.io.File(s"$dir/$s/_SUCCESS").exists(), s)
   }
+
+  test("corpusStats: hand-computed one-row report") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab cd"),     // 5 chars, 2 words
+      (2L, "ab cd"),     // exact dup
+      (3L, "x  y z"),    // 6 chars, 3 words (double space → empty filtered)
+      (4L, "")           // 0 chars, 0 words
+    ).toDF("doc_id", "text")
+    val r = Pretrain.corpusStats(docs, "text").head
+    assert(r.getLong(0) == 4)          // n_docs
+    assert(r.getLong(1) == 3)          // distinct texts
+    assert(r.getLong(2) == 5 + 5 + 6)  // total_chars
+    assert(r.getLong(3) == 2 + 2 + 3)  // total_words
+    assert(r.getLong(4) == 0 && r.getLong(5) == 3)
+    assert(r.getDouble(6) == 7.0 / 4)
+  }
 }
