@@ -237,11 +237,19 @@ object Pq {
     }.toMap
 
     val adcUdf = udf((qid: Long, code: Seq[Int]) => {
+      // stored-table contract: a code row from a DIFFERENT numSub/kCodes
+      // build would silently sum the wrong partials (the same bug class
+      // as a mismatched LSH signature width) — fail with the contract
+      require(code.length == numSub,
+        s"pqSearch: code length ${code.length} != codebook numSub $numSub " +
+          "— the codes table was built against a different codebook")
       val (tab, qn) = dotTabs(qid)
       var dot = 0.0; var cn = 0.0
       var s = 0
       while (s < code.length) {
         val c0 = code(s)
+        require(c0 >= 0 && c0 < kCodes,
+          s"pqSearch: code id $c0 outside codebook kCodes $kCodes")
         dot += tab(s)(c0); cn += cnorm2(s)(c0)
         s += 1
       }

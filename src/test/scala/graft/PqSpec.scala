@@ -70,6 +70,21 @@ class PqSpec extends AnyFunSuite {
     assert(rows(pq) == rows(brute))
   }
 
+  test("mismatched codes table fails loudly, naming the banding contract") {
+    val (codebook, _) =
+      Pq.pqBuild(emb, "vec_id", "embedding", numSub = 8, kCodes = 8)
+    val (_, wrongCodes) =
+      Pq.pqBuild(emb, "vec_id", "embedding", numSub = 4, kCodes = 8)
+    val e = intercept[Exception] {
+      Pq.pqSearch(codebook, wrongCodes, emb, emb.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 3, shortlist = 10).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" ")
+    assert(rootMsg(e).contains("different codebook"))
+  }
+
   test("null vectors are dropped; ragged vectors are zero-padded, not fatal") {
     val df = Seq(
       (1L, Some(Seq.fill(64)(0.5))),
