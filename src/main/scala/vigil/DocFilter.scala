@@ -79,7 +79,18 @@ object DocFilter {
         * the cascade (rule-based quality first, statistical second).
         * None (default) disables the rung.
         */
-      classifier: Option[(QualityClassifier.Model, Double)] = None)
+      classifier: Option[(QualityClassifier.Model, Double)] = None,
+      /** Bloom prefilter for the incremental exact-dup rung: fpp > 0
+        * replaces the batch⋈corpus-hash semi-join (which shuffles the
+        * FULL stored hash table every ingest) with a broadcast Bloom
+        * screen + broadcast candidate verification — the corpus side is
+        * then touched by two narrow passes and never shuffled
+        * ([[vigil.dedup.Dedup.bloomExactIncremental]] shape). Output is
+        * identical (spec-asserted): the Bloom has no false negatives and
+        * candidates are verified against the real hash table. 0
+        * (default) keeps the plain semi-join. Batch-only paths ignore it.
+        */
+      bloomExactFpp: Double = 0.0)
   val Default: Config = Config()
 
   /** The stateless prefix: fused scoring spine + stopword frac + doc-level
@@ -279,10 +290,33 @@ object DocFilter {
       textCol: String = "text",
       cfg: Config = Default): DataFrame = {
     val batchHashes = batch.select(col(idCol), md5(col(textCol)).as("__h"))
-    // vs corpus: hash semi-join; within batch: smallest id owns the hash
-    val exactVsCorpus = batchHashes
-      .join(corpusHashes.select(col("__h")), Seq("__h"), "leftsemi")
-      .select(col(idCol))
+    // vs corpus: hash semi-join; within batch: smallest id owns the hash.
+    // With bloomExactFpp > 0 the semi-join (which shuffles the full
+    // stored hash table per ingest) becomes: one narrow Bloom-building
+    // pass over the corpus hashes, a broadcast screen of the batch, and
+    // a broadcast verification of the bounded maybe-set against the
+    // corpus scan — no corpus exchange, identical output (no false
+    // negatives + real-hash verification).
+    val exactVsCorpus =
+      if (cfg.bloomExactFpp > 0 && !corpusHashes.isEmpty) {
+        val spark = corpusHashes.sparkSession
+        val n = math.max(1L, corpusHashes.count())
+        val bf = corpusHashes.select(xxhash64(col("__h")).as("__x"))
+          .stat.bloomFilter("__x", n, cfg.bloomExactFpp)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val might = udf((x: Long) => bfB.value.mightContainLong(x))
+        val maybe = batchHashes
+          .filter(might(xxhash64(col("__h"))))
+        val maybeHashes = maybe.select(col("__h").as("__mh")).distinct()
+        val corpusCand = corpusHashes.select(col("__h"))
+          .join(broadcast(maybeHashes), col("__h") === col("__mh"), "leftsemi")
+          .distinct()
+        maybe.join(broadcast(corpusCand), Seq("__h"), "leftsemi")
+          .select(col(idCol))
+      } else
+        batchHashes
+          .join(corpusHashes.select(col("__h")), Seq("__h"), "leftsemi")
+          .select(col(idCol))
     val exactInBatch = batchHashes
       .select(col(idCol),
         row_number().over(

@@ -246,6 +246,25 @@ class DocFilterSpec extends AnyFunSuite {
       inc.zip(full).filter(p => p._1 != p._2).take(3).mkString("\n"))
     // and the batch verdict is non-trivial
     assert(inc.exists(_.contains("true")) && inc.exists(_.contains("false")))
+
+    // Bloom-prefiltered exact rung: identical output, corpus never
+    // shuffled (no false negatives + real-hash verification). The plain
+    // batch has no corpus-text copies (fixture texts are distinct), so
+    // plant some to make the rung discriminate.
+    val batch2 = batch.unionByName(
+      keptCorpus.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+    val runBoth = Seq(0.0, 0.01).map { fpp =>
+      DocFilter.filterDocsIncremental(
+        spark.read.parquet(s"$base/sigs"),
+        spark.read.parquet(s"$base/hashes"),
+        keptCorpus, batch2,
+        cfg = DocFilter.Default.copy(bloomExactFpp = fpp))
+        .orderBy("doc_id").collect().map(_.toString)
+    }
+    assert(runBoth(0).sameElements(runBoth(1)))
+    // the planted copies really drop as exact dups through the Bloom path
+    assert(runBoth(1).count(_.contains("exact_dup")) > 0)
   }
 
   // three boilerplate lines that PASS the C4 line rules (≥5 words,
