@@ -90,7 +90,14 @@ object DocFilter {
         * candidates are verified against the real hash table. 0
         * (default) keeps the plain semi-join. Batch-only paths ignore it.
         */
-      bloomExactFpp: Double = 0.0)
+      bloomExactFpp: Double = 0.0,
+      /** Bloom sizing for the exact-dup rung: > 0 skips the per-ingest
+        * count of the stored hash table (the caller asserts the corpus
+        * is non-empty and at most this large — the serve path, where
+        * the stored-table row count is tracked anyway); 0 derives the
+        * size with one count job.
+        */
+      bloomExpectedItems: Long = 0L)
   val Default: Config = Config()
 
   /** The stateless prefix: fused scoring spine + stopword frac + doc-level
@@ -297,12 +304,17 @@ object DocFilter {
     // a broadcast verification of the bounded maybe-set against the
     // corpus scan — no corpus exchange, identical output (no false
     // negatives + real-hash verification).
+    // ONE count answers Bloom sizing and emptiness; bloomExpectedItems
+    // skips it on the recurring serve path (caller asserts non-empty)
+    val bloomN =
+      if (cfg.bloomExactFpp <= 0) -1L
+      else if (cfg.bloomExpectedItems > 0) cfg.bloomExpectedItems
+      else corpusHashes.count()
     val exactVsCorpus =
-      if (cfg.bloomExactFpp > 0 && !corpusHashes.isEmpty) {
+      if (bloomN > 0) {
         val spark = corpusHashes.sparkSession
-        val n = math.max(1L, corpusHashes.count())
         val bf = corpusHashes.select(xxhash64(col("__h")).as("__x"))
-          .stat.bloomFilter("__x", n, cfg.bloomExactFpp)
+          .stat.bloomFilter("__x", bloomN, cfg.bloomExactFpp)
         val bfB = spark.sparkContext.broadcast(bf)
         val might = udf((x: Long) => bfB.value.mightContainLong(x))
         val maybe = batchHashes

@@ -335,7 +335,10 @@ object Quality {
       val c = scored.agg(percentile_approx(col("perplexity"),
         array(lit(headFrac), lit(middleFrac)), lit(accuracy)).as("c"))
         .head.getSeq[Double](0)
-      scored.withColumn("ppl_bucket", bucket(lit(c(0)), lit(c(1))))
+      // empty input: the percentile array is null — emit the (empty)
+      // frame with the schema intact instead of NPEing on c(0)
+      if (c == null) scored.withColumn("ppl_bucket", lit("head"))
+      else scored.withColumn("ppl_bucket", bucket(lit(c(0)), lit(c(1))))
     }
   }
 

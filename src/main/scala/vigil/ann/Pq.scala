@@ -91,14 +91,28 @@ object Pq {
   private def subvecsUdf(dim: Int, numSub: Int) =
     udf((v: Seq[Double]) => subvectors(v, dim, numSub).map(_.toSeq))
 
-  /** Codebook table → driver array (bounded: numSub × kCodes × subDim). */
+  /** Codebook table → driver array (bounded: numSub × kCodes × subDim).
+    * ONE collect derives numSub/kCodes/subDim from the rows themselves
+    * (no extra agg jobs on the serve path) and validates the geometry
+    * against the caller's `dim` — a codebook from a different build
+    * must fail naming the contract, not mis-slice subspaces.
+    */
   private def collectCodebook(
-      codebookDf: DataFrame, numSub: Int, kCodes: Int): Array[Array[Array[Double]]] = {
+      codebookDf: DataFrame, dim: Int): Array[Array[Array[Double]]] = {
+    val rows = codebookDf.select("sub", "cid", "c_vec").collect()
+    require(rows.nonEmpty, "Pq: empty codebook table")
+    val numSub = rows.iterator.map(_.getInt(0)).max + 1
+    val kCodes = rows.iterator.map(_.getInt(1)).max + 1
     val cents: Array[Array[Array[Double]]] = Array.ofDim(numSub)
     (0 until numSub).foreach(s => cents(s) = new Array[Array[Double]](kCodes))
-    codebookDf.select("sub", "cid", "c_vec").collect().foreach { r =>
+    rows.foreach { r =>
       cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
+    val sd = cents(0)(0).length
+    require(sd * numSub == dim,
+      s"Pq: codebook geometry (numSub=$numSub × subDim=$sd) does not " +
+        s"cover dim=$dim — this codebook was built for a different " +
+        "vector dimensionality")
     cents
   }
 
@@ -120,7 +134,9 @@ object Pq {
       col(vecCol).cast("array<double>").as("nn_vec"))
       .filter(col("nn_vec").isNotNull)
 
-    // subvector frame: (nn_id, sub, sv) — built once, reused per Lloyd step
+    // subvector frame: (nn_id, sub, sv) — seeding only; the Lloyd step
+    // recomputes the (narrow, cheap) subvector projection per iteration
+    // alongside the assignment it needs anyway
     val svf = c
       .select(col("nn_id"),
         posexplode(subvecsUdf(dim, numSub)(col("nn_vec"))).as(Seq("sub", "sv")))
@@ -181,9 +197,8 @@ object Pq {
   def pqAssign(
       codebookDf: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
-    val numSub = codebookDf.agg(max("sub")).head.getInt(0) + 1
-    val kCodes = codebookDf.agg(max("cid")).head.getInt(0) + 1
-    val cents = collectCodebook(codebookDf, numSub, kCodes)
+    val cents = collectCodebook(codebookDf, dim)
+    val numSub = cents.length
     batch.select(col(idCol).cast("long").as("nn_id"),
       col(vecCol).cast("array<double>").as("nn_vec"))
       .filter(col("nn_vec").isNotNull)
@@ -204,9 +219,9 @@ object Pq {
       codebookDf: DataFrame, codes: DataFrame, corpusVecs: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       shortlist: Int = 0, dim: Int = 64): DataFrame = {
-    val numSub = codebookDf.agg(max("sub")).head.getInt(0) + 1
-    val kCodes = codebookDf.agg(max("cid")).head.getInt(0) + 1
-    val cents = collectCodebook(codebookDf, numSub, kCodes)
+    val cents = collectCodebook(codebookDf, dim)
+    val numSub = cents.length
+    val kCodes = cents(0).length
     val sl = if (shortlist > 0) shortlist else math.max(4 * k, 32)
 
     val q = queries.select(col(idCol).cast("long").as("query_id"),

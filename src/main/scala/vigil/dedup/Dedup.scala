@@ -56,11 +56,15 @@ object Dedup {
       textCol: String, idCol: String,
       fpp: Double = 0.01, expectedItems: Long = 0L): DataFrame = {
     val spark = corpus.sparkSession
-    // zero corpus rows leave stat.bloomFilter's merge zero-value with a
-    // null bitset (mightContain NPEs) — and an empty corpus can't produce
-    // corpus-dups anyway, so degenerate to the batch-only window
-    if (corpus.isEmpty) return exact(newBatch, textCol, idCol)
-    val n = if (expectedItems > 0) expectedItems else math.max(1L, corpus.count())
+    // ONE count answers both Bloom sizing and emptiness (zero corpus rows
+    // leave stat.bloomFilter's merge zero-value with a null bitset —
+    // mightContain NPEs — and an empty corpus can't produce corpus-dups,
+    // so degenerate to the batch-only window). expectedItems > 0 skips
+    // the count entirely and is the caller's assertion that the corpus
+    // is non-empty (the per-ingest serve path, where the stored-table
+    // row count is tracked anyway).
+    val n = if (expectedItems > 0) expectedItems else corpus.count()
+    if (n == 0) return exact(newBatch, textCol, idCol)
     val bf = corpus.select(xxhash64(col(textCol)).as("__h"))
       .stat.bloomFilter("__h", n, fpp)
     val bfB = spark.sparkContext.broadcast(bf)

@@ -999,12 +999,15 @@ case class BpeEncodeExpr(
     model: org.apache.spark.broadcast.Broadcast[vigil.Bpe.Model])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = false
+  // null text → null tokens (NOT an empty array): keeps n_tokens NULL on
+  // both engines, so the q_bpe_base SQL twin stays exact on null rows
+  override def nullable: Boolean = child.nullable
   override def prettyName: String = "bpe_encode"
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    if (v == null) return null
+    val text = v.asInstanceOf[UTF8String].toString
     val m = model.value
     val out = new scala.collection.mutable.ArrayBuffer[Any](text.length / 4 + 4)
     var start = 0

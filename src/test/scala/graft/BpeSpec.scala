@@ -81,6 +81,15 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.fit(docs, "text", numMerges = 100).merges == m.merges)
   }
 
+  test("null text propagates to null tokens and null n_tokens") {
+    val df = Seq((1L, Some("ab cd")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = Bpe.encode(df, "text", Bpe.Model(Vector.empty))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](2).nonEmpty && out(0).getLong(3) == 4L)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("stop conditions: no pairs, minCount floor, loud vocab bound") {
     assert(Bpe.fit(Seq(Tuple1("a b c")).toDF("text"), "text", 5, minCount = 1)
       .merges.isEmpty)

@@ -157,6 +157,13 @@ class QualityClassifierSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("pplBuckets: empty input yields an empty frame, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(vigil.Quality.pplBuckets(empty, "text").count() == 0)
+    assert(vigil.Quality.pplBuckets(empty, "text", langPartitioned = true)
+      .count() == 0)
+  }
+
   test("pplBuckets langPartitioned: per-language monotone buckets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = vigil.Quality.pplBuckets(docs, "text", langPartitioned = true)
