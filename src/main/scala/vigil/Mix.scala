@@ -57,19 +57,22 @@ object Mix {
 
   /** Greedy rank-prefix budget sampling. Output: one row per input doc —
     * `(idCol, sourceCol, n_tokens, rank, cum_tokens, budget, kept)` with
-    * `n_tokens` = whitespace token count ([[TextStats.wsTokenCount]]),
+    * `n_tokens` = `tokenCount(text)` (default: whitespace count
+    * [[TextStats.wsTokenCount]]; pass e.g. a [[vigil.Bpe]] length for
+    * real-tokenizer budgets — every sampler accepts the same knob),
     * `cum_tokens` the running total over `(rank, id)` order within the
     * source, `kept = cum_tokens ≤ budget`.
     */
   def sampleByBudget(
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       budgets: Map[String, Long],
-      defaultBudget: Long = Long.MaxValue): DataFrame = {
+      defaultBudget: Long = Long.MaxValue,
+      tokenCount: Column => Column = TextStats.wsTokenCount): DataFrame = {
     val w = Window.partitionBy(sourceCol)
       .orderBy(col("rank"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(sourceCol),
-        TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("rank", docRank(col(idCol)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("budget", perSource(budgets, defaultBudget, sourceCol))
@@ -83,11 +86,12 @@ object Mix {
   def sampleByRate(
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       rates: Map[String, Double],
-      defaultRate: Double = 1.0): DataFrame = {
+      defaultRate: Double = 1.0,
+      tokenCount: Column => Column = TextStats.wsTokenCount): DataFrame = {
     val thresholds = rates.map { case (s, r) =>
       s -> math.floor(r * 4294967296.0).toLong }
     df.select(col(idCol), col(sourceCol),
-        TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("rank", docRank(col(idCol)))
       .withColumn("kept", col("rank") < perSource(thresholds,
         math.floor(defaultRate * 4294967296.0).toLong, sourceCol))
@@ -118,7 +122,8 @@ object Mix {
   def upsample(
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       epochs: Map[String, Double],
-      defaultEpochs: Double = 1.0): DataFrame = {
+      defaultEpochs: Double = 1.0,
+      tokenCount: Column => Column = TextStats.wsTokenCount): DataFrame = {
     require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0.0),
       "epochs must be >= 0")
     val kMap = epochs.map { case (s, e) => s -> math.floor(e).toLong }
@@ -126,7 +131,7 @@ object Mix {
     val kDef = math.floor(defaultEpochs).toLong
     val fDef = defaultEpochs - math.floor(defaultEpochs)
     val base = df.select(col(idCol), col(sourceCol),
-        TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("rank", docRank(col(idCol)))
       .withColumn("__k", perSource(kMap, kDef, sourceCol))
     val whole = base
@@ -154,9 +159,10 @@ object Mix {
     * sized). The usual budget derivation: `totals(df).map { case (s, t)
     * => s -> t * 2 / 5 }` etc.
     */
-  def totals(df: DataFrame, sourceCol: String, textCol: String):
+  def totals(df: DataFrame, sourceCol: String, textCol: String,
+      tokenCount: Column => Column = TextStats.wsTokenCount):
       Map[String, Long] =
     df.groupBy(sourceCol)
-      .agg(sum(TextStats.wsTokenCount(col(textCol))).as("t"))
+      .agg(sum(tokenCount(col(textCol))).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 }

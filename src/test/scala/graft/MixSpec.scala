@@ -117,6 +117,29 @@ class MixSpec extends AnyFunSuite {
     }
   }
 
+  test("pluggable token counter: constant and BPE counters drive budgets") {
+    import org.apache.spark.sql.Column
+    // constant-5 counter: budget 12 keeps exactly the first 2 docs (by
+    // rank) of each source — cum 5, 10, 15...
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val five: Column => Column = _ => lit(5L)
+    val out = Mix.sampleByBudget(docs, "doc_id", "source", "text",
+      Map.empty, defaultBudget = 12L, tokenCount = five)
+    val perSource = out.filter(col("kept"))
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_ == 2L))
+    // real-tokenizer integration: totals under a BPE counter equal the
+    // summed n_tokens of Bpe.encode
+    val model = vigil.Bpe.fit(docs, "text", numMerges = 50)
+    val b = spark.sparkContext.broadcast(model)
+    val bpeCount: Column => Column =
+      c => size(vigil.functions.bpe_encode(c, b)).cast("long")
+    val t = Mix.totals(docs, "source", "text", bpeCount).values.sum
+    val direct = vigil.Bpe.encode(docs, "text", model)
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(t == direct)
+  }
+
   test("determinism: identical output across independent evaluations") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val budgets = Mix.totals(docs, "source", "text")
