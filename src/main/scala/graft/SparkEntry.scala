@@ -258,6 +258,40 @@ object SparkEntry {
     base
   }
 
+  /** PQ family: the q_ann_lsh planted provable-recall corpus (5 perturbed
+    * copies per query vector at cos ≥ 0.9996) and its stored
+    * codebook/codes tables — build once per run dir, serve from parquet.
+    */
+  private def pqPlantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = embeddings(s, dir).select("vec_id", "embedding")
+    val planted = base
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), lit(5))).as("j"))
+      .select((col("vec_id") + col("j") * lit(1000000L)).as("new_id"),
+        col("j"), col("embedding"))
+      .select(
+        col("new_id").as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + sin(col("new_id") * (i + 1)) *
+            (col("j") * lit(0.002))).cast("float"))
+          .as("embedding"))
+    base.unionByName(planted)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+  }
+  private def pqBase(dir: String) = s"${storedTableRoot(dir)}/pq"
+  private def buildPqTables(
+      s: SparkSession, dir: String, force: Boolean): String = {
+    val base = pqBase(dir)
+    ensureBuilt(base, Seq("codebook", "codes"), force) {
+      val (cb, codes) = vigil.ann.Pq.pqBuild(pqPlantedCorpus(s, dir),
+        "vec_id", "embedding", numSub = 8, kCodes = 64, iterations = 2)
+      cb.write.mode("overwrite").parquet(s"$base/codebook")
+      codes.write.mode("overwrite").parquet(s"$base/codes")
+    }
+    base
+  }
+
   /** span-dedup (ExactSubstr) family: every 3rd doc is the new batch, the
     * rest the corpus whose window stats are the stored table. The slices
     * partition `documents`, so the incremental theorem's corpus∪batch IS
@@ -775,24 +809,28 @@ object SparkEntry {
     //     so the refined top-5 EQUALS the brute-force top-5 of the DuckDB
     //     twin, and the emitted cos is the same bit-exact double fold.
     "q_pq_ann" -> ((s, dir) => {
-      val base = embeddings(s, dir).select("vec_id", "embedding")
-      val planted = base
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding"),
-          explode(sequence(lit(1), lit(5))).as("j"))
-        .select((col("vec_id") + col("j") * lit(1000000L)).as("new_id"),
-          col("j"), col("embedding"))
-        .select(
-          col("new_id").as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => (x + sin(col("new_id") * (i + 1)) *
-              (col("j") * lit(0.002))).cast("float"))
-            .as("embedding"))
-      val corpus = base.unionByName(planted)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val corpus = pqPlantedCorpus(s, dir)
       Pq.pqTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numSub = 8, kCodes = 64,
         iterations = 2, shortlist = 40)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    //     stored-index production split (the ivfBuild/ivfSearch pattern):
+    //     q_pq_build trains + writes codebook/codes parquet; q_pq_serve
+    //     answers the SAME oracle from the stored tables — identical
+    //     config, so the DuckDB twin is shared with q_pq_ann.
+    "q_pq_build" -> ((s, dir) => {
+      builtSummary(s, buildPqTables(s, dir, force = true),
+        Seq("codebook", "codes"))
+    }),
+    "q_pq_serve" -> ((s, dir) => {
+      val base = buildPqTables(s, dir, force = false)
+      val corpus = pqPlantedCorpus(s, dir)
+      Pq.pqSearch(s.read.parquet(s"$base/codebook"),
+        s.read.parquet(s"$base/codes"),
+        corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, shortlist = 40)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -1522,6 +1560,26 @@ object SparkEntry {
     // contains every planted neighbor (margin 0.9996 vs 0.51 background),
     // so the refined top-5 equals this exhaustive top-5
     "q_pq_ann" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         planted AS (SELECT vec_id + j*1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (embedding[i] + sin((vec_id + j*1000000)*i)*(0.002*j))::FLOAT)
+               AS embedding
+           FROM base, range(1, 6) t(j) WHERE vec_id < 10),
+         allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+                  UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM planted),
+         q AS (SELECT vec_id, v FROM allv WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+                 list_cosine_similarity(q.v, e.v) AS cos
+               FROM allv e JOIN q ON q.vec_id <> e.vec_id)
+         SELECT query_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, nn_id ASC) AS rank,
+           nn_id, cos
+         FROM s QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    // q_pq_serve answers the same question from the STORED codebook/codes
+    // tables (identical build config) — same exhaustive twin
+    "q_pq_serve" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
          planted AS (SELECT vec_id + j*1000000 AS vec_id,
              list_transform(range(1, 65),
