@@ -92,7 +92,9 @@ object Dedup {
     val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
     newBatch
       .withColumn("__batch_dup", row_number().over(w) > 1)
-      .join(inCorpusIds.withColumn("__in_corpus", lit(true)),
+      // inCorpusIds is bounded by the maybe-set — broadcast it so the
+      // only exchange in the whole operator is the batch window
+      .join(broadcast(inCorpusIds.withColumn("__in_corpus", lit(true))),
         col(idCol) === col("__dup_id"), "left")
       .withColumn("is_dup",
         col("__batch_dup") || coalesce(col("__in_corpus"), lit(false)))

@@ -74,6 +74,17 @@ class BloomDedupSpec extends AnyFunSuite {
       corpus, batch.filter(lit(false)), "text", "doc_id").count() == 0)
   }
 
+  test("plan: no sort-merge join anywhere — the corpus is never shuffled") {
+    // every join in the operator is broadcast (maybe-set and candidate
+    // slice are bounded); the only exchange is the batch window. A
+    // SortMergeJoin appearing here would mean a corpus-sized shuffle
+    // crept back in.
+    val plan = Dedup.bloomExactIncremental(corpus, batch, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("sf0.001 tagged corpus: equivalence at fixture density") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tagged = docs.select(col("doc_id"),
