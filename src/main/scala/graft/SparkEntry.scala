@@ -453,6 +453,25 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("word"))
         .limit(100)
     }),
+    // --- corpus-wide top-k n-gram mining (oracle-paired): the
+    //     memorization-audit inspection op — which trigrams repeat most
+    //     across the corpus (Lee et al. 2021 motivation). Narrow trigram
+    //     explode (3× token volume), ONE map-side-combined groupBy, and
+    //     orderBy+limit plans as TakeOrderedAndProject (per-partition
+    //     top-k merged on the driver — no global sort materialization) --
+    "q_ngram_top" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      docs(s, dir)
+        .select(when(size(ws) >= 3,
+          transform(sequence(lit(1), size(ws) - 2),
+            i => concat_ws(" ", element_at(ws, i),
+              element_at(ws, i + 1), element_at(ws, i + 2))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+        .select(explode(col("grams")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("gram"))
+        .limit(20)
+    }),
     // --- A2 confusion matrix ---------------------------------------------
     "q_eval_confusion" -> ((s, dir) => {
       docs(s, dir)
@@ -1287,6 +1306,15 @@ object SparkEntry {
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE len(word) > 0
          GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100""",
+    // word trigrams via inclusive list slices; range(1, len-1) is empty
+    // for texts under 3 words, matching the Spark-side guard
+    "q_ngram_top" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         idx AS (SELECT ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+                 FROM w),
+         g AS (SELECT array_to_string(ws[i:i+2], ' ') AS gram FROM idx)
+         SELECT gram, count(*) AS cnt
+         FROM g GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20""",
     "q_eval_confusion" ->
       """SELECT
          CAST(sum(CASE WHEN lang = 'en' AND contains(text, 'window') THEN 1 ELSE 0 END) AS BIGINT) AS tp,
