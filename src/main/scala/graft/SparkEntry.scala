@@ -460,17 +460,7 @@ object SparkEntry {
     //     orderBy+limit plans as TakeOrderedAndProject (per-partition
     //     top-k merged on the driver — no global sort materialization) --
     "q_ngram_top" -> ((s, dir) => {
-      val ws = split(col("text"), " ")
-      docs(s, dir)
-        .select(when(size(ws) >= 3,
-          transform(sequence(lit(1), size(ws) - 2),
-            i => concat_ws(" ", element_at(ws, i),
-              element_at(ws, i + 1), element_at(ws, i + 2))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-        .select(explode(col("grams")).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("gram"))
-        .limit(20)
+      TextStats.topNgrams(docs(s, dir), "text", n = 3, k = 20)
     }),
     // --- A2 confusion matrix ---------------------------------------------
     "q_eval_confusion" -> ((s, dir) => {

@@ -13,6 +13,32 @@ object TextStats {
   def wsTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), w => length(w) > 0)).cast("long")
 
+  /** Corpus-wide top-k word n-grams — the memorization-audit inspection
+    * op (which n-grams repeat most across the corpus; Lee et al. 2021
+    * motivation). Words are single-space-split (engine convention,
+    * empties kept so the SQL twin slices identically); n-grams are built
+    * with pure column algebra (no UDF), exploded narrow (n× token
+    * volume), counted by ONE map-side-combined aggregation, and the
+    * deterministic (cnt desc, gram asc) top-k plans as
+    * TakeOrderedAndProject — per-partition top-k merged on the driver,
+    * no global sort materialization (plan-asserted in the spec).
+    * Output: (gram, cnt).
+    */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, s"topNgrams: need n, k >= 1 (got $n, $k)")
+    val ws = split(col(textCol), " ")
+    df.select(when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(ws, i + o)): _*)))
+        .otherwise(array().cast("array<string>")).as("grams"))
+      .select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("gram"))
+      .limit(k)
+  }
+
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation — the usual byte-pair pre-segmentation shape.
     */

@@ -698,4 +698,18 @@ class DedupAnnSpec extends AnyFunSuite {
     val largest = expected.values.groupBy(identity).map(_._2.size).max
     assert(largest > 100, s"largest component $largest — fixture changed?")
   }
+
+  test("topNgrams: hand counts, short-text guard, top-k plan shape") {
+    val docs = Seq((1L, "a b a b a"), (2L, "a b a"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextStats.topNgrams(docs, "text", n = 3, k = 5)
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a b a", 3L), ("b a b", 1L))) // doc 3 has no trigram
+    val bi = TextStats.topNgrams(docs, "text", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bi == Seq(("a b", 3L), ("b a", 3L))) // ties break gram-asc
+    // per-partition top-k, no global sort materialization
+    assert(TextStats.topNgrams(docs, "text").queryExecution
+      .executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
 }
