@@ -27,13 +27,11 @@ object TextStats {
   def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int = 3, k: Int = 20): org.apache.spark.sql.DataFrame = {
     require(n >= 1 && k >= 1, s"topNgrams: need n, k >= 1 (got $n, $k)")
-    val ws = split(col(textCol), " ")
-    df.select(when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(o => element_at(ws, i + o)): _*)))
-        .otherwise(array().cast("array<string>")).as("grams"))
-      .select(explode(col("grams")).as("gram"))
+    // flat-loop n-gram expression, NOT transform()+element_at: the HOF
+    // lambda interpreter costs ~34 µs per gram even over an attribute
+    // array (the winnow O(n²) lesson, third sighting — 8.8 s of a 9 s
+    // wall at sf0.1 was lambda re-entry)
+    df.select(explode(vigil.functions.word_ngrams(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
       .limit(k)
