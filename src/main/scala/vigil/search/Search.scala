@@ -1,0 +1,155 @@
+package vigil.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus: inverted-index build, BM25 scoring /
+  * top-k search, and tf-idf keyword extraction.
+  *
+  * The dense-vector side of retrieval lives in [[vigil.ann.Ann]]; this is
+  * the sparse/lexical side a training-data pipeline needs for corpus
+  * inspection ("which documents mention X"), decontamination triage, and
+  * classic hybrid (BM25 + cosine) retrieval.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - The index is ONE exchange at build time: narrow tokenize+explode →
+  *     `groupBy(term, doc_id)` with a map-side-combined count. Document
+  *     length is computed narrow BEFORE the explode and rides the shuffle
+  *     as a constant per (doc_id) — serving never joins a corpus-wide
+  *     doc-length table (that join, keyed by doc_id, would be a second
+  *     full-corpus exchange per query batch).
+  *   - Serving broadcasts the QUERY terms (bounded by the query batch, not
+  *     the corpus) against the postings scan; per-term document
+  *     frequencies aggregate over the matched postings only (exact — a
+  *     term's matched slice IS its full posting list), and the only
+  *     candidate-volume exchange is the final (query_id, doc_id) score
+  *     fold. Candidate volume = Σ df over query terms — linear in the
+  *     postings actually touched, never all-pairs.
+  *   - Corpus-level scalars (N, Σ dl) live in a 1-row stats table written
+  *     at build time, so serving reads two parquet scans and nothing else.
+  *
+  * Determinism/oracle contract: tf, df, dl, N are exact integers in any
+  * engine; `avgdl = Σdl / N` is one correctly-rounded IEEE division of
+  * exact longs; the only transcendental is `ln` in the idf. Scores are
+  * exposed CAST TO FLOAT, which absorbs sub-ULP `ln` library differences
+  * and double-sum reassociation noise (the list_cosine_similarity
+  * precedent), and ranking orders by the FLOAT score so mathematically
+  * equal scores stay exactly tied in every engine and fall through to the
+  * deterministic doc_id tiebreak.
+  */
+object Search {
+
+  /** BM25 parameters (Robertson k1/b; idf is Lucene's non-negative
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`).
+    */
+  final case class Bm25(k1: Double = 1.2, b: Double = 0.75)
+
+  /** Tokenization convention shared with the oracle twins: lowercase,
+    * split on single spaces, drop empties. (The corpus convention — see
+    * TextStats.wsTokenCount; search additionally lowercases so queries
+    * are case-insensitive.)
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), w => length(w) > 0)
+
+  /** Inverted postings with denormalized document length:
+    * `(term, doc_id, tf, dl)`. One map-side-combined exchange.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** 1-row corpus stats the scorer needs: `(n_docs, sum_dl)`. Counts ALL
+    * docs (including empty ones, which have no postings row but belong in
+    * N and avgdl).
+    */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol))).cast("long")).as("sum_dl"))
+
+  /** BM25 scores for every (query, matching doc) pair.
+    *
+    * @param queries bounded query batch `(query_id, qtext)`; terms are
+    *                deduplicated per query (query-side tf is ignored — the
+    *                usual short-query convention, documented here as the
+    *                engine contract).
+    * @return `(query_id, doc_id, score: float)` — every doc matching ≥1
+    *         query term; callers cut top-k with [[bm25TopK]].
+    */
+  def bm25Scores(postings: DataFrame, stats: DataFrame, queries: DataFrame,
+      p: Bm25 = Bm25()): DataFrame = {
+    val st = stats.select(col("n_docs"), col("sum_dl")).head()
+    val n = st.getLong(0)
+    require(n > 0, "bm25Scores: empty corpus stats (n_docs = 0)")
+    val avgdl = st.getLong(1).toDouble / n
+
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(tokens(col("qtext"))))
+        .as("term"))
+    // matched postings: broadcast the bounded query-term set; the postings
+    // scan stays narrow (no corpus-wide shuffle to serve a query batch)
+    val matched = postings.join(broadcast(qterms), Seq("term"))
+    // exact df per (term): the matched slice of a term is its entire
+    // posting list, so counting doc_ids over it is the true df. Dedup to
+    // (term, df) first — qterms may repeat a term across queries.
+    val df = matched.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = matched.join(broadcast(df), Seq("term"))
+      .withColumn("c",
+        idf * (col("tf") * lit(p.k1 + 1.0)) /
+          (col("tf") + lit(p.k1) *
+            (lit(1.0 - p.b) + lit(p.b) * col("dl") / lit(avgdl))))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score_d"))
+      .select(col("query_id"), col("doc_id"),
+        col("score_d").cast("float").as("score"))
+  }
+
+  /** Top-k docs per query by BM25, deterministic: rank on the FLOAT score
+    * (ties fall to doc_id asc). The window partitions by query_id —
+    * bounded by the query batch; candidate volume per query is Σ df of
+    * its terms.
+    */
+  def bm25TopK(postings: DataFrame, stats: DataFrame, queries: DataFrame,
+      k: Int, p: Bm25 = Bm25()): DataFrame = {
+    require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25Scores(postings, stats, queries, p)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Per-document tf-idf keywords: top-m terms of each doc by
+    * `tf · ln(N / df)` (plain tf-idf; df from the corpus postings), ranked
+    * on the FLOAT score with term-asc tiebreak. The df frame aggregates
+    * the postings once (map-side combined) and joins back BROADCAST when
+    * the vocabulary is bounded — for open web-scale vocabularies flip
+    * `broadcastVocab = false` to keep a shuffle join.
+    */
+  def tfidfKeywords(postings: DataFrame, stats: DataFrame, m: Int,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(m >= 1, s"tfidfKeywords: m must be >= 1, got $m")
+    val n = stats.select(col("n_docs")).head().getLong(0)
+    require(n > 0, "tfidfKeywords: empty corpus stats (n_docs = 0)")
+    val df0 = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfF = if (broadcastVocab) broadcast(df0) else df0
+    val scored = postings.join(dfF, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(lit(n.toDouble) / col("df")))
+          .cast("float").as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select("doc_id", "rank", "term", "tfidf")
+  }
+}

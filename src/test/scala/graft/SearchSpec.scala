@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.search.Search
+
+/** Lexical retrieval: BM25 scoring locked to a brute-force Scala
+  * reference (float equality — the FLOAT cast is the normative absorber
+  * of ln-ULP and sum-order noise), top-k as the deterministic slice of
+  * the score frame, tf-idf keyword extraction hand-traced, and the
+  * serving plan shape (no sort-merge join of the postings scan).
+  */
+class SearchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val docsSeq = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple cherry cherry date"),
+    (4L, ""), // empty doc: no postings, but counts in N and avgdl
+    (5L, "apple banana apple"), // exact twin of doc 1: identical score, id tiebreak
+    (6L, "Apple DATE") // case-insensitivity
+  )
+  private val queriesSeq = Seq(
+    (0L, "apple date"),
+    (1L, "banana banana"), // query-side dup term counted once
+    (2L, "zebra"), // zero-hit
+    (3L, "zebra cherry") // partial hit: absent term contributes nothing
+  )
+  private def docsDf = docsSeq.toDF("doc_id", "text")
+  private def queriesDf = queriesSeq.toDF("query_id", "qtext")
+  private def postings = Search.buildPostings(docsDf, "doc_id", "text")
+  private def stats = Search.corpusStats(docsDf, "doc_id", "text")
+
+  /** Brute-force reference over the same doubles; float at the end. */
+  private def bruteScores(k1: Double = 1.2, b: Double = 0.75)
+      : Map[(Long, Long), Float] = {
+    val toks = docsSeq.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = docsSeq.size.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    val out = scala.collection.mutable.Map[(Long, Long), Double]()
+    for ((qid, qtext) <- queriesSeq;
+        term <- qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct) {
+      val matches = toks.filter(_._2.contains(term))
+      val df = matches.size
+      if (df > 0) {
+        val idf = math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+        for ((did, ws) <- matches) {
+          val tf = ws.count(_ == term).toLong
+          val dl = ws.size.toLong
+          val c = idf * (tf * (k1 + 1.0)) /
+            (tf + k1 * (1.0 - b + b * dl / avgdl))
+          out((qid, did)) = out.getOrElse((qid, did), 0.0) + c
+        }
+      }
+    }
+    out.map { case (k, v) => k -> v.toFloat }.toMap
+  }
+
+  private def collectScores(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, Long), Float] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getFloat(2)).toMap
+
+  test("postings carry exact (term, doc_id, tf, dl) tuples") {
+    val rows = postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows === Set(
+      ("apple", 1L, 2L, 3L), ("banana", 1L, 1L, 3L),
+      ("banana", 2L, 1L, 2L), ("cherry", 2L, 1L, 2L),
+      ("apple", 3L, 1L, 4L), ("cherry", 3L, 2L, 4L), ("date", 3L, 1L, 4L),
+      ("apple", 5L, 2L, 3L), ("banana", 5L, 1L, 3L),
+      ("apple", 6L, 1L, 2L), ("date", 6L, 1L, 2L)))
+  }
+
+  test("corpus stats count empty docs in N and sum_dl") {
+    val r = stats.head()
+    assert(r.getLong(0) === 6L && r.getLong(1) === 14L)
+  }
+
+  test("bm25Scores = brute-force reference (float-exact)") {
+    val got = collectScores(Search.bm25Scores(postings, stats, queriesDf))
+    val want = bruteScores()
+    assert(got === want)
+    // zero-hit query contributes no rows at all
+    assert(!got.keys.exists(_._1 == 2L))
+    // partial-hit query scored on the present term only: same as a pure
+    // "cherry" query
+    val cherryOnly =
+      collectScores(Search.bm25Scores(postings, stats,
+        Seq((3L, "cherry")).toDF("query_id", "qtext")))
+    assert(got.filter(_._1._1 == 3L) === cherryOnly)
+  }
+
+  test("non-default k1/b flow through (brute agreement)") {
+    val got = collectScores(
+      Search.bm25Scores(postings, stats, queriesDf, Search.Bm25(0.9, 0.4)))
+    assert(got === bruteScores(0.9, 0.4))
+  }
+
+  test("bm25TopK = deterministic slice of the score frame; exact ties " +
+      "fall to doc_id") {
+    val scores = collectScores(Search.bm25Scores(postings, stats, queriesDf))
+    val top = Search.bm25TopK(postings, stats, queriesDf, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getFloat(3)))
+    // reference slice: per query, (score desc, doc_id asc), first 2
+    val want = scores.groupBy(_._1._1).toSeq.flatMap { case (qid, m) =>
+      m.toSeq.map { case ((_, did), s) => (did, s) }
+        .sortBy { case (did, s) => (-s, did) }.take(2).zipWithIndex
+        .map { case ((did, s), i) => (qid, (i + 1).toLong, did, s) }
+    }.toSet
+    assert(top.toSet === want)
+    // docs 1 and 5 are byte-identical → mathematically equal "banana"
+    // scores; the float rank breaks the tie by doc_id, so query 1's top-2
+    // is doc 2 (shorter, higher score) then doc 1 — doc 5 is sliced out
+    // purely by the id tiebreak
+    val q1 = top.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(q1 === Seq(2L, 1L))
+  }
+
+  test("tfidfKeywords: hand-traced ranks with term-asc tiebreak") {
+    val kw = Search.tfidfKeywords(postings, stats, m = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getFloat(3)))
+    val n = 6.0
+    def tfidf(tf: Long, df: Long): Float =
+      (tf * math.log(n / df)).toFloat
+    // doc 3: cherry tf=2 df=2 → 2·ln3; apple tf=1 df=4 → ln1.5;
+    //        date tf=1 df=2 → ln3  ⇒ top2 = cherry, date
+    val d3 = kw.filter(_._1 == 3L).sortBy(_._2)
+    assert(d3.map(t => (t._3, t._4)).toSeq ===
+      Seq(("cherry", tfidf(2, 2)), ("date", tfidf(1, 2))))
+    // doc 6: apple tf=1 df=4 → ln1.5; date tf=1 df=2 → ln3 ⇒ date first
+    val d6 = kw.filter(_._1 == 6L).sortBy(_._2)
+    assert(d6.map(_._3).toSeq === Seq("date", "apple"))
+    // doc 1 ≡ doc 5 (identical text): identical keyword rows
+    assert(kw.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSet ===
+      kw.filter(_._1 == 5L).map(t => (t._2, t._3, t._4)).toSet)
+    // empty doc: no keywords
+    assert(!kw.exists(_._1 == 4L))
+  }
+
+  test("serving plan: query terms broadcast — postings never sort-merge-" +
+      "joined") {
+    val plan = Search.bm25Scores(postings, stats, queriesDf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"postings side must stream through broadcast joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("empty corpus stats fail loudly") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25Scores(
+        Search.buildPostings(empty, "doc_id", "text"),
+        Search.corpusStats(empty, "doc_id", "text"), queriesDf)
+    }
+    assert(e.getMessage.contains("n_docs"))
+  }
+}
