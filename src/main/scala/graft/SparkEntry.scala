@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import vigil.{Decide, DocFilter, Eval, Quality, Review, Synth, TextStats, Toxicity}
+import vigil.{Decide, DocFilter, Eval, Lm, Quality, Review, Synth, TextStats, Toxicity}
 import vigil.ann.{Ann, Pq}
+import vigil.search.Search
 import vigil.dedup.Dedup
 import vigil.media.Media
 import vigil.{functions => vf}
@@ -344,6 +345,36 @@ object SparkEntry {
       .agg(concat_ws("\n", transform(
         sort_array(collect_list(struct(col("doc_id"), col("a")))),
         x => x.getField("a"))).as("txt"))
+  }
+
+  /** search family: stored inverted index (postings + 1-row corpus stats)
+    * over the documents table — the build/serve split of the other stored
+    * families applied to lexical retrieval.
+    */
+  private def searchBase(dir: String) = s"${storedTableRoot(dir)}/search"
+  private def buildSearchTables(s: SparkSession, dir: String,
+      force: Boolean): String = {
+    val base = searchBase(dir)
+    ensureBuilt(base, Seq("postings", "stats"), force) {
+      val d = docs(s, dir)
+      Search.buildPostings(d, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/postings")
+      Search.corpusStats(d, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/stats")
+    }
+    base
+  }
+
+  /** Fixed lexical query batch: a multi-term query, a rare term ("dup" —
+    * df ≈ 5% of docs), a mixed-case query (case folding), a zero-hit +
+    * partial-hit pair ("zebra" has no postings), and a stopword-dense
+    * query (the worst-case candidate volume). Mirrored literally in the
+    * oracle CTE.
+    */
+  private def searchQueryDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "spark window query"), (1L, "dup"), (2L, "hash JOIN fast merge"),
+      (3L, "zebra dup"), (4L, "the a")).toDF("query_id", "qtext")
   }
 
   /** Flagship: full per-turn PII keep/drop + scrub over the documents table
@@ -1235,6 +1266,59 @@ object SparkEntry {
       DocFilter.filterDocsIncremental(
         s.read.parquet(s"$base/sigs"), s.read.parquet(s"$base/hashes"),
         s.read.parquet(s"$base/kept"), batch)
+        .orderBy("doc_id")
+    }),
+    // --- BM25 lexical retrieval over a STORED inverted index (oracle-
+    //     paired): build writes postings (term, doc_id, tf, dl — doc
+    //     length denormalized so serving never joins a corpus-wide
+    //     length table) + a 1-row stats table; serving broadcasts the
+    //     bounded query-term set against the postings scan. Scores are
+    //     FLOAT-cast (absorbs ln-ULP + sum-order noise — the
+    //     list_cosine_similarity precedent) and ranks order by the FLOAT
+    //     score so mathematically equal scores tie-break by doc_id
+    //     identically in both engines --------------------------------
+    "q_bm25_build" -> ((s, dir) => {
+      builtSummary(s, buildSearchTables(s, dir, force = true),
+        Seq("postings", "stats"))
+    }),
+    "q_bm25_score" -> ((s, dir) => {
+      val base = buildSearchTables(s, dir, force = false)
+      Search.bm25Scores(s.read.parquet(s"$base/postings"),
+        s.read.parquet(s"$base/stats"), searchQueryDf(s))
+        .orderBy("query_id", "doc_id")
+    }),
+    "q_bm25_topk" -> ((s, dir) => {
+      val base = buildSearchTables(s, dir, force = false)
+      Search.bm25TopK(s.read.parquet(s"$base/postings"),
+        s.read.parquet(s"$base/stats"), searchQueryDf(s), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+    // --- tf-idf keyword extraction (oracle-paired): top-3 terms per doc
+    //     from the same stored postings -------------------------------
+    "q_tfidf_keywords" -> ((s, dir) => {
+      val base = buildSearchTables(s, dir, force = false)
+      Search.tfidfKeywords(s.read.parquet(s"$base/postings"),
+        s.read.parquet(s"$base/stats"), m = 3)
+        .orderBy("doc_id", "rank")
+    }),
+    // --- trainable char-trigram LM, the CCNet loop closed (oracle-
+    //     paired): q_lm_fit = exact trigram counts of the reference
+    //     slice (doc_id%10=0 — the "Wikipedia" side); q_lm_ppl fits that
+    //     LM in-query and perplexity-scores the WHOLE corpus (ppl FLOAT-
+    //     cast — counts/V exact, ln-ULP + sum-order absorbed) ----------
+    "q_lm_fit" -> ((s, dir) => {
+      Lm.trigramCounts(
+        docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0),
+        lower(col("text")))
+        .orderBy("gram")
+    }),
+    "q_lm_ppl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = Lm.fit(d.filter(pmod(col("doc_id"), lit(10)) === 0),
+        lower(col("text")))
+      Lm.perplexity(d, lower(col("text")), model)
+        .select(col("doc_id"), col("n_grams"),
+          col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
     })
   )
@@ -2303,6 +2387,112 @@ object SparkEntry {
            top3gram_char_frac, dup3gram_char_frac, stopword_frac,
            (top2gram_char_frac <= 0.10 AND dup2gram_char_frac <= 0.10
             AND stopword_frac >= 0.02) AS gopher_keep
-         FROM r ORDER BY doc_id""")
+         FROM r ORDER BY doc_id"""),
+    // BM25: tf/df/dl/N exact integers, avgdl = one correctly-rounded
+    // division of exact longs, arithmetic parenthesized EXACTLY as the
+    // Spark side (contrib = (idf · (tf·(k1+1))) / (tf + k1·((1−b) +
+    // (b·dl)/avgdl))); the FLOAT cast absorbs ln-library ULPs and
+    // double-sum reassociation. Query terms inlined as distinct
+    // lowercased VALUES — the literal twin of searchQueryDf.
+    "q_bm25_score" ->
+      (SearchOracleCte +
+        """SELECT query_id, doc_id, score FROM scored
+         ORDER BY query_id, doc_id"""),
+    "q_bm25_topk" ->
+      (SearchOracleCte +
+        """, ranked AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id)::BIGINT AS rank
+           FROM scored)
+         SELECT query_id, rank, doc_id, score FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank"""),
+    "q_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, t.term
+           FROM documents, unnest(list_filter(string_split(lower(text), ' '),
+             w -> len(w) > 0)) AS t(term)),
+         post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+         st AS (SELECT count(*)::BIGINT AS n FROM documents),
+         dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+         scored AS (
+           SELECT doc_id, term,
+             (tf * ln((SELECT n FROM st)::DOUBLE / df))::FLOAT AS tfidf
+           FROM post JOIN dfr USING (term)),
+         ranked AS (
+           SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term)::BIGINT AS rank
+           FROM scored)
+         SELECT doc_id, rank, term, tfidf FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Trainable trigram LM: grams are CODE-POINT substr windows (Spark
+    // substring ≡ DuckDB substr); counts and the charset size V exact;
+    // add-α arithmetic parenthesized exactly as LmPplExpr
+    // ((c3 + 0.1) / (c2 + 0.1·V)); exp(−mean ln p) FLOAT-cast.
+    "q_lm_fit" ->
+      """WITH tr AS (SELECT doc_id, lower(text) AS t,
+             len(lower(text))::BIGINT AS l FROM documents),
+         train AS (SELECT t, l FROM tr WHERE doc_id % 10 = 0),
+         g AS (SELECT substr(t, i::INTEGER, 3) AS gram
+           FROM train, unnest(range(1, greatest(l - 1, 1))) AS u(i))
+         SELECT gram, count(*) AS cnt FROM g GROUP BY gram ORDER BY gram""",
+    "q_lm_ppl" ->
+      """WITH tr AS (SELECT doc_id, lower(text) AS t,
+             len(lower(text))::BIGINT AS l FROM documents),
+         train AS (SELECT t, l FROM tr WHERE doc_id % 10 = 0),
+         c3 AS (SELECT substr(t, i::INTEGER, 3) AS gram, count(*) AS cnt
+           FROM train, unnest(range(1, greatest(l - 1, 1))) AS u(i)
+           GROUP BY 1),
+         c2 AS (SELECT substr(gram, 1, 2) AS ctx, sum(cnt)::BIGINT AS cnt2
+           FROM c3 GROUP BY 1),
+         v AS (SELECT count(DISTINCT substr(t, i::INTEGER, 1))::BIGINT AS v
+           FROM train, unnest(range(1, l + 1)) AS u(i)),
+         g AS (SELECT doc_id, substr(t, i::INTEGER, 3) AS gram
+           FROM tr, unnest(range(1, greatest(l - 1, 1))) AS u(i)),
+         sc AS (SELECT g.doc_id,
+             ln((coalesce(c3.cnt, 0) + 0.1) /
+                (coalesce(c2.cnt2, 0) + 0.1 * (SELECT v FROM v))) AS lp
+           FROM g LEFT JOIN c3 USING (gram)
+                  LEFT JOIN c2 ON substr(g.gram, 1, 2) = c2.ctx)
+         SELECT d.doc_id, count(sc.lp)::BIGINT AS n_grams,
+           CASE WHEN count(sc.lp) > 0
+             THEN exp(-(sum(sc.lp) / count(sc.lp)))::FLOAT END AS ppl
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id"""
   )
+
+  /** Shared CTE prefix of the BM25 oracles (tokenize → postings → doc
+    * lengths → corpus stats → query terms → matched postings → df →
+    * scores).
+    */
+  private val SearchOracleCte =
+    """WITH toks AS (
+         SELECT doc_id, t.term
+         FROM documents, unnest(list_filter(string_split(lower(text), ' '),
+           w -> len(w) > 0)) AS t(term)),
+       post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+             w -> len(w) > 0))::BIGINT AS dl
+         FROM documents),
+       st AS (SELECT count(*)::BIGINT AS n,
+           sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+       q AS (SELECT query_id::BIGINT AS query_id, term FROM (VALUES
+           (0, 'spark'), (0, 'window'), (0, 'query'),
+           (1, 'dup'),
+           (2, 'hash'), (2, 'join'), (2, 'fast'), (2, 'merge'),
+           (3, 'zebra'), (3, 'dup'),
+           (4, 'the'), (4, 'a')) AS v(query_id, term)),
+       m AS (SELECT q.query_id, q.term, p.doc_id, p.tf, dl.dl
+         FROM q JOIN post p USING (term) JOIN dl USING (doc_id)),
+       dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY 1),
+       scored AS (
+         SELECT query_id, doc_id,
+           sum(ln(1 + ((SELECT n FROM st) - dfr.df + 0.5) / (dfr.df + 0.5))
+             * (m.tf * (1.2 + 1.0))
+             / (m.tf + 1.2 * ((1 - 0.75)
+                 + 0.75 * m.dl / (SELECT avgdl FROM st))))::FLOAT AS score
+         FROM m JOIN dfr USING (term) GROUP BY 1, 2)
+    """
 }

@@ -1,0 +1,103 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable character-trigram language model — the CCNet loop closed:
+  * [[Quality.pplBuckets]] buckets on the ENGINE's built-in LM
+  * ([[LangModel]], fixed seed corpora); this module fits the LM on a
+  * caller-chosen reference slice of the corpus itself (CCNet fits KenLM on
+  * Wikipedia, then buckets crawl text by that model's perplexity — Wenzek
+  * et al. 2019 §4.3).
+  *
+  * Model = add-α smoothed trigram conditional over code points:
+  * `p(c₃ | c₁c₂) = (c3(g) + α) / (c2(ctx) + α·V)` where `c3` counts gram
+  * occurrences in the training slice, `c2(ctx) = Σ_g3 starting with ctx`
+  * (derived from c3, so the two stay consistent by construction), and `V`
+  * is the training charset size. Perplexity = `exp(−mean ln p)` over a
+  * document's grams.
+  *
+  * Scale shape: fitting is ONE map-side-combined `(gram, count)`
+  * aggregation — the exchange carries one row per DISTINCT trigram
+  * (charset³-bounded, not corpus-bounded); the driver holds only the
+  * ≤ `maxGrams` model (loud failure beyond, never a silent cap), and
+  * scoring is a narrow broadcast flat loop ([[LmPplExpr]]) — no exchange.
+  *
+  * Determinism/oracle contract: counts and V are exact integers in any
+  * engine; per-gram log-probs share one `ln` whose library ULPs — and the
+  * double-sum reassociation across grams — are absorbed by the FLOAT cast
+  * on the exposed perplexity (the BM25/cosine precedent). Grams are CODE
+  * POINT windows (Spark `substring` / DuckDB `substr` semantics), never
+  * UTF-16 units.
+  */
+object Lm {
+
+  /** Broadcastable fitted model. `c2` is derived from `c3` at
+    * construction; `logDenom(ctx)` would be `ln(c2 + α·V)` — kept as
+    * counts so the scoring expr computes the same arithmetic as the SQL
+    * twin term by term.
+    */
+  final case class Model(
+      alpha: Double,
+      vocabSize: Long,
+      c3: java.util.HashMap[String, java.lang.Long],
+      c2: java.util.HashMap[String, java.lang.Long]) extends Serializable
+
+  /** Exact trigram counts `(gram, cnt)` of a training corpus — the
+    * stored-table / oracle-paired face of [[fit]]. One map-side-combined
+    * exchange.
+    */
+  def trigramCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(vigil.functions.char_ngrams(text, 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Distinct code points of the training text — the smoothing alphabet
+    * size V. 1-value aggregate.
+    */
+  def charVocabSize(df: DataFrame, text: Column): Long =
+    df.select(explode(vigil.functions.char_ngrams(text, 1)).as("ch"))
+      .agg(countDistinct(col("ch"))).head().getLong(0)
+
+  /** Assemble a model from a counts frame (fresh from [[trigramCounts]]
+    * or read back from a stored parquet table). Bounded driver state:
+    * fails loudly past `maxGrams`.
+    */
+  def fromCounts(counts: DataFrame, vocabSize: Long, alpha: Double = 0.1,
+      maxGrams: Int = 2000000): Model = {
+    require(vocabSize > 0, "Lm.fromCounts: empty training charset (V = 0)")
+    require(alpha > 0, s"Lm.fromCounts: alpha must be > 0, got $alpha")
+    val rows = counts.select(col("gram"), col("cnt")).limit(maxGrams + 1)
+      .collect()
+    require(rows.length <= maxGrams,
+      s"trigram vocabulary exceeds maxGrams=$maxGrams — raise it (driver/" +
+        "broadcast bound) or pre-normalize the training slice")
+    val c3 = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
+    val c2 = new java.util.HashMap[String, java.lang.Long](rows.length)
+    rows.foreach { r =>
+      val g = r.getString(0)
+      val cnt = r.getLong(1)
+      c3.put(g, cnt)
+      val ctx = g.substring(0, g.offsetByCodePoints(0, 2))
+      val prev = c2.get(ctx)
+      c2.put(ctx, if (prev == null) cnt else prev.longValue() + cnt)
+    }
+    Model(alpha, vocabSize, c3, c2)
+  }
+
+  /** Fit on a training slice: counts + charset in two aggregates. */
+  def fit(train: DataFrame, text: Column, alpha: Double = 0.1,
+      maxGrams: Int = 2000000): Model =
+    fromCounts(trigramCounts(train, text), charVocabSize(train, text),
+      alpha, maxGrams)
+
+  /** Score a corpus: adds `(n_grams: long, ppl: double — null when the
+    * text has fewer than 3 code points)`. Narrow broadcast flat loop.
+    */
+  def perplexity(df: DataFrame, text: Column, model: Model): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    df.withColumn("lm", vigil.functions.lm_ppl(text, bc))
+      .withColumn("n_grams", col("lm.n_grams"))
+      .withColumn("ppl", col("lm.ppl"))
+      .drop("lm")
+  }
+}

@@ -1075,6 +1075,86 @@ case class WordNgramsExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Character n-grams over CODE POINTS — the flat-loop twin of
+  * `transform(sequence(1, char_length - n + 1), i => substring(text, i, n))`
+  * (bit-equality spec-locked), avoiding the per-element HOF interpreter
+  * re-entry. Code points, not UTF-16 units, so the windows match Spark
+  * `substring` / DuckDB `substr` semantics on astral chars. Null text →
+  * null (SQL twin parity on null rows).
+  */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_ngrams"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val total = cps.length - n + 1
+    if (total <= 0) return PiiSchema.EmptyArray
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): CharNgramsExpr =
+    copy(child = c)
+}
+
+/** Per-document perplexity under a broadcast [[vigil.Lm.Model]]: ONE
+  * code-point pass builds each trigram + its 2-char context and folds
+  * `ln((c3 + α) / (c2 + α·V))`; output = struct(n_grams: long,
+  * ppl: double — null when fewer than 3 code points). Narrow, no
+  * exchange; the normative arithmetic (term order, operand shapes) is the
+  * SQL twin's, so the only cross-engine noise is ln-ULP + sum
+  * reassociation, absorbed by the FLOAT cast at the query boundary.
+  */
+case class LmPplExpr(
+    child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[vigil.Lm.Model])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LmPplExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "lm_ppl"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val cps = text.codePoints().toArray
+    val n = cps.length - 2
+    if (n <= 0) return new GenericInternalRow(Array[Any](0L, null))
+    val m = model.value
+    val alphaV = m.alpha * m.vocabSize.toDouble
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val gram = new String(cps, i, 3)
+      val ctx = new String(cps, i, 2)
+      val c3 = m.c3.get(gram)
+      val c2 = m.c2.get(ctx)
+      val num = (if (c3 == null) 0.0 else c3.longValue().toDouble) + m.alpha
+      val den = (if (c2 == null) 0.0 else c2.longValue().toDouble) + alphaV
+      s += math.log(num / den)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, math.exp(-(s / n))))
+  }
+  override protected def withNewChildInternal(c: Expression): LmPplExpr =
+    copy(child = c)
+}
+
+object LmPplExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("ppl", DoubleType, nullable = true)))
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -1105,6 +1185,11 @@ object functions {
     VigilShim.column(GramScrubExpr(expr(text), expr(lower(text)), n, bench))
   def word_ngrams(text: Column, n: Int): Column =
     VigilShim.column(WordNgramsExpr(expr(text), n))
+  def char_ngrams(text: Column, n: Int): Column =
+    VigilShim.column(CharNgramsExpr(expr(text), n))
+  def lm_ppl(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[vigil.Lm.Model]): Column =
+    VigilShim.column(LmPplExpr(expr(text), model))
   def bpe_encode(text: Column,
       model: org.apache.spark.broadcast.Broadcast[vigil.Bpe.Model]): Column =
     VigilShim.column(BpeEncodeExpr(expr(text), model))

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Lm
+
+/** Trainable char-trigram LM: exact counts, c2-from-c3 derivation,
+  * perplexity locked to a brute-force Scala reference (float equality —
+  * the FLOAT cast is the normative absorber, the BM25 precedent),
+  * code-point semantics on astral chars, and loud bounds.
+  */
+class LmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val trainSeq = Seq("the cat sat", "the cat ran", "a cat")
+  private def trainDf = trainSeq.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  /** Brute model with the SQL twin's arithmetic. */
+  private def bruteFit(train: Seq[String])
+      : (Map[String, Long], Map[String, Long], Long) = {
+    def grams(t: String, n: Int): Seq[String] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - n).map(i => new String(cps, i, n))
+    }
+    val c3 = train.flatMap(grams(_, 3)).groupBy(identity)
+      .map { case (g, xs) => g -> xs.size.toLong }
+    val c2 = c3.groupBy(_._1.substring(0, 2)).map { case (ctx, m) =>
+      ctx -> m.values.sum
+    }
+    val v = train.flatMap(grams(_, 1)).distinct.size.toLong
+    (c3, c2, v)
+  }
+
+  private def brutePpl(text: String, c3: Map[String, Long],
+      c2: Map[String, Long], v: Long, alpha: Double = 0.1)
+      : (Long, Option[Float]) = {
+    val cps = text.codePoints().toArray
+    val n = cps.length - 2
+    if (n <= 0) return (0L, None)
+    var s = 0.0
+    for (i <- 0 until n) {
+      val num = c3.getOrElse(new String(cps, i, 3), 0L).toDouble + alpha
+      val den = c2.getOrElse(new String(cps, i, 2), 0L).toDouble +
+        alpha * v.toDouble
+      s += math.log(num / den)
+    }
+    (n.toLong, Some(math.exp(-(s / n)).toFloat))
+  }
+
+  test("trigramCounts: exact hand-traced counts") {
+    val got = Lm.trigramCounts(trainDf, col("text")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (want, _, _) = bruteFit(trainSeq)
+    assert(got === want)
+    // spot values: "e c" appears in docs 0 and 1; " ca" in all three
+    assert(got("e c") === 2L && got(" ca") === 3L)
+  }
+
+  test("char_ngrams ≡ transform+substring algebra (bit-equal, incl. " +
+      "astral code points and nulls)") {
+    val rows = Seq("abcde", "a😀b😀c", "ab", "", null)
+      .toDF("t")
+    val both = rows.select(
+      vigil.functions.char_ngrams(col("t"), 3).as("fast"),
+      when(col("t").isNull, lit(null))
+        // sequence(1, hi) counts DOWN when hi < 1 — guard short strings
+        .when(length(col("t")) < 3, array())
+        .otherwise(transform(
+          sequence(lit(1), length(col("t")) - 2),
+          i => substring(col("t"), i, lit(3)))).as("alg"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("fromCounts derives c2 as the prefix sum of c3") {
+    val m = Lm.fit(trainDf, col("text"))
+    val (c3, c2, v) = bruteFit(trainSeq)
+    assert(m.vocabSize === v)
+    c3.foreach { case (g, c) => assert(m.c3.get(g).longValue() === c) }
+    c2.foreach { case (ctx, c) => assert(m.c2.get(ctx).longValue() === c) }
+    assert(m.c3.size === c3.size && m.c2.size === c2.size)
+  }
+
+  test("perplexity = brute reference (float-exact), unseen grams and " +
+      "short/null docs handled") {
+    val m = Lm.fit(trainDf, col("text"))
+    val (c3, c2, v) = bruteFit(trainSeq)
+    val score = Seq(
+      (0L, "the cat sat"), // in-distribution
+      (1L, "zzqx wvzz"), // fully unseen grams AND contexts
+      (2L, "the cat zat"), // unseen gram, seen context prefix
+      (3L, "ab"), // short: no grams
+      (4L, null.asInstanceOf[String]) // null text ≡ empty
+    ).toDF("doc_id", "text")
+    val got = Lm.perplexity(score, col("text"), m)
+      .select(col("doc_id"), col("n_grams"),
+        col("ppl").cast("float").as("ppl"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getFloat(2))))
+      .toMap
+    Seq(0L -> "the cat sat", 1L -> "zzqx wvzz", 2L -> "the cat zat")
+      .foreach { case (id, t) =>
+        assert(got(id) === brutePpl(t, c3, c2, v), s"doc $id")
+      }
+    assert(got(3L) === ((0L, None)) && got(4L) === ((0L, None)))
+    // sanity: in-distribution text reads far more probable than gibberish
+    assert(got(0L)._2.get < got(1L)._2.get)
+  }
+
+  test("bounds fail loudly: maxGrams and empty charset") {
+    val e1 = intercept[IllegalArgumentException] {
+      Lm.fit(trainDf, col("text"), maxGrams = 3)
+    }
+    assert(e1.getMessage.contains("maxGrams"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Lm.fit(empty, col("text"))
+    }
+    assert(e2.getMessage.contains("V = 0"))
+  }
+}
