@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import vigil.{Decide, DocFilter, Eval, Lm, Quality, Review, Synth, TextStats, Toxicity}
+import vigil.{Decide, DocFilter, Dsir, Eval, Lm, Quality, Review, Synth, TextStats, Toxicity}
 import vigil.ann.{Ann, Pq}
 import vigil.search.Search
 import vigil.dedup.Dedup
@@ -1320,6 +1320,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams"),
           col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
+    }),
+    // --- DSIR importance resampling (oracle-paired, exact-string mode):
+    //     ref = doc_id%10=0 slice, raw = the whole corpus; per-doc log
+    //     importance ratio over word 1+2-gram counts (FLOAT-cast), then
+    //     Gumbel top-k selection keyed on the Mix.docRank uniform — the
+    //     distribution-matching selector beside the quality-threshold
+    //     classifier (q_quality_classifier). Hashed-bucket mode is the
+    //     100 TB face, spec-locked ≡ exact mode -----------------------
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Dsir.fit(d.filter(pmod(col("doc_id"), lit(10)) === 0), d,
+        "text")
+      Dsir.logWeights(d, "text", m)
+        .select(col("doc_id"), col("n_feats"),
+          col("logw").cast("float").as("logw"))
+        .orderBy("doc_id")
+    }),
+    "q_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = Dsir.fit(d.filter(pmod(col("doc_id"), lit(10)) === 0), d,
+        "text")
+      Dsir.resample(d, "doc_id", "text", m, k = 100)
+        .select("doc_id", "key").orderBy("doc_id")
     })
   )
 
@@ -2459,8 +2482,60 @@ object SparkEntry {
            CASE WHEN count(sc.lp) > 0
              THEN exp(-(sum(sc.lp) / count(sc.lp)))::FLOAT END AS ppl
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-         GROUP BY d.doc_id ORDER BY d.doc_id"""
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // DSIR: word 1+2-gram counts exact; add-α log-ratio arithmetic
+    // parenthesized exactly as Dsir.fit ((c + 0.1) / (tot + 0.1·V));
+    // Gumbel key inverts the Knuth docRank uniform (pure integer
+    // arithmetic, bit-exact — the q_corpus_mix precedent); FLOAT casts
+    // absorb ln-ULP + sum-order noise.
+    "q_dsir_weights" ->
+      (DsirOracleCte +
+        """SELECT d.doc_id, count(sc.r)::BIGINT AS n_feats,
+           coalesce(sum(sc.r), 0.0)::FLOAT AS logw
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         GROUP BY 1 ORDER BY 1"""),
+    "q_dsir_select" ->
+      (DsirOracleCte +
+        """, w AS (SELECT d.doc_id, coalesce(sum(sc.r), 0.0) AS logw
+           FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+           GROUP BY 1),
+         keyed AS (SELECT doc_id,
+             (logw - ln(-ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+               / 4294967296.0)))::FLOAT AS key
+           FROM w),
+         topk AS (SELECT doc_id, key,
+             row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rn
+           FROM keyed)
+         SELECT doc_id, key FROM topk WHERE rn <= 100 ORDER BY doc_id""")
   )
+
+  /** Shared CTE prefix of the DSIR oracles (tokenize → word 1+2-gram
+    * features → ref/raw counts → joined vocab → per-feature log-ratio →
+    * per-doc-occurrence scores).
+    */
+  private val DsirOracleCte =
+    """WITH d AS (SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+       FROM documents),
+       f1 AS (SELECT doc_id, unnest(ws) AS f FROM d),
+       f2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS f
+         FROM (SELECT doc_id, ws,
+             unnest(range(1, greatest(len(ws), 1))) AS i FROM d)),
+       feats AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2),
+       cwt AS (SELECT f, count(*)::BIGINT AS cw FROM feats GROUP BY 1),
+       crt AS (SELECT f, count(*)::BIGINT AS cr FROM feats
+         WHERE doc_id % 10 = 0 GROUP BY 1),
+       j AS (SELECT cwt.f, coalesce(crt.cr, 0)::BIGINT AS cr, cwt.cw
+         FROM cwt LEFT JOIN crt USING (f)),
+       tot AS (SELECT sum(cr)::BIGINT AS tr, sum(cw)::BIGINT AS tw,
+         count(*)::BIGINT AS v FROM j),
+       lr AS (SELECT f,
+           ln((cr + 0.1) / ((SELECT tr FROM tot) + 0.1 * (SELECT v FROM tot)))
+         - ln((cw + 0.1) / ((SELECT tw FROM tot) + 0.1 * (SELECT v FROM tot)))
+           AS r
+         FROM j),
+       sc AS (SELECT feats.doc_id, lr.r FROM feats JOIN lr USING (f))
+    """
 
   /** Shared CTE prefix of the BM25 oracles (tokenize → postings → doc
     * lengths → corpus stats → query terms → matched postings → df →

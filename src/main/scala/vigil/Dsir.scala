@@ -1,0 +1,151 @@
+package vigil
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  * fit bag-of-n-gram unigram models on a REFERENCE (target) corpus and on
+  * the RAW corpus, weight every raw document by its log importance ratio
+  * `Σ_f cnt_x(f)·(ln p_ref(f) − ln p_raw(f))`, then resample k documents
+  * without replacement via Gumbel top-k. The reference engine has no
+  * counterpart (north-rule surface, like the quality classifier — DSIR is
+  * the distribution-MATCHING selector where the classifier is the
+  * quality-THRESHOLD selector).
+  *
+  * Features are word unigrams + bigrams (the paper's), tokenized by the
+  * engine's search convention (lowercase, single-space split, empties
+  * dropped). Two modes:
+  *   - `nBuckets = 0` (exact): features ARE the n-gram strings — the
+  *     oracle-pairable face.
+  *   - `nBuckets = B > 0` (hashed, the paper's and the 100 TB shape):
+  *     features hash into B buckets (`pmod(xxhash64(f), B)` — spec-locked
+  *     to the Spark column twin), so the model is a flat `Array[Double]`
+  *     of B log-ratios regardless of vocabulary size.
+  *
+  * Both distributions are add-α smoothed over V = the number of DISTINCT
+  * OBSERVED features (joined vocab — equal across modes when hashing is
+  * collision-free; a constant of the fit, recorded in the model).
+  *
+  * Scale shape: fitting is two map-side-combined `(feature, count)`
+  * aggregations whose exchanges carry one row per distinct feature
+  * (bucket-bounded in hashed mode); the driver holds only the ≤
+  * `maxFeatures` model, loudly. Weighting is one narrow broadcast flat
+  * loop ([[DsirScoreExpr]]); selection is a global top-k
+  * (TakeOrderedAndProject — per-partition top-k merged on the driver,
+  * never a global sort materialization).
+  *
+  * Determinism: counts/V exact; ln-ULP and sum-order noise absorbed by
+  * the FLOAT cast on exposed weights and on the Gumbel key (so the top-k
+  * boundary compares floats, where mathematically equal keys stay tied
+  * and fall to the id tiebreak); the Gumbel draw inverts the
+  * [[Mix.docRank]] integer uniform — no RNG, any cluster size, same
+  * selection.
+  */
+object Dsir {
+
+  /** Broadcastable model: either `exact` (string → log-ratio) or
+    * `buckets` (bucket → log-ratio, `nBuckets` > 0); `unkLogRatio`
+    * covers features never observed at fit time.
+    */
+  final case class Model(
+      exact: java.util.HashMap[String, java.lang.Double],
+      buckets: Array[Double],
+      nBuckets: Int,
+      unkLogRatio: Double) extends Serializable
+
+  /** Word unigram + bigram features of a text column (engine tokenizer;
+    * bigrams space-joined). Column-algebra face — the flat-loop scorer
+    * walks the same windows.
+    */
+  def features(text: Column): Column = {
+    val ws = filter(split(lower(text), " "), w => length(w) > 0)
+    concat(ws, vigil.functions.word_ngrams(concat_ws(" ", ws), 2))
+  }
+
+  /** Per-corpus feature counts: `(f: string, c)` in exact mode,
+    * `(f: long bucket, c)` in hashed mode. One map-side-combined
+    * exchange, feature-space-bounded.
+    */
+  def featureCounts(df: DataFrame, textCol: String,
+      nBuckets: Int = 0): DataFrame = {
+    val f = explode(features(col(textCol))).as("raw_f")
+    val keyed =
+      if (nBuckets == 0) df.select(f).select(col("raw_f").as("f"))
+      else df.select(f)
+        .select(pmod(xxhash64(col("raw_f")), lit(nBuckets.toLong)).as("f"))
+    keyed.groupBy("f").agg(count(lit(1)).as("c"))
+  }
+
+  /** Fit the importance model: reference vs raw, add-α smoothed over the
+    * joined observed-feature vocabulary.
+    */
+  def fit(ref: DataFrame, raw: DataFrame, textCol: String,
+      alpha: Double = 0.1, nBuckets: Int = 0,
+      maxFeatures: Int = 4000000): Model = {
+    require(nBuckets >= 0, s"nBuckets must be >= 0, got $nBuckets")
+    require(nBuckets <= maxFeatures,
+      s"nBuckets=$nBuckets exceeds maxFeatures=$maxFeatures")
+    val joined = featureCounts(ref, textCol, nBuckets).withColumnRenamed("c", "cr")
+      .join(featureCounts(raw, textCol, nBuckets).withColumnRenamed("c", "cw"),
+        Seq("f"), "full")
+      .select(col("f"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cw"), lit(0L)).as("cw"))
+      .limit(maxFeatures + 1)
+      .collect()
+    require(joined.length <= maxFeatures,
+      s"feature space exceeds maxFeatures=$maxFeatures — raise it (driver/" +
+        "broadcast bound) or use hashed mode (nBuckets)")
+    require(joined.nonEmpty, "Dsir.fit: no features observed (empty corpora)")
+    val v = joined.length.toLong
+    val tr = joined.map(_.getLong(1)).sum
+    val tw = joined.map(_.getLong(2)).sum
+    def logRatio(cr: Long, cw: Long): Double =
+      math.log((cr + alpha) / (tr + alpha * v)) -
+        math.log((cw + alpha) / (tw + alpha * v))
+    val unk = logRatio(0L, 0L)
+    if (nBuckets == 0) {
+      val m = new java.util.HashMap[String, java.lang.Double](joined.length * 2)
+      joined.foreach(r =>
+        m.put(r.getString(0), logRatio(r.getLong(1), r.getLong(2))))
+      Model(m, null, 0, unk)
+    } else {
+      val arr = Array.fill(nBuckets)(unk)
+      joined.foreach(r =>
+        arr(r.getLong(0).toInt) = logRatio(r.getLong(1), r.getLong(2)))
+      Model(null, arr, nBuckets, unk)
+    }
+  }
+
+  /** Weight a corpus: adds `(n_feats: long, logw: double)` — the log
+    * importance ratio. Narrow broadcast flat loop.
+    */
+  def logWeights(df: DataFrame, textCol: String, model: Model): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    df.withColumn("dsir", vigil.functions.dsir_score(col(textCol), bc))
+      .withColumn("n_feats", col("dsir.n_feats"))
+      .withColumn("logw", col("dsir.logw"))
+      .drop("dsir")
+  }
+
+  /** Gumbel top-k key: `logw + (−ln(−ln u))` with `u` inverted from the
+    * [[Mix.docRank]] integer uniform, CAST TO FLOAT (the tie/ULP
+    * absorber). Standard result: top-k by this key = sampling k items
+    * without replacement ∝ exp(logw).
+    */
+  def gumbelKey(logw: Column, id: Column): Column = {
+    val u = (Mix.docRank(id) + lit(0.5)) / lit(4294967296.0)
+    (logw + -log(-log(u))).cast("float")
+  }
+
+  /** Importance-resample k documents: weight, key, global top-k
+    * (key desc, id asc). Returns the kept rows + `(n_feats, logw, key)`.
+    */
+  def resample(df: DataFrame, idCol: String, textCol: String, model: Model,
+      k: Int): DataFrame = {
+    require(k >= 1, s"Dsir.resample: k must be >= 1, got $k")
+    logWeights(df, textCol, model)
+      .withColumn("key", gumbelKey(col("logw"), col(idCol)))
+      .orderBy(col("key").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1155,6 +1155,60 @@ object LmPplExpr {
     StructField("ppl", DoubleType, nullable = true)))
 }
 
+/** DSIR log importance weight under a broadcast [[vigil.Dsir.Model]]:
+  * one pass tokenizes (lowercase, single-space split, empties dropped —
+  * the [[vigil.Dsir.features]] column algebra, spec-locked) and folds the
+  * per-occurrence log-ratio over word unigrams + bigrams. Hashed mode
+  * buckets with `pmod(xxhash64(f), B)` via the same XxHash64Function the
+  * Spark column uses (seed 42), spec-locked to the column twin. Output =
+  * struct(n_feats: long, logw: double). Narrow, no exchange.
+  */
+case class DsirScoreExpr(
+    child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[vigil.Dsir.Model])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DsirScoreExpr.schema
+  override def nullable: Boolean = false
+  override def prettyName: String = "dsir_score"
+
+  private def ratio(m: vigil.Dsir.Model, f: String): Double =
+    if (m.nBuckets == 0) {
+      val r = m.exact.get(f)
+      if (r == null) m.unkLogRatio else r.doubleValue()
+    } else {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.fromString(f), StringType, 42L)
+      val b = ((h % m.nBuckets) + m.nBuckets) % m.nBuckets
+      m.buckets(b.toInt)
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ")
+      .filter(_.nonEmpty)
+    val m = model.value
+    var s = 0.0
+    var i = 0
+    while (i < words.length) {
+      s += ratio(m, words(i))
+      if (i + 1 < words.length) s += ratio(m, words(i) + " " + words(i + 1))
+      i += 1
+    }
+    val nFeats = words.length.toLong +
+      (if (words.length >= 2) words.length - 1L else 0L)
+    new GenericInternalRow(Array[Any](nFeats, s))
+  }
+  override protected def withNewChildInternal(c: Expression): DsirScoreExpr =
+    copy(child = c)
+}
+
+object DsirScoreExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("logw", DoubleType, nullable = false)))
+}
+
 /** Column-level API over the expressions. */
 object functions {
   private def expr(c: Column) = VigilShim.expression(c)
@@ -1190,6 +1244,9 @@ object functions {
   def lm_ppl(text: Column,
       model: org.apache.spark.broadcast.Broadcast[vigil.Lm.Model]): Column =
     VigilShim.column(LmPplExpr(expr(text), model))
+  def dsir_score(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[vigil.Dsir.Model]): Column =
+    VigilShim.column(DsirScoreExpr(expr(text), model))
   def bpe_encode(text: Column,
       model: org.apache.spark.broadcast.Broadcast[vigil.Bpe.Model]): Column =
     VigilShim.column(BpeEncodeExpr(expr(text), model))

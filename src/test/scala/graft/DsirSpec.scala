@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Dsir
+
+/** DSIR importance resampling: exact-mode weights locked to a brute
+  * Scala reference (float equality), hashed mode ≡ exact mode under a
+  * collision-free bucket space (locks the expr's xxhash64 bucketing to
+  * the column twin used at fit time), unk handling, deterministic Gumbel
+  * top-k as the slice of the weighted frame, and loud bounds.
+  */
+class DsirSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  // reference distribution: formal requests; raw: mixed
+  private val refSeq = Seq(
+    (0L, "please send the report today"),
+    (1L, "please send the documents now"),
+    (2L, "the report is ready"))
+  private val rawSeq = Seq(
+    (10L, "please send the report again"), // ref-like
+    (11L, "lol cat memes go brr"), // off-distribution
+    (12L, "the report the report"), // repeated ref features
+    (13L, "please send"), // short
+    (14L, "x"), // single word: no bigrams
+    (15L, "")) // empty: no features
+  private def refDf = refSeq.toDF("doc_id", "text")
+  private def rawDf = rawSeq.toDF("doc_id", "text")
+
+  private def bruteFeats(t: String): Seq[String] = {
+    val ws = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  /** Brute model with the fit's arithmetic. */
+  private def bruteModel(alpha: Double = 0.1)
+      : (Map[String, Double], Double) = {
+    val cr = refSeq.flatMap(r => bruteFeats(r._2)).groupBy(identity)
+      .map { case (f, xs) => f -> xs.size.toLong }
+    val cw = rawSeq.flatMap(r => bruteFeats(r._2)).groupBy(identity)
+      .map { case (f, xs) => f -> xs.size.toLong }
+    val vocab = (cr.keySet ++ cw.keySet)
+    val v = vocab.size.toLong
+    val tr = cr.values.sum
+    val tw = cw.values.sum
+    def lr(c3: Long, c4: Long): Double =
+      math.log((c3 + alpha) / (tr + alpha * v)) -
+        math.log((c4 + alpha) / (tw + alpha * v))
+    (vocab.map(f =>
+      f -> lr(cr.getOrElse(f, 0L), cw.getOrElse(f, 0L))).toMap,
+      lr(0L, 0L))
+  }
+
+  private def bruteWeight(t: String, m: Map[String, Double],
+      unk: Double): (Long, Float) = {
+    val fs = bruteFeats(t)
+    (fs.size.toLong, fs.map(f => m.getOrElse(f, unk)).sum.toFloat)
+  }
+
+  private def weights(model: Dsir.Model): Map[Long, (Long, Float)] =
+    Dsir.logWeights(rawDf, "text", model)
+      .select(col("doc_id"), col("n_feats"), col("logw").cast("float"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getFloat(2)))
+      .toMap
+
+  test("exact-mode log weights = brute reference (float-exact)") {
+    val got = weights(Dsir.fit(refDf, rawDf, "text"))
+    val (bm, unk) = bruteModel()
+    rawSeq.foreach { case (id, t) =>
+      assert(got(id) === bruteWeight(t, bm, unk), s"doc $id")
+    }
+    // the distribution-matching property the op exists for
+    assert(got(10L)._2 > got(11L)._2,
+      "ref-like doc must outweigh off-distribution doc")
+    assert(got(15L) === ((0L, 0.0f)))
+  }
+
+  test("unseen features score the unk log-ratio") {
+    val m = Dsir.fit(refDf, rawDf, "text")
+    val bc = Seq((99L, "zzz qqq")).toDF("doc_id", "text")
+    val r = Dsir.logWeights(bc, "text", m)
+      .select(col("n_feats"), col("logw").cast("float")).head()
+    // features: zzz, qqq, "zzz qqq" — all unseen
+    assert(r.getLong(0) === 3L)
+    assert(r.getFloat(1) === (3.0 * m.unkLogRatio).toFloat)
+  }
+
+  test("hashed mode ≡ exact mode under a collision-free bucket space") {
+    val b = 1 << 20
+    // verify collision-freeness directly: distinct buckets = distinct feats
+    val nExact = Dsir.featureCounts(rawDf.unionByName(refDf), "text").count()
+    val nHashed =
+      Dsir.featureCounts(rawDf.unionByName(refDf), "text", b).count()
+    assert(nExact === nHashed, "bucket collision in test vocab — raise b")
+    val exact = weights(Dsir.fit(refDf, rawDf, "text"))
+    val hashed = weights(Dsir.fit(refDf, rawDf, "text", nBuckets = b))
+    assert(hashed === exact)
+  }
+
+  test("resample = deterministic Gumbel-top-k slice of the weighted frame") {
+    val m = Dsir.fit(refDf, rawDf, "text")
+    val keyed = Dsir.logWeights(rawDf, "text", m)
+      .withColumn("key", Dsir.gumbelKey(col("logw"), col("doc_id")))
+      .select("doc_id", "key").collect()
+      .map(r => (r.getLong(0), r.getFloat(1)))
+    val wantIds = keyed.sortBy { case (id, k) => (-k, id) }.take(3).map(_._1)
+    val got = Dsir.resample(rawDf, "doc_id", "text", m, k = 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.toSeq === wantIds.toSeq)
+    // repeatability (no RNG anywhere)
+    val again = Dsir.resample(rawDf, "doc_id", "text", m, k = 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("bounds fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      Dsir.fit(refDf, rawDf, "text", maxFeatures = 5)
+    }
+    assert(e1.getMessage.contains("maxFeatures"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Dsir.fit(empty, empty, "text")
+    }
+    assert(e2.getMessage.contains("no features"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dsir.fit(refDf, rawDf, "text", nBuckets = 100, maxFeatures = 50)
+    }
+    assert(e3.getMessage.contains("exceeds maxFeatures"))
+  }
+}
