@@ -1343,6 +1343,32 @@ object SparkEntry {
         "text")
       Dsir.resample(d, "doc_id", "text", m, k = 100)
         .select("doc_id", "key").orderBy("doc_id")
+    }),
+    // --- hybrid lexical+dense retrieval via reciprocal-rank fusion
+    //     (oracle-paired): corpus = documents ⋈ embeddings on
+    //     doc_id = vec_id; query docs (id < 5) search BOTH ways — BM25
+    //     over their text (self-excluded after df), exact cosine over
+    //     their vector — and the two top-20 lists fuse with RRF c0=60.
+    //     Rank arithmetic is integer-exact; the two-list RRF sum is one
+    //     commutative double add (bit-exact), FLOAT-cast anyway --------
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .join(embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val postings = Search.buildPostings(base, "doc_id", "text")
+      val stats = Search.corpusStats(base, "doc_id", "text")
+      val qtext = base.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val lex = Search.bm25TopK(postings, stats, qtext, k = 20,
+        excludeSelf = true).select("query_id", "rank", "doc_id")
+      val embD = base.select(col("doc_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val dense = Ann.bruteForceTopK(embD, embD.filter(col("doc_id") < 5),
+        "doc_id", "embedding", k = 20)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("nn_id").as("doc_id"))
+      Search.rrfFuse(Seq(lex, dense), k = 10)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2506,7 +2532,61 @@ object SparkEntry {
          topk AS (SELECT doc_id, key,
              row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rn
            FROM keyed)
-         SELECT doc_id, key FROM topk WHERE rn <= 100 ORDER BY doc_id""")
+         SELECT doc_id, key FROM topk WHERE rn <= 100 ORDER BY doc_id"""),
+    // Hybrid RRF: BM25 arithmetic as q_bm25_score (self-excluded AFTER
+    // df); cosine via list_cosine_similarity over DOUBLE[] (bit-identical
+    // to the Spark fold); RRF = 1/(60+rank) integer-rank arithmetic.
+    "q_hybrid_rrf" ->
+      """WITH base AS (SELECT d.doc_id, lower(d.text) AS t,
+             e.embedding::DOUBLE[] AS emb
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         toks AS (SELECT doc_id, tt.term FROM base,
+           unnest(list_filter(string_split(t, ' '), w -> len(w) > 0))
+             AS tt(term)),
+         post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+           GROUP BY 1, 2),
+         dl AS (SELECT doc_id, len(list_filter(string_split(t, ' '),
+             w -> len(w) > 0))::BIGINT AS dl FROM base),
+         st AS (SELECT count(*)::BIGINT AS n,
+           sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+         q AS (SELECT doc_id AS query_id,
+             unnest(list_distinct(list_filter(string_split(t, ' '),
+               w -> len(w) > 0))) AS term
+           FROM base WHERE doc_id < 5),
+         m AS (SELECT q.query_id, q.term, p.doc_id, p.tf, dl.dl
+           FROM q JOIN post p USING (term) JOIN dl USING (doc_id)),
+         dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM m
+           GROUP BY 1),
+         bs AS (SELECT query_id, doc_id,
+             sum(ln(1 + ((SELECT n FROM st) - dfr.df + 0.5) / (dfr.df + 0.5))
+               * (m.tf * (1.2 + 1.0))
+               / (m.tf + 1.2 * ((1 - 0.75)
+                   + 0.75 * m.dl / (SELECT avgdl FROM st))))::FLOAT AS score
+           FROM m JOIN dfr USING (term)
+           WHERE m.doc_id <> m.query_id GROUP BY 1, 2),
+         br AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id)::BIGINT AS rank
+           FROM bs),
+         cs AS (SELECT qv.doc_id AS query_id, cv.doc_id,
+             list_cosine_similarity(qv.emb, cv.emb) AS cos
+           FROM base qv JOIN base cv
+             ON qv.doc_id < 5 AND cv.doc_id <> qv.doc_id),
+         cr AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, doc_id)::BIGINT AS rank
+           FROM cs),
+         u AS (SELECT query_id, doc_id, rank FROM br WHERE rank <= 20
+               UNION ALL
+               SELECT query_id, doc_id, rank FROM cr WHERE rank <= 20),
+         fs AS (SELECT query_id, doc_id,
+             sum(1.0 / (60.0 + rank))::FLOAT AS rrf FROM u GROUP BY 1, 2),
+         ranked AS (SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id)::BIGINT AS rank
+           FROM fs)
+         SELECT query_id, rank, doc_id, rrf FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank"""
   )
 
   /** Shared CTE prefix of the DSIR oracles (tokenize → word 1+2-gram

@@ -82,7 +82,7 @@ object Search {
     *         query term; callers cut top-k with [[bm25TopK]].
     */
   def bm25Scores(postings: DataFrame, stats: DataFrame, queries: DataFrame,
-      p: Bm25 = Bm25()): DataFrame = {
+      p: Bm25 = Bm25(), excludeSelf: Boolean = false): DataFrame = {
     val st = stats.select(col("n_docs"), col("sum_dl")).head()
     val n = st.getLong(0)
     require(n > 0, "bm25Scores: empty corpus stats (n_docs = 0)")
@@ -106,7 +106,12 @@ object Search {
         idf * (col("tf") * lit(p.k1 + 1.0)) /
           (col("tf") + lit(p.k1) *
             (lit(1.0 - p.b) + lit(p.b) * col("dl") / lit(avgdl))))
-    contrib.groupBy("query_id", "doc_id")
+    // self-exclusion (query docs drawn from the corpus, the ANN
+    // convention) happens AFTER df: document frequencies describe the
+    // corpus, not the candidate slice
+    val kept = if (excludeSelf)
+      contrib.filter(col("query_id") =!= col("doc_id")) else contrib
+    kept.groupBy("query_id", "doc_id")
       .agg(sum(col("c")).as("score_d"))
       .select(col("query_id"), col("doc_id"),
         col("score_d").cast("float").as("score"))
@@ -118,14 +123,42 @@ object Search {
     * its terms.
     */
   def bm25TopK(postings: DataFrame, stats: DataFrame, queries: DataFrame,
-      k: Int, p: Bm25 = Bm25()): DataFrame = {
+      k: Int, p: Bm25 = Bm25(), excludeSelf: Boolean = false): DataFrame = {
     require(k >= 1, s"bm25TopK: k must be >= 1, got $k")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)
-    bm25Scores(postings, stats, queries, p)
+    bm25Scores(postings, stats, queries, p, excludeSelf)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of any retriever
+    * outputs shaped `(query_id, rank, doc_id)` — the standard hybrid
+    * lexical+dense combiner: `rrf(d) = Σ_lists 1/(c0 + rank_list(d))`,
+    * top-k per query on the FLOAT score (doc_id tiebreak — RRF produces
+    * MANY exact ties by construction).
+    *
+    * Scale shape: the union is bounded by Σ per-list sizes (queries × k
+    * per retriever, never corpus-sized), so the fold exchange and the
+    * per-query window are both candidate-bounded. With ≤ 2 lists the
+    * double sum is a single commutative add — bit-exact in any engine;
+    * the FLOAT cast covers deeper fusions.
+    */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, c0: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse: need at least one ranked list")
+    require(k >= 1 && c0 >= 0, s"rrfFuse: bad k=$k / c0=$c0")
+    val all = ranked.map(_.select("query_id", "doc_id", "rank"))
+      .reduce(_.unionByName(_))
+    val fused = all.groupBy("query_id", "doc_id")
+      .agg(sum(lit(1.0) / (lit(c0.toDouble) + col("rank"))).as("rrf_d"))
+      .select(col("query_id"), col("doc_id"),
+        col("rrf_d").cast("float").as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf")
   }
 
   /** Per-document tf-idf keywords: top-m terms of each doc by

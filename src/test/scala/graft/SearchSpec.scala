@@ -149,6 +149,34 @@ class SearchSpec extends AnyFunSuite {
     assert(!kw.exists(_._1 == 4L))
   }
 
+  test("excludeSelf drops the query doc AFTER df (corpus-level idf kept)") {
+    val selfQ = Seq((1L, "apple banana apple")).toDF("query_id", "qtext")
+    val withSelf = collectScores(Search.bm25Scores(postings, stats, selfQ))
+    val without = collectScores(
+      Search.bm25Scores(postings, stats, selfQ, excludeSelf = true))
+    assert(withSelf.contains((1L, 1L)) && !without.contains((1L, 1L)))
+    // every other doc's score is UNCHANGED — df/idf still count doc 1
+    assert(without === withSelf.removed((1L, 1L)))
+  }
+
+  test("rrfFuse: hand-traced fusion with exact-tie id ordering") {
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((0L, 1L, 2L), (0L, 2L, 3L)).toDF("query_id", "rank", "doc_id")
+    val fused = Search.rrfFuse(Seq(a, b), k = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getFloat(3)))
+    val s1 = (1.0 / 61).toFloat
+    val s12 = (1.0 / 61 + 1.0 / 62).toFloat
+    val s2 = (1.0 / 62).toFloat
+    assert(fused.sortBy(_._1).toSeq ===
+      Seq((1L, 2L, s12), (2L, 1L, s1), (3L, 3L, s2)))
+    // exact ties (same rank in disjoint lists) fall to doc_id
+    val t1 = Seq((0L, 1L, 9L)).toDF("query_id", "rank", "doc_id")
+    val t2 = Seq((0L, 1L, 4L)).toDF("query_id", "rank", "doc_id")
+    val tied = Search.rrfFuse(Seq(t1, t2), k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(tied.sortBy(_._1).map(_._2).toSeq === Seq(4L, 9L))
+  }
+
   test("serving plan: query terms broadcast — postings never sort-merge-" +
       "joined") {
     val plan = Search.bm25Scores(postings, stats, queriesDf)
