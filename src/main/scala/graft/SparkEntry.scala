@@ -1141,6 +1141,12 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) => {
       vigil.Pretrain.corpusStats(docs(s, dir), "text")
     }),
+    // --- per-source data card (oracle-paired): the grouped report a
+    //     mixing recipe reads before setting budgets ------------------
+    "q_corpus_stats_by_source" -> ((s, dir) => {
+      vigil.Pretrain.corpusStatsBy(docs(s, dir), "text", "source")
+        .orderBy("source")
+    }),
     "q_pretrain_pipeline" -> ((s, dir) => {
       val pages = docs(s, dir)
         .select(pmod(col("doc_id"), lit(40)).as("gid"),
@@ -1369,6 +1375,22 @@ object SparkEntry {
           col("nn_id").as("doc_id"))
       Search.rrfFuse(Seq(lex, dense), k = 10)
         .orderBy("query_id", "rank")
+    }),
+    // --- incremental index ingest (oracle-paired): 2/3 of the corpus is
+    //     indexed, the remaining third arrives as a batch and merges
+    //     (postings UNION + stats fold — no stored row rewritten);
+    //     serving the merged index ≡ serving a full rebuild, so the
+    //     oracle is the full-corpus BM25 twin ------------------------
+    "q_bm25_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val (p, st) = Search.mergeIndex(
+        Search.buildPostings(corpus, "doc_id", "text"),
+        Search.corpusStats(corpus, "doc_id", "text"),
+        batch, "doc_id", "text")
+      Search.bm25Scores(p, st, searchQueryDf(s))
+        .orderBy("query_id", "doc_id")
     })
   )
 
@@ -1412,6 +1434,19 @@ object SparkEntry {
          avg(len(list_filter(string_split(text, ' '),
            w -> len(w) > 0))) AS avg_words
          FROM documents""",
+    "q_corpus_stats_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct_texts,
+         sum(length(text))::BIGINT AS total_chars,
+         sum(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0)))::BIGINT AS total_words,
+         min(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0)))::BIGINT AS min_words,
+         max(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0)))::BIGINT AS max_words,
+         avg(len(list_filter(string_split(text, ' '),
+           w -> len(w) > 0))) AS avg_words
+         FROM documents GROUP BY source ORDER BY source""",
     // zero-merge BPE: every word tokenizes to its code points, so the
     // count is the spaceless character length (DuckDB length() counts
     // code points, same as the Spark-side splitter)
@@ -2444,6 +2479,12 @@ object SparkEntry {
     // double-sum reassociation. Query terms inlined as distinct
     // lowercased VALUES — the literal twin of searchQueryDf.
     "q_bm25_score" ->
+      (SearchOracleCte +
+        """SELECT query_id, doc_id, score FROM scored
+         ORDER BY query_id, doc_id"""),
+    // ingest merge ≡ full rebuild over the reunited corpus, so the twin
+    // is the same full-corpus BM25
+    "q_bm25_ingest" ->
       (SearchOracleCte +
         """SELECT query_id, doc_id, score FROM scored
          ORDER BY query_id, doc_id"""),

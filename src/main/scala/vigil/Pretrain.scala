@@ -1,6 +1,6 @@
 package vigil
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import vigil.dedup.SpanDedup
@@ -115,10 +115,21 @@ object Pretrain {
     * pure partial aggregation). avg_words divides an exact long sum, so
     * the double is reproducible across engines.
     */
-  def corpusStats(docs: DataFrame, textCol: String): DataFrame = {
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(statAggs(textCol).head, statAggs(textCol).tail: _*)
+
+  /** The data-card view: the same report per group (source, language,
+    * shard…) — what a mixing recipe reads before setting budgets. Same
+    * single map-side-combined aggregation, keyed.
+    */
+  def corpusStatsBy(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    docs.groupBy(groupCol).agg(statAggs(textCol).head, statAggs(textCol).tail: _*)
+
+  private def statAggs(textCol: String): Seq[Column] = {
     val words = size(filter(split(col(textCol), " "),
       w => length(w) > 0)).cast("long")
-    docs.agg(
+    Seq(
       count(lit(1)).as("n_docs"),
       countDistinct(md5(col(textCol).cast("binary"))).as("n_distinct_texts"),
       sum(length(col(textCol)).cast("long")).as("total_chars"),

@@ -133,6 +133,23 @@ object Search {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** Incremental index ingest — the recurring-batch face of the stored
+    * index (the minhash/cosine/line-dedup symmetry applied to search):
+    * postings of NEW documents are disjoint rows (tf is per-doc, dl rides
+    * the posting), so the merge is a UNION — no stored posting is ever
+    * read back or rewritten — and the 1-row stats fold adds. CONTRACT:
+    * `newDocs` ids must be disjoint from the indexed ids (the ingest
+    * reality; a duplicate id would double-count df at serve time).
+    * Spec-locked ≡ rebuilding over the union.
+    */
+  def mergeIndex(postings: DataFrame, stats: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val merged = postings.unionByName(buildPostings(newDocs, idCol, textCol))
+    val stats2 = stats.unionByName(corpusStats(newDocs, idCol, textCol))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    (merged, stats2)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of any retriever
     * outputs shaped `(query_id, rank, doc_id)` — the standard hybrid
     * lexical+dense combiner: `rrf(d) = Σ_lists 1/(c0 + rank_list(d))`,

@@ -114,4 +114,19 @@ class PretrainSpec extends AnyFunSuite {
     assert(r.getLong(4) == 0 && r.getLong(5) == 3)
     assert(r.getDouble(6) == 7.0 / 4)
   }
+
+  test("corpusStatsBy ≡ per-group corpusStats (the data-card view)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab cd", "s0"), (2L, "ab cd", "s0"), (3L, "x  y z", "s1"),
+      (4L, "", "s1"), (5L, "one two three", "s2")
+    ).toDF("doc_id", "text", "source")
+    val grouped = Pretrain.corpusStatsBy(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    Seq("s0", "s1", "s2").foreach { src =>
+      val want = Pretrain.corpusStats(
+        docs.filter(col("source") === src), "text").head.toSeq
+      assert(grouped(src) === want, s"source $src")
+    }
+  }
 }

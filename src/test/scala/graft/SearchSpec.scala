@@ -177,6 +177,26 @@ class SearchSpec extends AnyFunSuite {
     assert(tied.sortBy(_._1).map(_._2).toSeq === Seq(4L, 9L))
   }
 
+  test("mergeIndex ≡ rebuilding over the union (disjoint new ids)") {
+    val corpus = docsDf.filter(col("doc_id") <= 3L)
+    val batch = docsDf.filter(col("doc_id") > 3L)
+    val (mp, ms) = Search.mergeIndex(
+      Search.buildPostings(corpus, "doc_id", "text"),
+      Search.corpusStats(corpus, "doc_id", "text"),
+      batch, "doc_id", "text")
+    def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(pset(mp) === pset(postings))
+    val msr = ms.head()
+    val sr = stats.head()
+    assert((msr.getLong(0), msr.getLong(1)) ===
+      ((sr.getLong(0), sr.getLong(1))))
+    // end-to-end: serving over the merged index = serving the rebuild
+    assert(collectScores(Search.bm25Scores(mp, ms, queriesDf)) ===
+      collectScores(Search.bm25Scores(postings, stats, queriesDf)))
+  }
+
   test("serving plan: query terms broadcast — postings never sort-merge-" +
       "joined") {
     val plan = Search.bm25Scores(postings, stats, queriesDf)
