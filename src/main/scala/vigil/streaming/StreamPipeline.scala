@@ -509,6 +509,57 @@ object StreamPipeline {
       } finally fresh.unpersist()
     }
 
+  /** Streaming search-index maintenance — the lexical-retrieval family's
+    * micro-batch face: each batch's NEW documents (replay-suppressed by
+    * the stored `ids` table) append their postings and a RAW 1-row stats
+    * row. Because postings of disjoint doc ids are disjoint ROWS, append
+    * IS the merge ([[vigil.search.Search.mergeIndex]] semantics — no
+    * stored row is ever read back or rewritten, so a batch costs one
+    * narrow tokenize pass + three appends regardless of index size).
+    * Serve anytime via [[readSearchIndex]], which re-aggregates the
+    * per-batch stats rows. Batch artifacts are `localCheckpoint`ed
+    * BEFORE the appends (the path-cache refresh trap — see
+    * [[neardupStreamExact]]).
+    */
+  def searchIndexStream(
+      docs: DataFrame, idCol: String, textCol: String,
+      storedBase: String)(
+      emit: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      import vigil.search.Search
+      val spark = batch.sparkSession
+      val idsPath = s"$storedBase/ids"
+      val have = new java.io.File(s"$idsPath/_SUCCESS").exists()
+      val fresh = (if (have)
+        batch.select(col(idCol), col(textCol))
+          .join(spark.read.parquet(idsPath), Seq(idCol), "left_anti")
+      else batch.select(col(idCol), col(textCol))).persist()
+      try {
+        if (fresh.count() > 0) {
+          val p = Search.buildPostings(fresh, idCol, textCol)
+            .localCheckpoint(true)
+          val st = Search.corpusStats(fresh, idCol, textCol)
+            .localCheckpoint(true)
+          val ids = fresh.select(col(idCol)).localCheckpoint(true)
+          p.write.mode("append").parquet(s"$storedBase/postings")
+          st.write.mode("append").parquet(s"$storedBase/stats")
+          ids.write.mode("append").parquet(idsPath)
+          emit(p, batchId)
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+
+  /** Serve-time view of a [[searchIndexStream]] index: the postings scan
+    * plus the stats rows folded back to one row (exact long sums — the
+    * same numbers a from-scratch build computes).
+    */
+  def readSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      storedBase: String): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$storedBase/postings"),
+    spark.read.parquet(s"$storedBase/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+
   /** Convenience: start a memory-sink scoring stream (used by tests and
     * local smoke-runs).
     */

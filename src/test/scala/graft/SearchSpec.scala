@@ -206,6 +206,45 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("streaming index maintenance: streamed index ≡ batch rebuild, " +
+      "replays suppressed") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("vigil_sis_src").toString
+    val base = Files.createTempDirectory("vigil_sis_store").toString
+    val batches = Seq(
+      docsSeq.take(3), docsSeq.drop(3),
+      docsSeq.drop(3)) // full replay — must emit nothing, change nothing
+    val emitted = scala.collection.mutable.Map[Long, Long]()
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    write(batches.head)
+    val stream = spark.readStream
+      .schema(docsDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = vigil.streaming.StreamPipeline.searchIndexStream(
+      stream, "doc_id", "text", base)(
+      (p, bid) => emitted.synchronized { emitted(bid) = p.count() })
+      .start()
+    q.processAllAvailable()
+    batches.tail.foreach { b => write(b); q.processAllAvailable() }
+    q.stop()
+    // the replayed batch emitted nothing
+    assert(emitted.keySet.size === 2)
+    val (sp, ss) = vigil.streaming.StreamPipeline.readSearchIndex(spark, base)
+    // streamed index ≡ batch rebuild over everything: same postings set,
+    // same stats, same scores
+    def pset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(pset(sp) === pset(postings))
+    val ssr = ss.head(); val sr = stats.head()
+    assert((ssr.getLong(0), ssr.getLong(1)) ===
+      ((sr.getLong(0), sr.getLong(1))))
+    assert(collectScores(Search.bm25Scores(sp, ss, queriesDf)) ===
+      collectScores(Search.bm25Scores(postings, stats, queriesDf)))
+  }
+
   test("empty corpus stats fail loudly") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
