@@ -33,9 +33,12 @@ class LmSpec extends AnyFunSuite {
     }
     val c3 = train.flatMap(grams(_, 3)).groupBy(identity)
       .map { case (g, xs) => g -> xs.size.toLong }
-    val c2 = c3.groupBy(_._1.substring(0, 2)).map { case (ctx, m) =>
-      ctx -> m.values.sum
-    }
+    // ctx = first TWO CODE POINTS (a UTF-16 substring(0, 2) truncates an
+    // astral-leading gram to one code point — the bug the randomized
+    // astral draw caught in this very twin)
+    val c2 = c3.groupBy { case (g, _) =>
+      g.substring(0, g.offsetByCodePoints(0, 2))
+    }.map { case (ctx, m) => ctx -> m.values.sum }
     val v = train.flatMap(grams(_, 1)).distinct.size.toLong
     (c3, c2, v)
   }
@@ -118,6 +121,34 @@ class LmSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, None)) && got(4L) === ((0L, None)))
     // sanity: in-distribution text reads far more probable than gibberish
     assert(got(0L)._2.get < got(1L)._2.get)
+  }
+
+  test("randomized corpora (incl. astral chars): perplexity ≡ brute on " +
+      "5 seeded draws") {
+    val alphabet = Array(0x61, 0x62, 0x1F600, 0x20) // a, b, 😀, space
+    val rng = new scala.util.Random(7)
+    def randText(maxCps: Int): String = {
+      val cps = Array.fill(rng.nextInt(maxCps))(alphabet(rng.nextInt(4)))
+      new String(cps, 0, cps.length)
+    }
+    for (trial <- 1 to 5) {
+      val train = Seq.fill(1 + rng.nextInt(4))(randText(30)) :+ "abab"
+      val score = (1L to 6L).map(i => i -> randText(8)) // some < 3 cps
+      val m = Lm.fit(train.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        col("text"))
+      val (c3, c2, v) = bruteFit(train)
+      val got = Lm.perplexity(score.toDF("doc_id", "text"), col("text"), m)
+        .select(col("doc_id"), col("n_grams"),
+          col("ppl").cast("float").as("ppl"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getFloat(2))))
+        .toMap
+      score.foreach { case (id, t) =>
+        assert(got(id) === brutePpl(t, c3, c2, v), s"trial $trial doc $id")
+      }
+    }
   }
 
   test("bounds fail loudly: maxGrams and empty charset") {

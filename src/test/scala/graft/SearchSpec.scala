@@ -41,15 +41,16 @@ class SearchSpec extends AnyFunSuite {
   private def stats = Search.corpusStats(docsDf, "doc_id", "text")
 
   /** Brute-force reference over the same doubles; float at the end. */
-  private def bruteScores(k1: Double = 1.2, b: Double = 0.75)
-      : Map[(Long, Long), Float] = {
-    val toks = docsSeq.map { case (id, t) =>
+  private def bruteScores(k1: Double = 1.2, b: Double = 0.75,
+      ds: Seq[(Long, String)] = docsSeq,
+      qs: Seq[(Long, String)] = queriesSeq): Map[(Long, Long), Float] = {
+    val toks = ds.map { case (id, t) =>
       id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
     }.toMap
-    val n = docsSeq.size.toLong
+    val n = ds.size.toLong
     val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
     val out = scala.collection.mutable.Map[(Long, Long), Double]()
-    for ((qid, qtext) <- queriesSeq;
+    for ((qid, qtext) <- qs;
         term <- qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct) {
       val matches = toks.filter(_._2.contains(term))
       val df = matches.size
@@ -243,6 +244,26 @@ class SearchSpec extends AnyFunSuite {
       ((sr.getLong(0), sr.getLong(1))))
     assert(collectScores(Search.bm25Scores(sp, ss, queriesDf)) ===
       collectScores(Search.bm25Scores(postings, stats, queriesDf)))
+  }
+
+  test("randomized corpora: bm25Scores ≡ brute on 5 seeded draws") {
+    val vocab = Array("a", "b", "c", "dd", "ee", "fff") // tiny → many ties
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nDocs = 1 + rng.nextInt(25)
+      val ds = (1L to nDocs).map(i =>
+        i -> Seq.fill(rng.nextInt(13))(vocab(rng.nextInt(vocab.length)))
+          .mkString(" "))
+      val qs = (1L to 4L).map(i =>
+        i -> (Seq.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(vocab.length)))
+          :+ "oov").mkString(" "))
+      val d = ds.toDF("doc_id", "text")
+      val got = collectScores(Search.bm25Scores(
+        Search.buildPostings(d, "doc_id", "text"),
+        Search.corpusStats(d, "doc_id", "text"),
+        qs.toDF("query_id", "qtext")))
+      assert(got === bruteScores(ds = ds, qs = qs), s"trial $trial")
+    }
   }
 
   test("empty corpus stats fail loudly") {
