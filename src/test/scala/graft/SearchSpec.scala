@@ -266,6 +266,20 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("stored-path serving plan (parquet postings): still no sort-merge " +
+      "join") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("vigil_ss_plan").toString
+    postings.write.mode("overwrite").parquet(s"$base/postings")
+    stats.write.mode("overwrite").parquet(s"$base/stats")
+    val q = Search.bm25Scores(spark.read.parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/stats"), queriesDf)
+    q.collect() // let AQE finalize the executed plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"parquet-backed postings must stream through broadcast joins:\n$plan")
+  }
+
   test("empty corpus stats fail loudly") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
