@@ -358,6 +358,7 @@ object SparkEntry {
     ensureBuilt(base, Seq("postings", "stats"), force) {
       val d = docs(s, dir)
       Search.buildPostings(d, "doc_id", "text")
+        .repartition(col("term")).sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$base/postings")
       Search.corpusStats(d, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$base/stats")

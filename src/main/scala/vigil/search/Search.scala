@@ -55,6 +55,13 @@ object Search {
 
   /** Inverted postings with denormalized document length:
     * `(term, doc_id, tf, dl)`. One map-side-combined exchange.
+    *
+    * Storage recipe (what makes the serve-time isin pushdown prune):
+    * write `repartition(col("term")).sortWithinPartitions("term",
+    * "doc_id")` — hash-clustered by term with tight per-row-group min/max
+    * term stats, so a query batch's In() predicate skips every row group
+    * holding only untouched terms. [[vigil.streaming.StreamPipeline
+    * .searchIndexStream]] applies the same sort to each appended batch.
     */
   def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -81,6 +88,11 @@ object Search {
     * @return `(query_id, doc_id, score: float)` — every doc matching ≥1
     *         query term; callers cut top-k with [[bm25TopK]].
     */
+  /** Term-count bound above which [[bm25Scores]] skips the scan-filter
+    * pushdown (an In() of that size stops being a row-group-pruning win).
+    */
+  val maxPushdownTerms = 1000
+
   def bm25Scores(postings: DataFrame, stats: DataFrame, queries: DataFrame,
       p: Bm25 = Bm25(), excludeSelf: Boolean = false): DataFrame = {
     val st = stats.select(col("n_docs"), col("sum_dl")).head()
@@ -91,9 +103,20 @@ object Search {
     val qterms = queries
       .select(col("query_id"), explode(array_distinct(tokens(col("qtext"))))
         .as("term"))
+    // Push the bounded term set INTO the postings scan as an isin filter
+    // before the broadcast join: on a term-sorted parquet index (see
+    // [[buildPostings]]' write recipe) the In-predicate reaches the scan
+    // (PushedFilters, plan-asserted) and prunes row groups by min/max, so
+    // serving reads the touched terms' postings — not the whole index.
+    // The term list is the same bounded set the join broadcasts; past
+    // `maxPushdownTerms` (degenerate mega-batches) fall back to join-only.
+    val termList = qterms.select("term").distinct().collect()
+      .map(_.getString(0))
+    val scan = if (termList.length <= maxPushdownTerms)
+      postings.filter(col("term").isin(termList.toSeq: _*)) else postings
     // matched postings: broadcast the bounded query-term set; the postings
     // scan stays narrow (no corpus-wide shuffle to serve a query batch)
-    val matched = postings.join(broadcast(qterms), Seq("term"))
+    val matched = scan.join(broadcast(qterms), Seq("term"))
     // exact df per (term): the matched slice of a term is its entire
     // posting list, so counting doc_ids over it is the true df. Dedup to
     // (term, df) first — qterms may repeat a term across queries.

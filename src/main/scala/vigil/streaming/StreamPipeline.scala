@@ -537,6 +537,7 @@ object StreamPipeline {
       try {
         if (fresh.count() > 0) {
           val p = Search.buildPostings(fresh, idCol, textCol)
+            .sortWithinPartitions("term", "doc_id") // row-group term stats
             .localCheckpoint(true)
           val st = Search.corpusStats(fresh, idCol, textCol)
             .localCheckpoint(true)

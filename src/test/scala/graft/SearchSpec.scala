@@ -278,6 +278,15 @@ class SearchSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
       s"parquet-backed postings must stream through broadcast joins:\n$plan")
+    // the query-term In() must reach the postings scan (row-group pruning
+    // over the term-sorted index — the serve-reads-touched-terms-only
+    // contract)
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"term pushdown missing from the postings scan:\n$plan")
+    // results are unchanged by the pushdown (the join is the semantics;
+    // the filter is only a scan restriction)
+    assert(collectScores(q) ===
+      collectScores(Search.bm25Scores(postings, stats, queriesDf)))
   }
 
   test("empty corpus stats fail loudly") {
