@@ -1328,6 +1328,20 @@ object SparkEntry {
           col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
     }),
+    // --- the FULL CCNet recipe with the trained LM (rows-only: bucket
+    //     cutoffs are a quantile-sketch engine constant, the q_ppl_buckets
+    //     precedent): fit on the reference slice, perplexity-score the
+    //     corpus with THAT model, bucket head/middle/tail ---------------
+    "q_lm_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = Lm.fit(d.filter(pmod(col("doc_id"), lit(10)) === 0),
+        lower(col("text")))
+      Quality.pplBucketsOn(
+        Lm.perplexity(d, lower(col("text")), model), "ppl")
+        .select(col("doc_id"), col("n_grams"),
+          col("ppl").cast("float").as("ppl"), col("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
     // --- DSIR importance resampling (oracle-paired, exact-string mode):
     //     ref = doc_id%10=0 slice, raw = the whole corpus; per-doc log
     //     importance ratio over word 1+2-gram counts (FLOAT-cast), then

@@ -319,26 +319,45 @@ object Quality {
       .withColumn("lang_pred", col("__ls").getField("lang"))
       .withColumn("perplexity", col("__ls").getField("perplexity"))
       .drop("__ls")
+    pplBucketsOn(scored, "perplexity", headFrac, middleFrac,
+      if (langPartitioned) Some("lang_pred") else None, accuracy)
+  }
+
+  /** Bucket an ALREADY-SCORED frame on any perplexity column — the face
+    * that composes with a TRAINED LM ([[Lm.perplexity]]): CCNet's actual
+    * recipe is "fit KenLM on Wikipedia, bucket crawl by ITS perplexity",
+    * which is `Lm.fit` → `Lm.perplexity` → this. `partitionCol` = CCNet's
+    * per-language cutoffs (bounded group count, broadcast join back).
+    * Same scale shape as [[pplBuckets]] (one percentile_approx aggregate,
+    * never a global sort).
+    */
+  def pplBucketsOn(scored: DataFrame, pplCol: String,
+      headFrac: Double = 1.0 / 3, middleFrac: Double = 2.0 / 3,
+      partitionCol: Option[String] = None,
+      accuracy: Int = 100000): DataFrame = {
+    require(headFrac > 0 && headFrac <= middleFrac && middleFrac <= 1,
+      s"pplBucketsOn: need 0 < headFrac <= middleFrac <= 1 (got $headFrac, $middleFrac)")
     def bucket(h: Column, m: Column): Column =
-      when(col("perplexity") <= h, lit("head"))
-        .when(col("perplexity") <= m, lit("middle"))
+      when(col(pplCol) <= h, lit("head"))
+        .when(col(pplCol) <= m, lit("middle"))
         .otherwise(lit("tail"))
-    if (langPartitioned) {
-      val cuts = scored.groupBy("lang_pred")
-        .agg(percentile_approx(col("perplexity"),
-          array(lit(headFrac), lit(middleFrac)), lit(accuracy)).as("__cuts"))
-      scored.join(broadcast(cuts), Seq("lang_pred"))
-        .withColumn("ppl_bucket",
-          bucket(element_at(col("__cuts"), 1), element_at(col("__cuts"), 2)))
-        .drop("__cuts")
-    } else {
-      val c = scored.agg(percentile_approx(col("perplexity"),
-        array(lit(headFrac), lit(middleFrac)), lit(accuracy)).as("c"))
-        .head.getSeq[Double](0)
-      // empty input: the percentile array is null — emit the (empty)
-      // frame with the schema intact instead of NPEing on c(0)
-      if (c == null) scored.withColumn("ppl_bucket", lit("head"))
-      else scored.withColumn("ppl_bucket", bucket(lit(c(0)), lit(c(1))))
+    partitionCol match {
+      case Some(p) =>
+        val cuts = scored.groupBy(p)
+          .agg(percentile_approx(col(pplCol),
+            array(lit(headFrac), lit(middleFrac)), lit(accuracy)).as("__cuts"))
+        scored.join(broadcast(cuts), Seq(p))
+          .withColumn("ppl_bucket",
+            bucket(element_at(col("__cuts"), 1), element_at(col("__cuts"), 2)))
+          .drop("__cuts")
+      case None =>
+        val c = scored.agg(percentile_approx(col(pplCol),
+          array(lit(headFrac), lit(middleFrac)), lit(accuracy)).as("c"))
+          .head.getSeq[Double](0)
+        // empty input: the percentile array is null — emit the (empty)
+        // frame with the schema intact instead of NPEing on c(0)
+        if (c == null) scored.withColumn("ppl_bucket", lit("head"))
+        else scored.withColumn("ppl_bucket", bucket(lit(c(0)), lit(c(1))))
     }
   }
 

@@ -151,6 +151,26 @@ class LmSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-LM CCNet buckets: thirds by rank, monotone cutoffs") {
+    val m = Lm.fit(trainDf, col("text"))
+    // 30 docs spanning in-distribution → gibberish perplexities
+    val corpus = (1L to 30L).map { i =>
+      val t = if (i <= 10) "the cat sat" * i.toInt
+        else if (i <= 20) ("the cat " + ("zq" * i.toInt)) else "zz qx" * i.toInt
+      (i, t)
+    }.toDF("doc_id", "text")
+    val b = vigil.Quality.pplBucketsOn(
+      Lm.perplexity(corpus, col("text"), m), "ppl")
+      .select(col("ppl"), col("ppl_bucket")).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val byB = b.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    // rank-exact at this size: head/middle get ceil/floor thirds
+    assert(byB("head").length === 10 && byB("middle").length === 10 &&
+      byB("tail").length === 10)
+    assert(byB("head").max <= byB("middle").min &&
+      byB("middle").max <= byB("tail").min)
+  }
+
   test("bounds fail loudly: maxGrams and empty charset") {
     val e1 = intercept[IllegalArgumentException] {
       Lm.fit(trainDf, col("text"), maxGrams = 3)
