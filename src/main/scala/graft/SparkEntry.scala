@@ -1328,6 +1328,30 @@ object SparkEntry {
           col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
     }),
+    // --- embedding-space decontamination (oracle-paired): the semantic
+    //     complement of q_decontam — catches paraphrased benchmark
+    //     leakage sharing no exact n-gram. Planted perturbed copies of
+    //     the benchmark slice (the q_cosine_neardup construction,
+    //     cos ≈ 0.9999) sit in a background whose max benchmark cos is
+    //     ≤ 0.50, so minCos = 0.8 splits exactly; max over the
+    //     bit-identical double cosine is order-independent → max_cos is
+    //     bit-exact, no float cast needed ------------------------------
+    "q_decontam_cos" -> ((s, dir) => {
+      val base = embeddings(s, dir).select("vec_id", "embedding")
+      val bench = base.filter(pmod(col("vec_id"), lit(20)) === 0)
+      val planted = bench
+        .select((col("vec_id") + lit(1000000L)).as("new_id"),
+          col("embedding"))
+        .select(col("new_id").as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.005))
+              .cast("float")).as("embedding"))
+      val corpus = base.filter(pmod(col("vec_id"), lit(20)) =!= 0)
+        .unionByName(planted)
+      vigil.Decontam.flagByEmbedding(corpus, bench,
+        "vec_id", "embedding", minCos = 0.8)
+        .orderBy("vec_id")
+    }),
     // --- the FULL CCNet recipe with the trained LM (rows-only: bucket
     //     cutoffs are a quantile-sketch engine constant, the q_ppl_buckets
     //     precedent): fit on the reference slice, perplexity-score the
@@ -2589,6 +2613,27 @@ object SparkEntry {
              row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rn
            FROM keyed)
          SELECT doc_id, key FROM topk WHERE rn <= 100 ORDER BY doc_id"""),
+    // Embedding decontam: same planted construction + DOUBLE[] cosine
+    // twin as q_cosine_neardup; max over doubles is order-independent so
+    // the whole row is bit-exact.
+    "q_decontam_cos" ->
+      """WITH bench AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 20 = 0),
+         corpus0 AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 20 <> 0),
+         planted AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (embedding[i] + sin((vec_id+1000000)*i)*0.005)::FLOAT)
+               AS embedding
+           FROM bench),
+         corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM corpus0
+                    UNION ALL
+                    SELECT vec_id, embedding::DOUBLE[] FROM planted),
+         b AS (SELECT embedding::DOUBLE[] AS bv FROM bench)
+         SELECT c.vec_id,
+           max(list_cosine_similarity(c.v, b.bv)) AS max_cos,
+           max(list_cosine_similarity(c.v, b.bv)) >= 0.8 AS contaminated
+         FROM corpus c, b GROUP BY c.vec_id ORDER BY vec_id""",
     // Hybrid RRF: BM25 arithmetic as q_bm25_score (self-excluded AFTER
     // df); cosine via list_cosine_similarity over DOUBLE[] (bit-identical
     // to the Spark fold); RRF = 1/(60+rank) integer-rank arithmetic.

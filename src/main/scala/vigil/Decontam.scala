@@ -136,4 +136,34 @@ object Decontam {
         .withColumn("contaminated", col("n_contaminated") > 0)
     }
   }
+
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram [[flag]] (catches paraphrased benchmark leakage that shares
+    * no exact n-gram): a corpus doc is contaminated when its embedding's
+    * max cosine against ANY benchmark embedding reaches `minCos`.
+    *
+    * Scale shape: eval sets are small, so the benchmark vectors BROADCAST
+    * and the scan is one narrow pass per corpus vector — ZERO exchanges
+    * besides the per-doc max fold (map-side combined). The loop is the
+    * flat [[vigil.exprs CosineSimExpr]] fold; `max` over doubles is
+    * order-independent, so the output is bit-exact in any engine (the
+    * q_cosine_neardup precedent) — no float cast needed.
+    *
+    * For benchmark sets too large to broadcast, go through
+    * [[vigil.ann.Ann.cosineNearDupPairs]] (sign-LSH) with the benchmark
+    * as one side instead.
+    */
+  def flagByEmbedding(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    require(minCos >= -1 && minCos <= 1, s"minCos out of range: $minCos")
+    val b = broadcast(bench
+      .select(col(vecCol).cast("array<double>").as("b_vec")))
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("c_vec"))
+      .crossJoin(b)
+      .groupBy(col(idCol))
+      .agg(max(vigil.functions.cosine_sim(col("c_vec"), col("b_vec")))
+        .as("max_cos"))
+      .withColumn("contaminated", col("max_cos") >= minCos)
+  }
 }

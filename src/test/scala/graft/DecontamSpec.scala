@@ -118,4 +118,26 @@ class DecontamSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxBroadcastGrams"))
   }
+
+  test("embedding-space decontamination: hand-computed max cosines") {
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(2.0f, 0.0f)),   // cos 1.0 vs bench 100 → contaminated
+      (2L, Seq(1.0f, 1.0f)),   // cos 1/√2 ≈ 0.707 vs both → clean at 0.9
+      (3L, Seq(-1.0f, 0.0f)),  // max cos = 0 (vs bench 101) → clean
+      (4L, Seq(0.1f, 3.0f))    // cos ≈ 0.999 vs bench 101 → contaminated
+    ).toDF("vec_id", "embedding")
+    val got = Decontam.flagByEmbedding(corpus, bench,
+      "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L)._2 && got(4L)._2 && !got(2L)._2 && !got(3L)._2)
+    assert(got(1L)._1 === 1.0)
+    assert(got(3L)._1 === 0.0)
+    assert(math.abs(got(2L)._1 - 1.0 / math.sqrt(2)) < 1e-12)
+    // every corpus row present exactly once
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+  }
 }
