@@ -1328,6 +1328,14 @@ object SparkEntry {
           col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
     }),
+    // --- SFT-style never-split bin packing (rows-only: FFD has no SQL
+    //     twin; the spec locks it to a reference FFD + partitioning
+    //     invariance). capacity 64 ≈ 2 fixture docs per bin ------------
+    "q_pack_bins" -> ((s, dir) => {
+      vigil.Pack.binPackFfd(docs(s, dir), "doc_id", "text",
+        capacity = 64, buckets = 8)
+        .orderBy("doc_id")
+    }),
     // --- embedding-space decontamination (oracle-paired): the semantic
     //     complement of q_decontam — catches paraphrased benchmark
     //     leakage sharing no exact n-gram. Planted perturbed copies of

@@ -109,6 +109,76 @@ object Pack {
         col("first_block"), col("last_block"), col("offset_in_first"))
   }
 
+  /** Never-split bin packing — the SFT-style complement of
+    * [[chunkOffsets]]: whole documents pack into `capacity`-token bins
+    * (no doc straddles a bin), first-fit-decreasing within DETERMINISTIC
+    * id-range buckets. Exact global FFD is inherently sequential; the
+    * distributed contract here is FFD-per-bucket with bins namespaced by
+    * bucket (`bin = bucket << 32 | local`) — the standard trade (at most
+    * one under-filled tail bin per bucket; fill accounting makes the
+    * waste visible, never silent). Deterministic at any parallelism: the
+    * bucket id is pure id arithmetic and the in-bucket order is
+    * `(n_tokens desc, id asc)`, so the assignment is independent of
+    * partitioning (spec-asserted).
+    *
+    * Executor memory per task = one bucket's `(id, n_tokens)` array —
+    * size buckets so corpus/buckets fits (the [[chunkOffsets]] sizing
+    * note). Docs LONGER than `capacity` get a bin of their own, flagged
+    * `oversize` — the caller decides truncate/split/drop.
+    *
+    * Output: `(idCol, n_tokens, bin, oversize)`.
+    */
+  def binPackFfd(
+      docs: DataFrame, idCol: String, textCol: String,
+      capacity: Long, buckets: Int = 64): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20], got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      TextStats.wsTokenCount(col(textCol)).as("n_tokens"))
+    val mm = base.agg(min(col("id")), max(col("id"))).head()
+    val out =
+      if (mm.isNullAt(0))
+        Seq.empty[(Long, Long, Long, Boolean)].toDF(
+          "id", "n_tokens", "bin", "oversize")
+      else {
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val width = math.max(1L, (hi - lo) / buckets + 1)
+        base
+          .select(col("id"), col("n_tokens"),
+            ((col("id") - lit(lo)) / lit(width)).cast("int").as("__b"))
+          .as[(Long, Long, Int)]
+          .groupByKey(_._3)
+          .flatMapGroups { (b: Int, it: Iterator[(Long, Long, Int)]) =>
+            val ds = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+            val loads = scala.collection.mutable.ArrayBuffer[Long]()
+            ds.iterator.map { case (id, n, _) =>
+              var placed = -1
+              var i = 0
+              while (placed < 0 && i < loads.length) {
+                if (loads(i) + n <= capacity) { loads(i) += n; placed = i }
+                i += 1
+              }
+              if (placed < 0) { loads += n; placed = loads.length - 1 }
+              (id, n, (b.toLong << 32) | placed.toLong, n > capacity)
+            }
+          }
+          .toDF("id", "n_tokens", "bin", "oversize")
+      }
+    out.select(col("id").as(idCol), col("n_tokens"), col("bin"),
+      col("oversize"))
+  }
+
+  /** Bin fill report for [[binPackFfd]] output: `(bin, n_docs, fill,
+    * fill_frac)` — the waste-visibility half of the packing contract.
+    */
+  def binFill(packed: DataFrame, capacity: Long): DataFrame =
+    packed.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill"))
+      .withColumn("fill_frac", col("fill").cast("double") / lit(capacity.toDouble))
+
   private def emptyOut(base: DataFrame, idCol: String): DataFrame =
     base.withColumn("global_start", lit(0L))
       .withColumn("first_block", lit(0L))

@@ -51,4 +51,65 @@ class PackSpec extends AnyFunSuite {
     // straddling docs exist at this block size (the interesting case)
     assert(twin.exists(r => r._4 != r._5))
   }
+
+  private def ffdRef(docs: Seq[(Long, Long)], capacity: Long)
+      : Map[Long, Long] = {
+    val loads = scala.collection.mutable.ArrayBuffer[Long]()
+    val out = scala.collection.mutable.Map[Long, Long]()
+    docs.sortBy { case (id, n) => (-n, id) }.foreach { case (id, n) =>
+      val i = loads.indexWhere(_ + n <= capacity)
+      if (i >= 0) { loads(i) += n; out(id) = i.toLong }
+      else { loads += n; out(id) = loads.length - 1L }
+    }
+    out.toMap
+  }
+
+  test("binPackFfd: single-bucket packing = reference FFD; capacity and " +
+      "oversize contracts hold") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // 5
+      (2L, "a b c d e f g h"), // 8 — exactly capacity
+      (3L, "a b c"),           // 3
+      (4L, "a b"),             // 2
+      (5L, Seq.fill(11)("w").mkString(" ")), // 11 — oversize at cap 8
+      (6L, ""),                // 0
+      (7L, "a b c")            // 3
+    ).toDF("doc_id", "text")
+    val got = vigil.Pack.binPackFfd(docs, "doc_id", "text",
+      capacity = 8, buckets = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val ref = ffdRef(Seq(1L -> 5L, 2L -> 8L, 3L -> 3L, 4L -> 2L,
+      5L -> 11L, 6L -> 0L, 7L -> 3L), 8)
+    assert(got.view.mapValues(_._2).toMap === ref)
+    // every doc exactly once; oversize flagged and ALONE in its bin
+    assert(got.keySet === (1L to 7L).toSet)
+    assert(got(5L)._3 && got.values.count(_._2 == got(5L)._2) === 1)
+    // no non-oversize bin exceeds capacity
+    val fill = got.values.groupBy(_._2).view.mapValues(_.map(_._1).sum)
+    fill.foreach { case (bin, f) =>
+      assert(f <= 8 || bin == got(5L)._2, s"bin $bin over capacity: $f")
+    }
+  }
+
+  test("binPackFfd: deterministic across input partitionings, multi-" +
+      "bucket bins stay within capacity") {
+    val docs = (1L to 200L)
+      .map(i => (i, Seq.fill((i % 13).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      vigil.Pack.binPackFfd(df, "doc_id", "text", capacity = 16, buckets = 7)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a === b)
+    // capacity respected everywhere (no doc exceeds 12 < 16 → no oversize)
+    val fills = vigil.Pack.binFill(
+      vigil.Pack.binPackFfd(docs, "doc_id", "text", 16, 7), 16)
+      .collect().map(r => r.getLong(2))
+    assert(fills.forall(_ <= 16))
+    // empty corpus degenerates to an empty frame with the schema
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(vigil.Pack.binPackFfd(empty, "doc_id", "text", 8, 4).count() === 0)
+  }
 }
