@@ -60,5 +60,26 @@ object Vigil {
       exprs => WinnowFingerprintExpr(exprs.head, 3, 4), "scala_udf")
     reg.createOrReplaceTempFunction("turn_score",
       exprs => TurnScoreExpr(exprs.head), "scala_udf")
+    // model-free text kernels added in round 5 (the broadcast-model exprs
+    // — lm_ppl, dsir_score, bpe_encode — need a fitted model handle and
+    // stay Column-API-only)
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgramsExpr(exprs.head,
+        VigilShimConst.intLit(exprs(1), "word_ngrams(n)")), "scala_udf")
+    reg.createOrReplaceTempFunction("char_ngrams",
+      exprs => CharNgramsExpr(exprs.head,
+        VigilShimConst.intLit(exprs(1), "char_ngrams(n)")), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      exprs => RepetitionStatsExpr(exprs.head, Seq(2, 3)), "scala_udf")
+  }
+
+  /** Literal-int extraction for SQL-registered expressions. */
+  private object VigilShimConst {
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 }

@@ -278,5 +278,17 @@ class TableIOEvalSpec extends AnyFunSuite {
     assert(r.getString(1) == "a b")
     assert(r.getString(2) == "en")
     assert(r.getInt(3) >= 1)
+    val r2 = spark.sql(
+      "SELECT word_ngrams('a b c', 2) AS wg, char_ngrams('abcd', 3) AS cg, " +
+        "repetition_stats('a b a b').dup2_chars AS d")
+      .collect()(0)
+    assert(r2.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r2.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r2.getLong(2) >= 0L)
+    // non-literal n fails loudly, not silently
+    val e = intercept[Exception] {
+      spark.sql("SELECT char_ngrams('ab', length('abc'))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
   }
 }
