@@ -1328,6 +1328,15 @@ object SparkEntry {
           col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
     }),
+    // --- deterministic train/val/test split (oracle-paired): half-open
+    //     docRank intervals — pure integer arithmetic, zero exchanges,
+    //     prefix-stable (retuning later fractions never moves an earlier
+    //     split's members: the frozen-test-set property) ----------------
+    "q_corpus_split" -> ((s, dir) => {
+      vigil.Mix.split(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
     // --- SFT-style never-split bin packing (rows-only: FFD has no SQL
     //     twin; the spec locks it to a reference FFD + partitioning
     //     invariance). capacity 64 ≈ 2 fixture docs per bin ------------
@@ -2621,6 +2630,18 @@ object SparkEntry {
              row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rn
            FROM keyed)
          SELECT doc_id, key FROM topk WHERE rn <= 100 ORDER BY doc_id"""),
+    // Split cuts computed with the SAME double ops as Mix.split's
+    // scanLeft (0.8, then 0.8 + 0.1) so the floor(·2^32) thresholds are
+    // bit-identical; the rank is the Knuth integer hash.
+    "q_corpus_split" ->
+      """WITH r AS (SELECT doc_id,
+           (doc_id * 2654435761) % 4294967296 AS rank FROM documents)
+         SELECT doc_id,
+           CASE WHEN rank < floor(0.8 * 4294967296.0)::BIGINT THEN 'train'
+                WHEN rank < floor((0.8 + 0.1) * 4294967296.0)::BIGINT
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM r ORDER BY doc_id""",
     // Embedding decontam: same planted construction + DOUBLE[] cosine
     // twin as q_cosine_neardup; max over doubles is order-independent so
     // the whole row is bit-exact.

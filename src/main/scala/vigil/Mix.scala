@@ -97,6 +97,37 @@ object Mix {
         math.floor(defaultRate * 4294967296.0).toLong, sourceCol))
   }
 
+  /** Deterministic train/val/test split — the holdout every pipeline
+    * cuts before training: fractions map to half-open [[docRank]]
+    * intervals (`train [0, t1)`, `val [t1, t2)`, …, last split takes the
+    * remainder so every doc lands in exactly one split). Pure narrow
+    * integer arithmetic — zero exchanges, reproducible at any
+    * parallelism, and the assignment of a given id NEVER changes when
+    * fractions of LATER splits are retuned (interval prefixes are
+    * stable) — the property that keeps a frozen test set frozen.
+    *
+    * @param splits ordered (name, fraction) pairs; fractions must sum to
+    *               ≤ 1 (the last split absorbs rounding; a sum < 1
+    *               leaves the remainder in the last split).
+    */
+  def split(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "Mix.split: need at least one split")
+    require(splits.forall(_._2 >= 0), s"negative fraction in $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"fractions sum past 1: $splits")
+    val cuts = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.floor(f * 4294967296.0).toLong)
+    val rank = docRank(col(idCol))
+    val assigned = splits.init.zip(cuts).zipWithIndex
+      .foldRight(lit(splits.last._1): Column) {
+        case ((((name, _), cut), i), acc) =>
+          val loCut = if (i == 0) lit(0L) else lit(cuts(i - 1))
+          when(rank >= loCut && rank < lit(cut), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   private def perSourceD(m: Map[String, Double], default: Double,
       sourceCol: String): Column =
     m.foldLeft(lit(default)) { case (acc, (s, v)) =>

@@ -148,4 +148,33 @@ class MixSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("split: partition of the corpus, fraction-accurate, prefix-stable") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("doc_id")
+    def splits(fr: Seq[(String, Double)]): Map[Long, String] =
+      Mix.split(ids, "doc_id", fr).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s = splits(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every doc in exactly one split (total function by construction)
+    assert(s.size === 2000)
+    val byS = s.values.groupBy(identity).view.mapValues(_.size).toMap
+    // the rank hash is uniform: fractions hold within a loose band
+    assert(byS("train") > 1500 && byS("train") < 1700, byS)
+    assert(byS("val") > 130 && byS("val") < 270, byS)
+    assert(byS("test") > 130 && byS("test") < 270, byS)
+    // prefix stability: retuning LATER fractions never moves an earlier
+    // split's members (the frozen-test-set property)
+    val s2 = splits(Seq("train" -> 0.8, "val" -> 0.15, "test" -> 0.05))
+    assert(s.filter(_._2 == "train") ===
+      s2.filter { case (k, _) => s(k) == "train" })
+    // sum < 1: remainder lands in the last split; single split = all
+    val s3 = splits(Seq("a" -> 0.5, "b" -> 0.1))
+    assert(s3.values.toSet === Set("a", "b"))
+    assert(splits(Seq("all" -> 1.0)).values.toSet === Set("all"))
+    // loud on bad fractions
+    assert(intercept[IllegalArgumentException] {
+      Mix.split(ids, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
+    }.getMessage.contains("sum past 1"))
+  }
 }
