@@ -1328,6 +1328,14 @@ object SparkEntry {
           col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
     }),
+    // --- contamination leak report (oracle-paired): the audit view
+    //     behind q_decontam — which benchmark n-grams leak into how many
+    //     corpus docs, worst first; same doc_id%29 benchmark slice -----
+    "q_leak_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      vigil.Decontam.leakReport(d, "doc_id", "text",
+        d.filter(pmod(col("doc_id"), lit(29)) === 0), "text", n = 3)
+    }),
     // --- deterministic train/val/test split (oracle-paired): half-open
     //     docRank intervals — pure integer arithmetic, zero exchanges,
     //     prefix-stable (retuning later fractions never moves an earlier
@@ -2630,6 +2638,17 @@ object SparkEntry {
              row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rn
            FROM keyed)
          SELECT doc_id, key FROM topk WHERE rn <= 100 ORDER BY doc_id"""),
+    "q_leak_report" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             x -> len(x) > 0) AS ws FROM documents),
+         g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+           FROM (SELECT doc_id, ws,
+               unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM w)),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0),
+         m AS (SELECT g.doc_id, g.gram FROM g JOIN bench USING (gram))
+         SELECT gram, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences
+         FROM m GROUP BY gram ORDER BY n_docs DESC, gram ASC""",
     // Split cuts computed with the SAME double ops as Mix.split's
     // scanLeft (0.8, then 0.8 + 0.1) so the floor(·2^32) thresholds are
     // bit-identical; the rank is the Knuth integer hash.

@@ -137,6 +137,32 @@ object Decontam {
     }
   }
 
+  /** Contamination leak report — the audit view behind [[flag]]: for
+    * every benchmark n-gram that appears in the corpus, how many corpus
+    * documents it leaks into and how many times it occurs in total,
+    * worst leaks first. Corpus-side grams semi-filter against the
+    * broadcast benchmark set before the ONE map-side-combined count —
+    * the exchange carries only matched grams (benchmark-bounded), and
+    * the deterministic (docs desc, gram asc) top-k plans as
+    * TakeOrderedAndProject when the caller limits.
+    */
+  def leakReport(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams = gramSet(bench, benchTextCol, n)
+    // NON-distinct grams (unlike gramsCol): occurrences per doc count.
+    // Same tokens (lowercase, empties dropped), flat-loop gram walk.
+    val ws = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
+    val docGrams = docs.select(col(idCol),
+      explode(vigil.functions.word_ngrams(concat_ws(" ", ws), n)).as("gram"))
+    docGrams
+      .join(broadcast(benchGrams.select("gram").distinct()), Seq("gram"),
+        "leftsemi")
+      .groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_docs"), asc("gram"))
+  }
+
   /** Embedding-space decontamination — the semantic complement of the
     * n-gram [[flag]] (catches paraphrased benchmark leakage that shares
     * no exact n-gram): a corpus doc is contaminated when its embedding's

@@ -119,6 +119,19 @@ class DecontamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxBroadcastGrams"))
   }
 
+  test("leak report: hand-computed doc and occurrence counts") {
+    val bench = Seq((0L, "a b c d")).toDF("doc_id", "text") // grams: a b c, b c d
+    val docs = Seq(
+      (1L, "a b c a b c"),  // "a b c" ×2 (+ "c a b", "b c a" unmatched)
+      (2L, "x b c d y"),    // "b c d" ×1
+      (3L, "a b c d"),      // both ×1
+      (4L, "fresh words")   // nothing
+    ).toDF("doc_id", "text")
+    val got = Decontam.leakReport(docs, "doc_id", "text", bench, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a b c", 2L, 3L), ("b c d", 2L, 2L)))
+  }
+
   test("embedding-space decontamination: hand-computed max cosines") {
     val bench = Seq(
       (100L, Seq(1.0f, 0.0f)),
