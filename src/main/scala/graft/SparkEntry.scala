@@ -1328,6 +1328,24 @@ object SparkEntry {
           col("ppl").cast("float").as("ppl"))
         .orderBy("doc_id")
     }),
+    // --- HTML → text extraction (oracle-paired): the web-pipeline front
+    //     door. Deterministic markup is synthesized around each doc's
+    //     text IDENTICALLY in both engines (pure string concat), then
+    //     the normative regex chain extracts — so the oracle is also a
+    //     java.util.regex ↔ RE2 agreement gate on the portable pattern
+    //     subset the extractor commits to --------------------------------
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p{color:red}</style>" +
+          "<script>if(a<b){x(\"</p>\")}</script></head>" +
+          "<body><!-- c --><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp; tail</p><div>fin&nbsp;2</div></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), vigil.Html.extractText(html).as("clean"))
+        .orderBy("doc_id")
+    }),
     // --- contamination leak report (oracle-paired): the audit view
     //     behind q_decontam — which benchmark n-grams leak into how many
     //     corpus docs, worst first; same doc_id%29 benchmark slice -----
@@ -2638,6 +2656,36 @@ object SparkEntry {
              row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rn
            FROM keyed)
          SELECT doc_id, key FROM topk WHERE rn <= 100 ORDER BY doc_id"""),
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id ||
+           '</title><style>p{color:red}</style>' ||
+           '<script>if(a<b){x("</p>")}</script></head>' ||
+           '<body><!-- c --><h1>Doc ' || doc_id ||
+           '</h1><p>' || text ||
+           ' &amp; tail</p><div>fin&nbsp;2</div></body></html>' AS t
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(t,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(t,
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(t,
+           '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(t,
+           '(?i)</?(p|div|li|tr|h[1-6]|br)[^>]*>', chr(10), 'g') AS t
+           FROM s3),
+         s5 AS (SELECT doc_id, regexp_replace(t,
+           '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+         s6 AS (SELECT doc_id,
+           replace(replace(replace(replace(replace(replace(t,
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s5),
+         s7 AS (SELECT doc_id, regexp_replace(t,
+           '[ \t\r]+', ' ', 'g') AS t FROM s6)
+         SELECT doc_id, array_to_string(
+           list_filter(list_transform(string_split(t, chr(10)),
+             l -> trim(l)), l -> len(l) > 0), chr(10)) AS clean
+         FROM s7 ORDER BY doc_id""",
     "q_leak_report" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
              x -> len(x) > 0) AS ws FROM documents),

@@ -1,0 +1,61 @@
+package vigil
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the web-pipeline front door (C4/CCNet/
+  * RefinedWeb all start from markup; [[DocFilter.cleanPages]] and the
+  * quality rules consume this operator's output). A NORMATIVE
+  * regex-chain extractor, deliberately built from portable regex
+  * constructs (RE2 ∩ java.util.regex: inline `(?is)` flags, lazy
+  * quantifiers, no backrefs/lookaround) so the DuckDB twin is exact and
+  * the oracle doubles as a cross-engine regex-semantics gate.
+  *
+  * Normative rules, in order:
+  *   1. `<script>`/`<style>` elements (with their content) → one space;
+  *   2. HTML comments → one space;
+  *   3. block-level tag boundaries (`p div li tr h1–h6 br`, open or
+  *      close) → newline — paragraph structure survives for the
+  *      line-level rules;
+  *   4. every remaining tag → one space;
+  *   5. the five XML entities + `&nbsp;` decode, `&amp;` LAST (the
+  *      standard single-pass approximation: `&amp;lt;` → `&lt;` literal
+  *      — an engine constant, not a bug);
+  *   6. horizontal whitespace collapses; lines trim; empty lines drop;
+  *      survivors rejoin with `\n`.
+  *
+  * Known limits of regex extraction (documented engine constants): a
+  * literal `</script>` inside a JS string ends rule 1 early; CDATA and
+  * conditional comments are not special-cased. Real pipelines accept
+  * the same trade at this stage (boilerplate removal happens later —
+  * [[vigil.dedup.LineDedup]] / [[Quality.c4LineFilter]]).
+  *
+  * Pure column algebra (codegen'd regexp_replace chain): narrow, zero
+  * exchanges, scales as a map stage.
+  */
+object Html {
+
+  def extractText(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)</?(p|div|li|tr|h[1-6]|br)[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
+    val ent = replace(replace(replace(replace(replace(replace(
+      noTags,
+      lit("&nbsp;"), lit(" ")),
+      lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    val ws = regexp_replace(ent, "[ \\t\\r]+", " ")
+    array_join(
+      filter(transform(split(ws, "\n"), l => trim(l)),
+        l => length(l) > 0),
+      "\n")
+  }
+}

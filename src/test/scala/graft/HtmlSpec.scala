@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import vigil.Html
+
+/** HTML extraction: hand-traced normative rules, entity decode order,
+  * paragraph-boundary preservation, and the documented regex limits.
+  */
+class HtmlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(Html.extractText(col("h")).as("t"))
+      .head().getString(0)
+
+  test("hand-traced full page") {
+    val html =
+      """<html><head><title>My Title</title>
+        |<style type="text/css">p { color: red; }</style>
+        |<script>if (a < b) { alert("</p>"); }</script></head>
+        |<body><!-- header comment -->
+        |<h1 class="big">Heading</h1>
+        |<p>First   paragraph with <b>bold</b> text.</p>
+        |<div>Second&nbsp;block &amp; more</div>
+        |<ul><li>item one</li><li>item two</li></ul>
+        |</body></html>""".stripMargin
+    assert(extract(html) ===
+      """My Title
+        |Heading
+        |First paragraph with bold text.
+        |Second block & more
+        |item one
+        |item two""".stripMargin)
+  }
+
+  test("entity decode: &amp; decodes LAST (single-pass engine constant)") {
+    assert(extract("a &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; b") ===
+      "a <tag> \"q\" 's' & b")
+    // &amp;lt; → the literal string "&lt;" — NOT doubly decoded
+    assert(extract("x &amp;lt; y") === "x &lt; y")
+  }
+
+  test("block tags become line boundaries; inline tags become spaces") {
+    assert(extract("<p>a</p><p>b</p>") === "a\nb")
+    assert(extract("x<br>y") === "x\ny")
+    assert(extract("a<span>b</span>c") === "a b c")
+    assert(extract("<H2>caps</H2>ok") === "caps\nok")
+  }
+
+  test("script/style content (incl. angle brackets) is removed whole") {
+    assert(extract("""a<script lang="js">for(i=0;i<9;i++){}</script>b""")
+      === "a b")
+    assert(extract("a<style>td > p { x: 1 }</style>b") === "a b")
+    // documented limit: a literal </script> inside a JS string ends the
+    // element early — the tail is tag-stripped text, not dropped
+    assert(extract("""a<script>s = "</script>";</script>b""") ===
+      "a \"; b")
+  }
+
+  test("degenerate inputs: empty, tag-only, null") {
+    assert(extract("") === "")
+    assert(extract("<div><br></div>") === "")
+    val r = Seq((1L, null.asInstanceOf[String])).toDF("id", "h")
+      .select(Html.extractText(col("h"))).head()
+    assert(r.isNullAt(0))
+  }
+}
