@@ -1142,6 +1142,12 @@ object SparkEntry {
     "q_corpus_stats" -> ((s, dir) => {
       vigil.Pretrain.corpusStats(docs(s, dir), "text")
     }),
+    // --- corpus n-gram diversity (oracle-paired): distinct/total gram
+    //     ratios per n — the template-saturation signal ----------------
+    "q_ngram_diversity" -> ((s, dir) => {
+      vigil.Pretrain.ngramDiversity(docs(s, dir), "text", Seq(1, 2, 3))
+        .orderBy("n")
+    }),
     // --- per-source data card (oracle-paired): the grouped report a
     //     mixing recipe reads before setting budgets ------------------
     "q_corpus_stats_by_source" -> ((s, dir) => {
@@ -1516,6 +1522,17 @@ object SparkEntry {
          avg(len(list_filter(string_split(text, ' '),
            w -> len(w) > 0))) AS avg_words
          FROM documents""",
+    "q_ngram_diversity" ->
+      """WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+             x -> len(x) > 0) AS ws FROM documents),
+         g AS (SELECT n, array_to_string(ws[i:i+n-1], ' ') AS gram
+           FROM w, (VALUES (1), (2), (3)) AS v(n),
+             unnest(range(1, greatest(len(ws) - n + 2, 1))) AS u(i))
+         SELECT n::INTEGER AS n,
+           count(DISTINCT gram)::BIGINT AS distinct_grams,
+           count(*)::BIGINT AS total_grams,
+           count(DISTINCT gram)::DOUBLE / count(*) AS distinct_ratio
+         FROM g GROUP BY n ORDER BY n""",
     "q_corpus_stats_by_source" ->
       """SELECT source, count(*) AS n_docs,
          count(DISTINCT md5(text)) AS n_distinct_texts,

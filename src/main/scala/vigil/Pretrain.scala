@@ -126,6 +126,30 @@ object Pretrain {
       groupCol: String): DataFrame =
     docs.groupBy(groupCol).agg(statAggs(textCol).head, statAggs(textCol).tail: _*)
 
+  /** Corpus n-gram diversity — distinct-over-total word-n-gram ratios
+    * (the standard corpus-diversity / template-saturation signal; low
+    * ratios at higher n flag heavy templating before dedup even runs).
+    * One row per n: `(n, distinct_grams, total_grams, distinct_ratio)`.
+    * Each n costs one map-side-combined distinct aggregation over the
+    * gram stream; the ratio divides exact longs (reproducible double).
+    */
+  def ngramDiversity(docs: DataFrame, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    val ws = filter(split(lower(col(textCol)), " "), w => length(w) > 0)
+    ns.map { n =>
+      docs.select(explode(
+          vigil.functions.word_ngrams(concat_ws(" ", ws), n)).as("g"))
+        .agg(lit(n).as("n"),
+          countDistinct(col("g")).as("distinct_grams"),
+          count(lit(1)).as("total_grams"))
+    }.reduce(_.unionByName(_))
+      .withColumn("distinct_ratio",
+        when(col("total_grams") > 0,
+          col("distinct_grams").cast("double") / col("total_grams"))
+          .otherwise(lit(0.0)))
+  }
+
   private def statAggs(textCol: String): Seq[Column] = {
     val words = size(filter(split(col(textCol), " "),
       w => length(w) > 0)).cast("long")
