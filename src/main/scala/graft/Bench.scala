@@ -9,11 +9,49 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the expensive projections (a scrub bench that never
   * scrubs), noop forces every output column to be produced while writing
   * nothing.
+  *
+  * Two r5-diagnosed artifact failure modes are handled here:
+  *
+  *  1. '''The stdout JSON line must fit the driver's 2000-char tail
+  *     buffer.''' All five rounds' BENCH_r0N.json artifacts carry
+  *     `parsed: null` with a `tail` that starts MID-JSON: the driver
+  *     keeps only the last 2000 characters of output, and a 92-query
+  *     map + per-rep spread is ~5 KB, so the line's head is cut off
+  *     before the parse. The stdout line is therefore BUDGETED: headline
+  *     fields plus the slowest queries, greedily added while the line
+  *     stays under [[StdoutBudget]]. The FULL per-query map and spread
+  *     go to a detail file (`detail` field names it).
+  *  2. '''Between-query cleanup.''' The r5 artifact measured the dedup
+  *     family 4-8× slower than identical code warm (q_neardup_components
+  *     [82.9 s, 141.5 s] vs 9.4 s) — 92 queries × 2 reps accumulate
+  *     localCheckpoint blocks, Dataset caches, broadcasts and shuffle
+  *     files in one 8 GB JVM, and nothing released them (ContextCleaner
+  *     only acts on GC, which a large young heap defers). Every query
+  *     now ends with an explicit sweep: clearCache() (Dataset caches are
+  *     strong refs in the CacheManager, NEVER GC-collected),
+  *     unpersist of every remaining persistent RDD (localCheckpoint
+  *     blocks — queries never share frames, so between queries these are
+  *     garbage), and `spark.cleaner.periodicGC.interval=30s` so shuffle
+  *     files and broadcasts from past queries are reaped during the run
+  *     instead of at the default 30 min mark (i.e. never).
+  *
+  * Env knobs for A/B diagnosis (BENCH/BASELINE.md records the runs):
+  * SPARK_GRAFT_BENCH_CLEANUP=0 disables the sweep (reproduces the r5
+  * artifact behavior), SPARK_GRAFT_BENCH_ORDER=dedup_first runs the
+  * dedup/jaccard family before everything else (position-vs-accumulation
+  * discrimination).
   */
 object Bench {
+  /** Max stdout JSON line length. The driver tail keeps 2000 chars and the
+    * trailing sbt `[success] …` line eats ~90, so stay safely under.
+    */
+  private val StdoutBudget = 1700
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cleanupOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEANUP", "1") != "0"
+    val order = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "name")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,6 +60,9 @@ object Bench {
       // wave of uniform synth conversations beats 5 waves of per-task
       // overhead here; cluster-scale jobs keep the scale-correct default
       .config("spark.vigil.decide.wavesPerCore", "1")
+      // reap dead shuffles/broadcasts DURING the 180-action run, not at
+      // the 30 min default (= never for an 11-min bench)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -30,10 +71,22 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // end-of-query sweep (see scaladoc). Unpersisting a localCheckpointed
+    // RDD discards its backing blocks — safe exactly because queries never
+    // share frames: anything still persistent after a query's action is
+    // unreachable garbage the ContextCleaner can't free (Dataset caches)
+    // or won't free until a driver GC (checkpoint blocks).
+    def cleanup(): Unit = if (cleanupOn) {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case e: Throwable => System.err.println(s"[bench] cleanup: $e") }
+    }
+
     // warmup (untimed): run the flagship pipeline shape so JIT + whole-stage
-    // codegen don't land on the first timed query (queries run name-sorted;
-    // pipeline_transcripts is first). 5000 convs ≈ 16k turns — enough
-    // invocations of the scoring kernels to trigger C2 tier-up (a few
+    // codegen don't land on the first timed query. 5000 convs ≈ 16k turns —
+    // enough invocations of the scoring kernels to trigger C2 tier-up (a few
     // hundred rows compiles the plan but leaves the hot loops interpreted,
     // and the first timed run then pays ~3× steady state)
     try materialize(
@@ -41,13 +94,12 @@ object Bench {
         vigil.Synth.corpusDF(spark, 5000),
         vigil.Decide.Default.copy(targetLang = "pt")))
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+    cleanup()
 
     // every query is timed min-of-2 (the flagship best-of-3): this host
     // shows 2-4× wall-time swings (see BENCH/BASELINE.md), and a single
-    // bad window on a one-shot run becomes the round's official number
-    // (r3: 155 s driver artifact vs 38.6 s re-run on identical code).
-    // The warm sum of all queries is ~29 s, so a second pass is cheap.
-    // All runs are kept in the JSON (`spread`) so the noise is visible.
+    // bad window on a one-shot run becomes the round's official number.
+    // All runs are kept in the detail file (`spread`) so noise is visible.
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -55,9 +107,19 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val runsByQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val isDedup = (n: String) => n.startsWith("q_neardup") ||
+      n.startsWith("q_jaccard") || n.startsWith("q_minhash") ||
+      n.startsWith("q_simhash") || n.startsWith("q_dedup")
+    val ordered = order match {
+      case "dedup_first" => named.filter(t => isDedup(t._1)) ++
+        named.filterNot(t => isDedup(t._1))
+      case _ => named
+    }
+    val runsByQuery = ordered.map { case (name, fn) =>
       val reps = if (name == "pipeline_transcripts") 3 else 2
-      name -> (1 to reps).map(_ => timeOnce(name, fn))
+      val rs = (1 to reps).map { _ => val r = timeOnce(name, fn); cleanup(); r }
+      name -> rs
     }
     val results = runsByQuery.map { case (name, runs) =>
       // min over SUCCESSFUL reps only — a rep that dies fast must not
@@ -78,19 +140,45 @@ object Bench {
       catch { case _: Throwable => 0L }
     val turnsPerSec = if (pipeTime > 0) nTurns / pipeTime else 0.0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // every individual run time (name-sorted, run order), so the artifact
-    // itself shows the per-query noise spread instead of hiding it
+    def fmtQ(kv: (String, Double)): String = f""""${kv._1}":${kv._2}%.3f"""
+    val allQs = results.map(fmtQ).mkString("{", ",", "}")
     val spread = runsByQuery.map { case (k, runs) =>
       "\"" + k + "\":[" + runs.map(r => f"${r._1}%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""spread":$spread,""" +
-        s""""sf":"$sfDir","pipeline_turns":$nTurns,""" +
-        s""""pipeline_turns_per_sec":$turnsPerSec,"cpus":$cpus}""")
+
+    // full detail to a file (the stdout line is budgeted — see scaladoc)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH/bench_detail.json")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$allQs,""" +
+        s""""spread":$spread,"sf":"$sfDir","pipeline_turns":$nTurns,""" +
+        s""""pipeline_turns_per_sec":$turnsPerSec,"cpus":$cpus,""" +
+        s""""cleanup":$cleanupOn,"order":"$order"}"""
+    try {
+      val p = java.nio.file.Paths.get(detailPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail: $e") }
+
+    // stdout line: headline fields + the slowest queries, greedily added
+    // while the assembled line stays under budget
+    val head =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""pipeline_turns":$nTurns,"pipeline_turns_per_sec":$turnsPerSec,""" +
+        s""""cpus":$cpus,"n_queries":${results.size},"detail":"$detailPath","queries":{"""
+    val tail = "}}"
+    val always = results.filter(_._1 == "pipeline_transcripts").map(fmtQ)
+    var line = head + always.mkString(",")
+    var first = always.isEmpty
+    results.filter(_._1 != "pipeline_transcripts")
+      .sortBy(-_._2).foreach { kv =>
+        val piece = (if (first) "" else ",") + fmtQ(kv)
+        if (line.length + piece.length + tail.length <= StdoutBudget) {
+          line += piece; first = false
+        }
+      }
+    println(line + tail)
     spark.stop()
   }
 }

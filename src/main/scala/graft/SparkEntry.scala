@@ -457,13 +457,18 @@ object SparkEntry {
     //     q_bpe_tokens (rows-only: the trained merge list is engine-native
     //     model state): fit 200 merges on the corpus word histogram (one
     //     shuffle; merge loop driver-side over the bounded vocab — the
-    //     standard trainer split), then encode every doc.
+    //     standard trainer split), then encode every doc. head_tokens is
+    //     emitted comma-JOINED, not as array<string>: the driver's
+    //     rows-only compare sorts columns with pandas, which throws
+    //     "unhashable type" on list cells (the one red CORRECTNESS_r05
+    //     row) — a flat string carries the same information and stays
+    //     comparable.
     "q_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
       val model = vigil.Bpe.fit(d, "text", numMerges = 200)
       vigil.Bpe.encode(d, "text", model)
         .select(col("doc_id"), col("n_tokens"),
-          slice(col("tokens"), 1, 5).as("head_tokens"))
+          concat_ws(",", slice(col("tokens"), 1, 5)).as("head_tokens"))
         .orderBy("doc_id")
     }),
     // --- exact dedup (hash-groupBy; first doc_id wins) -------------------
@@ -1446,9 +1451,18 @@ object SparkEntry {
     //     Rank arithmetic is integer-exact; the two-list RRF sum is one
     //     commutative double add (bit-exact), FLOAT-cast anyway --------
     "q_hybrid_rrf" -> ((s, dir) => {
+      // materialize the joined corpus ONCE (localCheckpoint = compute +
+      // truncate lineage): five sub-frames consume it (postings, stats,
+      // qtext, dense corpus, dense queries) and without the boundary the
+      // single fused action re-evaluates the docs⋈embeddings join per
+      // consumer — measured as the r5 rep-spread pathology [2.4 s,
+      // 27.8 s]. At 100 TB the materialization is a parquet write
+      // ([[vigil.Pretrain.materialize]] with a path); in-session the
+      // checkpoint is the same shape.
       val base = docs(s, dir)
         .join(embeddings(s, dir), col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("text"), col("embedding"))
+        .localCheckpoint(true)
       val postings = Search.buildPostings(base, "doc_id", "text")
       val stats = Search.corpusStats(base, "doc_id", "text")
       val qtext = base.filter(col("doc_id") < 5)
@@ -2174,7 +2188,8 @@ object SparkEntry {
            SELECT doc_id, source,
              len(list_filter(string_split_regex(text, '\s+'),
                x -> len(x) > 0)) AS n_tokens,
-             (doc_id * 2654435761) % 4294967296 AS rank
+             (((doc_id % 4294967296) // 65536) * 2041643008
+               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS rank
            FROM documents),
          tot AS (SELECT source, sum(n_tokens) AS t FROM tok GROUP BY source),
          b AS (
@@ -2199,7 +2214,8 @@ object SparkEntry {
            SELECT doc_id, source,
              len(list_filter(string_split_regex(text, '\s+'),
                x -> len(x) > 0)) AS n_tokens,
-             (doc_id * 2654435761) % 4294967296 AS rank,
+             (((doc_id % 4294967296) // 65536) * 2041643008
+               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS rank,
              CASE WHEN source = 'src0' THEN 2.5 ELSE 0.4 END AS ep
            FROM documents),
          whole AS (
@@ -2666,7 +2682,8 @@ object SparkEntry {
            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
            GROUP BY 1),
          keyed AS (SELECT doc_id,
-             (logw - ln(-ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+             (logw - ln(-ln((((((doc_id % 4294967296) // 65536) * 2041643008
+               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296) + 0.5)
                / 4294967296.0)))::FLOAT AS key
            FROM w),
          topk AS (SELECT doc_id, key,
@@ -2719,7 +2736,8 @@ object SparkEntry {
     // bit-identical; the rank is the Knuth integer hash.
     "q_corpus_split" ->
       """WITH r AS (SELECT doc_id,
-           (doc_id * 2654435761) % 4294967296 AS rank FROM documents)
+           (((doc_id % 4294967296) // 65536) * 2041643008
+               + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296 AS rank FROM documents)
          SELECT doc_id,
            CASE WHEN rank < floor(0.8 * 4294967296.0)::BIGINT THEN 'train'
                 WHEN rank < floor((0.8 + 0.1) * 4294967296.0)::BIGINT

@@ -46,9 +46,26 @@ object Mix {
   /** Deterministic per-doc rank in [0, 2³²): Knuth multiplicative hash.
     * Odd multiplier → injective on ids < 2³² (ties impossible there);
     * the `(rank, id)` orderings below tiebreak anyway.
+    *
+    * Overflow-safe by split multiplication: a naive `id * M` overflows
+    * Long for ids ≥ ~3.47e9, and under Spark's default ANSI mode (and
+    * DuckDB BIGINT) an overflow THROWS rather than wraps — which would
+    * break every sampler at production id ranges. Reduce mod 2³² first
+    * (congruent: (id mod 2³²)·M ≡ id·M (mod 2³²)), split r = hi·2¹⁶ + lo,
+    * and fold each half against a pre-reduced constant: every term is
+    * < 2⁴⁹, so the arithmetic stays exact in Long AND in ANSI-SQL BIGINT
+    * (the DuckDB oracle twin uses the identical split). `r / 2¹⁶` via
+    * double division is exact: r < 2³² is an exact double and dividing
+    * by a power of two only shifts the exponent. Bit-identical to the
+    * old direct product wherever that didn't overflow (all ids < 2³²).
     */
-  def docRank(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L))
+  def docRank(id: Column): Column = {
+    val r = pmod(id.cast("long"), lit(4294967296L))
+    val hi = floor(r / lit(65536L)).cast("long")
+    val lo = r - hi * lit(65536L)
+    // 2041643008 = (2654435761 · 2¹⁶) mod 2³²
+    pmod(hi * lit(2041643008L) + lo * lit(2654435761L), lit(4294967296L))
+  }
 
   private def perSource(m: Map[String, Long], default: Long,
       sourceCol: String): Column =

@@ -110,7 +110,12 @@ object Search {
     // serving reads the touched terms' postings — not the whole index.
     // The term list is the same bounded set the join broadcasts; past
     // `maxPushdownTerms` (degenerate mega-batches) fall back to join-only.
-    val termList = qterms.select("term").distinct().collect()
+    // limit BEFORE collecting: a degenerate mega-batch must be detected
+    // without the driver ever materializing more than the bound + 1 terms
+    // (an unconditional collect would pay the unbounded driver transfer
+    // the join-only fallback exists to avoid)
+    val termList = qterms.select("term").distinct()
+      .limit(maxPushdownTerms + 1).collect()
       .map(_.getString(0))
     val scan = if (termList.length <= maxPushdownTerms)
       postings.filter(col("term").isin(termList.toSeq: _*)) else postings

@@ -177,4 +177,22 @@ class MixSpec extends AnyFunSuite {
       Mix.split(ids, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
     }.getMessage.contains("sum past 1"))
   }
+  test("docRank: overflow-safe at production id ranges (ANSI mode)") {
+    // a naive id * 2654435761 overflows Long for ids >= ~3.47e9 and ANSI
+    // mode throws ArithmeticException; the split multiplication must give
+    // id * M mod 2^32 (reference values from big-int arithmetic) for the
+    // FULL nonnegative Long range, and stay bit-identical to the old
+    // direct product below 2^32
+    val cases = Seq(
+      0L -> 0L,
+      1L -> 2654435761L,
+      4294967295L -> 1640531535L,          // 2^32 - 1 (old formula's edge)
+      4294967297L -> 2654435761L,          // wraps to id = 1
+      5000000000L -> 3682488832L,          // old formula overflowed here
+      Long.MaxValue -> 1640531535L)
+    val out = cases.map(_._1).toDF("doc_id")
+      .select(col("doc_id"), Mix.docRank(col("doc_id")).as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(out.sortBy(_._1) == cases.sortBy(_._1))
+  }
 }
