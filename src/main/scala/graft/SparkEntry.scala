@@ -242,6 +242,16 @@ object SparkEntry {
     base
   }
 
+  /** semdedup batch queries run over the FULL cosine planted corpus (one
+    * perturbed copy per vector at cos ≈ 0.9999, background ≤ ~0.51) —
+    * the corpus∪batch reunion of [[cosineCorpusBatch]], so the DuckDB
+    * brute twin is shared with q_cosine_neardup's construction.
+    */
+  private def semDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = cosineCorpusBatch(s, dir)
+    corpus.unionByName(batch)
+  }
+
   /** semdedup family: stored k-means index (centroids + posting) over the
     * cosine family's planted corpus; the batch is the same slice.
     */
@@ -581,8 +591,55 @@ object SparkEntry {
           ",").as("session_seq"))
         .orderBy("user_id")
     }),
-    // --- H1-H6 review triage over the transcript corpus ------------------
+    // --- H1-H6 review triage, END-TO-END oracle-paired: the REAL
+    //     Review.reviewTable (banding, six context families, known-artist
+    //     list, consolidation, snippet, explicacao lookup, priority sort)
+    //     over a fully SQL-derivable scored frame. Detections are keyword
+    //     extractions (the q_review_bands playbook) plus a planted
+    //     known-artist "nome" on every 10th doc (exercises the artist
+    //     branch AND the snippet fallback); each doc gets EXACTLY ONE
+    //     planted Portuguese context sentence (doc_id % 6 → family), so
+    //     the rlike mega-alternations Spark evaluates equal the planting
+    //     rule the DuckDB twin encodes — valid because the English
+    //     fixture text never matches the Portuguese family regexes
+    //     (oracle equality at both sf gates IS the assertion) ------------
     "q_review_triage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ctx = when(pmod(col("doc_id"), lit(6)) === 0,
+          lit(" A obra de arte foi restaurada."))
+        .when(pmod(col("doc_id"), lit(6)) === 1,
+          lit(" Ela concluiu o mestrado em março."))
+        .when(pmod(col("doc_id"), lit(6)) === 2,
+          lit(" Foi publicado no jornal da cidade."))
+        .when(pmod(col("doc_id"), lit(6)) === 3,
+          lit(" O prefeito Carlos anunciou a medida."))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          lit(" O advogado Bruno apresentou o recurso."))
+        .otherwise(lit(" Texto escrito por Ana para o curso."))
+      // deterministic per-(doc, valor) score sweeping 0.70–0.99: all three
+      // bands, including the ≥0.95 not-banded slice (still reviewed when a
+      // context family fires — the reference's own semantics)
+      def sc(valor: org.apache.spark.sql.Column) = round(lit(0.70) +
+        pmod(col("doc_id") + length(valor), lit(30)) / lit(100.0), 2)
+      def det(tipo: String, valor: org.apache.spark.sql.Column) = struct(lit(tipo).as("tipo"),
+        valor.as("valor"), sc(valor).as("confianca"))
+      val nameVal = regexp_extract(col("text"), KwARe, 0)
+      val detalhes = filter(concat(
+        array(when(nameVal =!= "", det("nome", nameVal))),
+        transform(regexp_extract_all(col("text"), lit(KwBRe), lit(0)),
+          v => det("kw_sql", v)),
+        array(when(pmod(col("doc_id"), lit(10)) === 0,
+          det("nome", lit("Portinari"))))), x => x.isNotNull)
+      Review.reviewTable(d.select(
+        col("doc_id").cast("string").as("conv_id"),
+        lit(0L).as("turn_idx"),
+        concat(col("text"), ctx).as("clean"),
+        detalhes.as("detalhes"))
+        .withColumn("contem_pii", size(col("detalhes")) > 0))
+    }),
+    // --- the same triage over real engine-scored transcripts (rows-only:
+    //     detalhes come from the PII kernel's float confidences) ----------
+    "q_review_triage_transcripts" -> ((s, dir) => {
       Review.reviewTable(Decide.scoreTurns(transcripts(s, dir), PtCfg))
     }),
     // --- H1+W1+W2 oracle-paired slice: confidence banding, consolidation,
@@ -1070,24 +1127,30 @@ object SparkEntry {
         Map("src0" -> 2.5), defaultEpochs = 0.4)
         .orderBy("doc_id", "copy")
     }),
-    // --- SemDeDup (engine-native, rows-only — k-means float centroids
-    //     have no SQL twin): cluster the planted-copies embedding corpus
-    //     with the stored-index k-means, drop within-cluster pairs at
-    //     cos ≥ 0.99; SemDedupSpec locks k=1 ≡ brute all-pairs and ≥90%
-    //     planted recall at k=16 --------------------------------------
+    // --- SemDeDup (oracle-paired): the q_ann_ivf playbook — a DEGENERATE
+    //     exact configuration drives the full operator machinery (ivfBuild
+    //     k-means, posting table, within-cluster pair join, greedy drop)
+    //     while the result is brute-provable: nCentroids = 1 puts the
+    //     whole planted corpus in one cluster (SemDedupSpec's k=1 ≡ brute
+    //     theorem), so keep/drop is exactly "vec_id is id_b of some brute
+    //     all-pairs cos ≥ 0.99 pair" — float centroid geometry (seeded but
+    //     partition-order-sensitive float sums) never touches the output.
+    //     cid is dropped from the projection for the same reason. The
+    //     clustered scale face stays rows-only as q_semdedup_cluster -----
     "q_semdedup" -> ((s, dir) => {
-      val base = embeddings(s, dir).select("vec_id", "embedding")
-      val copies = base
-        .select((col("vec_id") + lit(1000000L)).as("new_id"),
-          col("embedding"))
-        .select(col("new_id").as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => (x + sin(col("new_id") * (i + 1)) * lit(0.005))
-              .cast("float")).as("embedding"))
-      val all = base.unionByName(copies).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      vigil.ann.SemDedup.semDedup(all, "vec_id", "embedding",
-        nCentroids = 16, minCos = 0.99)
+      vigil.ann.SemDedup.semDedup(semDedupCorpus(s, dir),
+        "vec_id", "embedding", nCentroids = 1, minCos = 0.99)
+        .select(col("vec_id"), col("keep"))
+        .orderBy("vec_id")
+    }),
+    // --- SemDeDup, clustered (engine-native, rows-only — k-means float
+    //     centroids have no SQL twin): the paper's actual scale shape,
+    //     k=16 Voronoi blocking; SemDedupSpec locks soundness at any k
+    //     (every drop has a real same-cluster partner) and ≥90% planted
+    //     recall at k=16 ------------------------------------------------
+    "q_semdedup_cluster" -> ((s, dir) => {
+      vigil.ann.SemDedup.semDedup(semDedupCorpus(s, dir),
+        "vec_id", "embedding", nCentroids = 16, minCos = 0.99)
         .orderBy("vec_id")
     }),
     // --- sequence packing (oracle-paired): the corpus as one token
@@ -1727,6 +1790,109 @@ object SparkEntry {
              (CASE WHEN len_t > 200 THEN '...' ELSE '' END)
            END AS trecho
          FROM idx ORDER BY doc_id, valor""",
+    // end-to-end review triage twin. The planted context sentence encodes
+    // the family flag (doc_id % 6); reasons are enumerated per detection in
+    // the reference emission order (slot), consolidation keeps the
+    // min-ranked motivo per (doc, lower(valor)) with arrival tiebreak, the
+    // snippet runs over the context-augmented clean text, explicacao is the
+    // normative Review.Explanations lookup
+    "q_review_triage" ->
+      s"""WITH base AS (
+           SELECT doc_id, text,
+             text || (CASE doc_id % 6
+               WHEN 0 THEN ' A obra de arte foi restaurada.'
+               WHEN 1 THEN ' Ela concluiu o mestrado em março.'
+               WHEN 2 THEN ' Foi publicado no jornal da cidade.'
+               WHEN 3 THEN ' O prefeito Carlos anunciou a medida.'
+               WHEN 4 THEN ' O advogado Bruno apresentou o recurso.'
+               ELSE ' Texto escrito por Ana para o curso.' END) AS clean,
+             doc_id % 6 AS fam,
+             regexp_extract(text, '$KwARe') AS namev,
+             regexp_extract_all(text, '$KwBRe') AS kws
+           FROM documents),
+         dets AS (
+           SELECT doc_id, clean, fam, 'nome' AS tipo_pii, namev AS valor,
+             0 AS det_idx, TRUE AS is_name
+           FROM base WHERE len(namev) > 0
+           UNION ALL
+           SELECT doc_id, clean, fam, 'kw_sql', unnest(kws),
+             (CASE WHEN len(namev) > 0 THEN 1 ELSE 0 END)
+               + generate_subscripts(kws, 1) - 1, FALSE
+           FROM base
+           UNION ALL
+           SELECT doc_id, clean, fam, 'nome', 'Portinari',
+             (CASE WHEN len(namev) > 0 THEN 1 ELSE 0 END) + len(kws), TRUE
+           FROM base WHERE doc_id % 10 = 0),
+         scored AS (
+           SELECT *, round(0.70 + ((doc_id + len(valor)) % 30)/100.0, 2)
+               AS score,
+             (lower(valor) = 'portinari') AS known
+           FROM dets),
+         reasons AS (
+           SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 0 AS slot,
+             CASE WHEN score < 0.80 THEN 'score_baixo'
+                  ELSE 'score_medio' END AS motivo,
+             CASE WHEN score < 0.80 THEN 'alta' ELSE 'baixa' END AS prioridade
+           FROM scored WHERE score < 0.95
+           UNION ALL SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 1,
+             'contexto_artistico', 'alta' FROM scored WHERE is_name AND fam = 0
+           UNION ALL SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 2,
+             'contexto_artistico', 'alta' FROM scored WHERE is_name AND known
+           UNION ALL SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 3,
+             'contexto_academico', 'media' FROM scored WHERE is_name AND fam = 1
+           UNION ALL SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 4,
+             'contexto_jornalistico', 'media' FROM scored WHERE is_name AND fam = 2
+           UNION ALL SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 5,
+             'contexto_cargo_publico', 'baixa' FROM scored WHERE is_name AND fam = 3
+           UNION ALL SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 6,
+             'contexto_juridico', 'baixa' FROM scored WHERE is_name AND fam = 4
+           UNION ALL SELECT doc_id, clean, tipo_pii, valor, det_idx, score, 7,
+             'contexto_autoria', 'baixa' FROM scored WHERE is_name AND fam = 5),
+         items AS (
+           SELECT *, det_idx * 16 +
+             (row_number() OVER (PARTITION BY doc_id, det_idx ORDER BY slot)
+               - 1) AS arrival
+           FROM reasons),
+         cons AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id, lower(valor)
+             ORDER BY (CASE motivo
+               WHEN 'contexto_artistico' THEN 1 WHEN 'contexto_academico' THEN 2
+               WHEN 'contexto_juridico' THEN 3 WHEN 'contexto_cargo_publico' THEN 4
+               WHEN 'score_medio' THEN 5 WHEN 'score_baixo' THEN 6
+               WHEN 'contexto_jornalistico' THEN 7 WHEN 'contexto_autoria' THEN 8
+               ELSE 99 END) ASC, arrival ASC) AS rn
+           FROM items),
+         snip AS (
+           SELECT *, strpos(lower(clean), lower(valor)) AS p,
+             length(clean) AS len_t, length(valor) AS len_v
+           FROM cons WHERE rn = 1),
+         pidx AS (
+           SELECT *, greatest(p - 1 - 100, 0) AS s0,
+             least(p - 1 + len_v + 100, len_t) AS e0
+           FROM snip)
+         SELECT doc_id::VARCHAR AS conv_id, 0::BIGINT AS turn_idx, prioridade,
+           tipo_pii, valor AS valor_detectado, score, motivo,
+           replace(CASE WHEN p > 0 THEN
+               (CASE WHEN s0 > 0 THEN '...' ELSE '' END) ||
+               substr(clean, CAST(s0 + 1 AS INT), CAST(e0 - s0 AS INT)) ||
+               (CASE WHEN e0 < len_t THEN '...' ELSE '' END)
+             ELSE substr(clean, 1, 200) ||
+               (CASE WHEN len_t > 200 THEN '...' ELSE '' END) END,
+             chr(10), ' ') AS texto_trecho,
+           CASE motivo
+             WHEN 'score_baixo' THEN 'Score de confiança do modelo abaixo do threshold. Maior chance de falso positivo.'
+             WHEN 'score_medio' THEN 'Score de confiança moderado. Provavelmente correto, mas vale verificar.'
+             WHEN 'contexto_artistico' THEN 'Texto contém referências a arte/patrimônio. Nome pode ser de artista, não dado pessoal do solicitante.'
+             WHEN 'contexto_academico' THEN 'Texto contém contexto acadêmico. Nome pode ser dado manifestamente público (LGPD Art. 7º, § 4º).'
+             WHEN 'contexto_jornalistico' THEN 'Texto contém contexto jornalístico. LGPD não se aplica a fins jornalísticos (Art. 4º, II, a).'
+             WHEN 'contexto_cargo_publico' THEN 'Nome de autoridade/cargo público detectado. Dados de agentes públicos são públicos por natureza.'
+             WHEN 'contexto_juridico' THEN 'Contexto jurídico detectado (OAB, advogado, juiz). Dados profissionais públicos, não dados pessoais sensíveis.'
+             WHEN 'contexto_autoria' THEN 'Contexto de autoria/referência bibliográfica. Nome pode ser de autor citado, não do solicitante.'
+             ELSE 'Verificação manual recomendada.' END AS explicacao
+         FROM pidx
+         ORDER BY (CASE prioridade WHEN 'alta' THEN 0 WHEN 'media' THEN 1
+             WHEN 'baixa' THEN 2 ELSE 9 END) ASC,
+           conv_id ASC, turn_idx ASC, arrival ASC""",
     "q_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, source,
            list_distinct(list_filter(string_split(lower(text), ' '),
@@ -1932,6 +2098,53 @@ object SparkEntry {
                 (b.vec_id >= 1000000 AND (b.vec_id - 1000000) % 3 = 0))
            AND list_cosine_similarity(a.v, b.v) >= 0.95
          ORDER BY id_a, id_b""",
+    // SemDeDup at nCentroids = 1 (single Voronoi cell): keep/drop is the
+    // greedy smallest-id rule over the brute all-pairs cos ≥ 0.99 graph —
+    // a vector drops iff it is the LARGER id of some duplicate pair. The
+    // planted corpus and double-cosine convention are q_cosine_neardup's.
+    "q_semdedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         planted AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> (embedding[i] + sin((vec_id+1000000)*i)*0.005)::FLOAT)
+               AS embedding
+           FROM base),
+         allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+                  UNION ALL SELECT vec_id, embedding::DOUBLE[] FROM planted),
+         drops AS (SELECT DISTINCT b.vec_id
+           FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.99)
+         SELECT allv.vec_id AS vec_id, (drops.vec_id IS NULL) AS keep
+         FROM allv LEFT JOIN drops ON allv.vec_id = drops.vec_id
+         ORDER BY allv.vec_id""",
+    // index-build invariants (r5 VERDICT ask #8): each build query emits
+    // (table, rows-written) read back from the written parquet, and the
+    // twin derives the EXPECTED count from the source tables — one sig
+    // row per corpus doc/vector, exactly nCentroids centroid rows,
+    // exactly numSub·kCodes codebook rows — so a build that silently
+    // drops rows (or never writes) fails the hard gate, not just a spec
+    "q_neardup_build" ->
+      """SELECT 'sigs' AS "table", count(*)::BIGINT AS "rows"
+         FROM documents WHERE doc_id % 3 <> 0""",
+    "q_cosine_build" ->
+      """SELECT 'sigs' AS "table",
+           ((SELECT count(*) FROM embeddings) +
+            (SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0))::BIGINT
+           AS "rows"""",
+    "q_semdedup_build" ->
+      """SELECT 'centroids' AS "table", 16::BIGINT AS "rows"
+         UNION ALL
+         SELECT 'posting',
+           (SELECT count(*) FROM embeddings) +
+           (SELECT count(*) FROM embeddings WHERE vec_id % 3 <> 0)
+         ORDER BY "table"""",
+    "q_pq_build" ->
+      """SELECT 'codebook' AS "table", 512::BIGINT AS "rows"
+         UNION ALL
+         SELECT 'codes',
+           (SELECT count(*) FROM embeddings) +
+           5 * (SELECT count(*) FROM embeddings WHERE vec_id < 10)
+         ORDER BY "table"""",
     // planted-determinism dedup twins: the tagged-copy corpus makes the
     // emitted pair set equal the exact-duplicate pair set (equality join
     // on tagged text); est_jaccard is exactly 1.0 / hamming exactly 0

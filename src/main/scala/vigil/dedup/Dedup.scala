@@ -543,14 +543,115 @@ object Dedup {
       converged = changed == 0L
       iter += 1
     }
+    if (!converged) {
+      // adversarial-diameter fallback: with pointer jumping a path needs
+      // ~log2(diameter) rounds, so landing here means diameter ≳ 2^maxIter
+      // (or a hand-built chain corpus). Switch to the large-star/small-star
+      // reshaping, which contracts ANY graph to stars in O(log² n) rounds
+      // independent of how the label happened to propagate. The canonical
+      // edge frame is derived from the PERSISTED edges cache, so the
+      // expensive pairs lineage (LSH + verify) is not re-run.
+      System.err.println(
+        s"[vigil] connectedComponents: no fixpoint in $maxIter label rounds" +
+          " — falling back to large-star/small-star")
+      val canon = edges.filter(col("src") > col("dst"))
+        .select(col("src").as("u"), col("dst").as("v")).distinct()
+        .localCheckpoint(true)
+      val out = starContract(nodes, idCol, canon)
+      edges.unpersist(blocking = false)
+      return out
+    }
     // the fixpoint labels are checkpoint-backed (no lineage to re-run);
     // the graph cache can go — a later eviction means recompute of the
     // EDGES only, never of the iteration chain
     edges.unpersist(blocking = false)
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "pathologically long path; use large-star/small-star reshaping")
     labels.select(col("id").as(idCol), col("comp").as("component"))
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * reshaping (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") — the adversarial-diameter path behind
+    * [[connectedComponents]], also callable directly when the input graph
+    * is KNOWN to be long-chained (citation graphs, temporal link chains)
+    * rather than the near-clique shape verified near-dup graphs have.
+    *
+    * Per round (both steps are one groupBy-min + one join, keyed on a
+    * node id — no global structure, executor memory bounded by a
+    * neighborhood's min, not its size):
+    *  - '''large-star''': every node `a` links each LARGER neighbor to
+    *    `min(Γ(a) ∪ {a})` — long tails collapse toward small ids without
+    *    ever increasing edge count;
+    *  - '''small-star''': every node `u` links its smaller neighbors and
+    *    itself to `min(Γ⁻(u) ∪ {u})` — local stars canonicalize.
+    * The edge set converges to disjoint stars rooted at each component's
+    * minimum id in O(log² n) rounds on ANY graph (typically ~log n); the
+    * fixpoint check is exact set equality (two anti-joins over
+    * checkpointed rounds), not a hash heuristic.
+    */
+  def connectedComponentsStar(
+      nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val canon = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    starContract(nodes, idCol, canon, maxIter)
+  }
+
+  /** Core star-contraction loop over canonical `(u > v)` edges. Every
+    * round is `localCheckpoint`ed for the same reason as the label loop:
+    * iterative self-referencing plans double per round otherwise.
+    */
+  private def starContract(
+      nodes: DataFrame, idCol: String, canonicalEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    var edges = canonicalEdges
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighborhood view: (a, b) for every b ∈ Γ(a), both directions
+      val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbrs.groupBy("a").agg(min(col("b")).as("nmin"))
+      // large-star: for b > a emit (b, min(Γ(a) ∪ {a})); m ≤ a < b keeps
+      // the canonical orientation for free, and no self-loops can appear
+      val large = nbrs.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), least(col("nmin"), col("a")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star over the canonical edges: m = min(Γ⁻(u)); every smaller
+      // neighbor v ≠ m re-links to m, and u itself links to m
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // exact fixpoint: the edge SET is unchanged (both difference
+      // directions — counts alone can balance out a swap)
+      converged =
+        next.exceptAll(edges).limit(1).count() == 0L &&
+          edges.exceptAll(next).limit(1).count() == 0L
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "raise maxIter (O(log² n) bound; 50 covers any feasible corpus)")
+    // fixpoint = disjoint stars: each non-root node has exactly ONE edge
+    // (u → component min); roots and isolated nodes map to themselves.
+    // The groupBy-min is defensive (idempotent on a true star set).
+    val mapping = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("comp"))
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(mapping, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("component"))
   }
 
   private def persistSigs(df: DataFrame): DataFrame =
