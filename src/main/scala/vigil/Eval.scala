@@ -48,6 +48,48 @@ object Eval {
     Metrics(g(0), g(1), g(2), g(3))
   }
 
+  /** A4: the reference CLI's formatted evaluation report
+    * (scripts/evaluate.py:106-141), byte-exact — same box drawing, emoji
+    * section markers, Python `{:5d}` confusion cells and `{:.4f}`/`{:.2f}`
+    * score formats. The spec fixture `eval_report_expected.txt` was
+    * captured from the reference function itself, so equality is against
+    * real reference output, not a transcription.
+    */
+  def reportText(m: Metrics): String = {
+    val eq = "=" * 60
+    val dash = "-" * 40
+    val total = m.tp + m.tn + m.fp + m.fn
+    val fnMark = if (m.fn > 0) "⚠️ CRÍTICO" else "✅"
+    def score(label: String, v: Double) = f"$label$v%.4f (${v * 100}%.2f%%)"
+    Seq(
+      "\n" + eq,
+      "RELATÓRIO DE AVALIAÇÃO DO DETECTOR DE PII",
+      eq,
+      "\n📊 MATRIZ DE CONFUSÃO:",
+      dash,
+      "                    Predito",
+      "                 SEM PII  COM PII",
+      f"Real SEM PII      ${m.tn}%5d    ${m.fp}%5d",
+      f"Real COM PII      ${m.fn}%5d    ${m.tp}%5d",
+      "\n📈 MÉTRICAS:",
+      dash,
+      s"Total de registros:     $total",
+      s"Verdadeiros Positivos:  ${m.tp}",
+      s"Verdadeiros Negativos:  ${m.tn}",
+      s"Falsos Positivos:       ${m.fp}",
+      s"Falsos Negativos:       ${m.fn} $fnMark",
+      "\n🎯 SCORES:",
+      dash,
+      score("Acurácia:    ", m.accuracy),
+      score("Precisão:    ", m.precision),
+      score("Recall:      ", m.recall),
+      score("F1-Score:    ", m.f1),
+      "\n" + eq,
+      "⚠️  Critério de desempate: Menor FN > Menor FP > Maior F1",
+      eq + "\n"
+    ).map(_ + "\n").mkString
+  }
+
   /** J2: inner merge with column suffixes, pandas-merge style
     * (analyze_errors.py:136-140): shared non-key columns get _pred/_true.
     */

@@ -1,0 +1,65 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import vigil.Eval
+
+/** The reference evaluation CLI (scripts/evaluate.py:190-287) as a Spark
+  * main: join a predictions CSV against a ground-truth CSV on an id
+  * column, lenient-parse the booleans (utils.py normalize_boolean), fold
+  * the confusion matrix in one distributed aggregation, and print the
+  * reference's formatted report ([[Eval.reportText]], byte-exact) plus
+  * the optional FP/FN id listing (evaluate.py:165-187).
+  *
+  * Usage: EvalReport <predictions.csv> <ground-truth.csv>
+  *          [idCol=ID] [predCol=contem_pii] [truthCol=<predCol>]
+  *          [--show-errors]
+  */
+object EvalReport {
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 2,
+      "usage: EvalReport <predictions.csv> <ground-truth.csv> " +
+        "[idCol] [predCol] [truthCol] [--show-errors]")
+    val (predPath, truthPath) = (pos(0), pos(1))
+    val idCol = if (pos.length > 2) pos(2) else "ID"
+    val predCol = if (pos.length > 3) pos(3) else "contem_pii"
+    val truthCol = if (pos.length > 4) pos(4) else predCol
+    val showErrors = args.contains("--show-errors")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadBool(path: String, valueCol: String) = {
+      val df = spark.read.option("header", "true").csv(path)
+      require(df.columns.contains(idCol), s"Coluna '$idCol' não encontrada em $path")
+      require(df.columns.contains(valueCol), s"Coluna '$valueCol' não encontrada em $path")
+      df.select(col(idCol), Eval.lenientBool(col(valueCol)).as(valueCol))
+    }
+    // distinct value-column names so confusion's internal join can't
+    // collide when predCol == truthCol (the reference merges with pandas
+    // suffixes; here the frames are projected before the join)
+    val pred = loadBool(predPath, predCol).withColumnRenamed(predCol, "__pv")
+    val truth = loadBool(truthPath, truthCol).withColumnRenamed(truthCol, "__tv")
+    val m = Eval.confusion(pred, truth, Seq(idCol), "__pv", "__tv")
+    print(Eval.reportText(m))
+
+    if (showErrors) {
+      val (fnIds, fpIds) = Eval.errorIds(pred, truth, Seq(idCol), "__pv", "__tv")
+      def section(header: String, ids: Seq[String], total: Long): Unit =
+        if (total > 0) {
+          println("\n" + header)
+          println("-" * 40)
+          ids.foreach(id => println(s"  - ID: $id"))
+          if (total > 10) println(s"  ... e mais ${total - 10} registros")
+        }
+      section("❌ FALSOS NEGATIVOS (PII não detectado):", fnIds, m.fn)
+      section("⚠️ FALSOS POSITIVOS (PII incorretamente detectado):", fpIds, m.fp)
+    }
+    spark.stop()
+  }
+}

@@ -237,7 +237,7 @@ class PiiCoreSpec extends AnyFunSuite {
     assert(TextClean.clean("ação coração") == "ação coração")
   }
   test("control chars stripped, newline/tab collapse via whitespace rule") {
-    assert(TextClean.clean("a bc") == "abc")
+    assert(TextClean.clean("a\u0000b\u000fc") == "abc")
     assert(TextClean.clean("a\nb\tc") == "a b c")
     assert(TextClean.clean("  múltiplos   espaços  ") == "múltiplos espaços")
     assert(TextClean.clean(null) == "")

@@ -99,7 +99,7 @@ class PropertySpec extends AnyFunSuite {
       "texto já limpo com espaços simples",
       " leading", "trailing ", "double  space", "a\tb", "a\nb", "a\r\nb",
       "nbsp aqui", "em space", "line sep", "ideo　space",
-      "ctrlchar", "ﬁnal ①", "só", "", " ", "  ", " ", "x",
+      "ctrl\u0001char", "ﬁnal ①", "só", "", " ", "  ", " ", "x",
       "a b  c\td  e ")
     fixtures.foreach { s =>
       assert(TextClean.clean(s) == naive(s), s"mismatch for ${s.map(_.toInt)}")

@@ -128,6 +128,21 @@ class TableIOEvalSpec extends AnyFunSuite {
     assert(z.precision == 0.0 && z.recall == 0.0 && z.f1 == 0.0)
   }
 
+  test("reportText reproduces the reference console report byte-for-byte") {
+    // the fixture was captured by CALLING the reference's print_report
+    // (scripts/evaluate.py:106-141) on these two metric sets: one with
+    // errors (FN>0 → the CRÍTICO marker, fractional scores) and one
+    // perfect (✅ marker, 100% scores); any drift in padding, emoji,
+    // accents or float formatting fails the equality
+    val expected = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        getClass.getResource("/eval_report_expected.txt").toURI)), "UTF-8")
+    val got = Eval.reportText(Eval.Metrics(tp = 40, fp = 12, fn = 3, tn = 95)) +
+      Eval.reportText(Eval.Metrics(tp = 5, fp = 0, fn = 0, tn = 5))
+    assert(got == expected,
+      got.zip(expected).indexWhere(p => p._1 != p._2).toString)
+  }
+
   test("histogram bins are half-open [lo, hi)") {
     val df = Seq(0.0, 0.49, 0.5, 0.89, 0.9, 0.99, 1.0).toDF("v")
     val h = Eval.histogram(df, "v").collect()
@@ -199,7 +214,7 @@ class TableIOEvalSpec extends AnyFunSuite {
       (217 >> 8).toByte, (217 & 0xff).toByte, // width
       3) // components
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
-      seg(0xe0, "JFIF ".getBytes("US-ASCII") ++ Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)) ++
+      seg(0xe0, "JFIF\u0000".getBytes("US-ASCII") ++ Array[Byte](1, 2, 0, 0, 1, 0, 1, 0, 0)) ++
       seg(0xdb, new Array[Byte](65)) ++
       seg(0xc0, sof0) ++
       Array[Byte](0xff.toByte, 0xd9.toByte)
