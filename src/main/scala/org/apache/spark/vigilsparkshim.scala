@@ -1,0 +1,13 @@
+package org.apache.spark
+
+/** Bridge into `private[spark]` SparkContext internals needed by the
+  * instrumented bench (vigil.tools.BenchExtra): draining the async
+  * listener bus between timed queries so per-query SparkListener metric
+  * accumulation attributes every task to the query that ran it. Same
+  * minimal-escape-hatch shape as org.apache.spark.sql.VigilShim.
+  */
+object VigilSparkShim {
+  /** Block until every queued listener event has been delivered. */
+  def waitListenerBusEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}

@@ -70,7 +70,15 @@ object Pretrain {
       case Some(dir) =>
         df.write.mode("overwrite").parquet(s"$dir/$stage")
         df.sparkSession.read.parquet(s"$dir/$stage")
-      case None => df.localCheckpoint(true)
+      // LAZY local checkpoint: the boundary still materializes exactly
+      // once (localCheckpoint persists MEMORY_AND_DISK; the first
+      // consumer computes each block under BlockManager locking, later
+      // side frames read it) and still truncates lineage to a constant
+      // LogicalRDD — but the three stage boundaries no longer cost one
+      // eager job each; they ride the first consuming action. Eager vs
+      // lazy output equality is covered by the workDir ≡ checkpoint
+      // mode-agreement spec (PretrainSpec).
+      case None => df.localCheckpoint(false)
     }
     // 1. page cleaning — keep page_keep survivors, carry the rebuilt text
     val pages = mat(

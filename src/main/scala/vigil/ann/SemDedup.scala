@@ -68,8 +68,10 @@ object SemDedup {
   def semDedupIncremental(
       centroidsDf: DataFrame, posting: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, minCos: Double = 0.99): DataFrame = {
+    // lazy: assigned once (checkpoint implies persist; first consumer
+    // materializes under block locking), no separate eager job
     val b = Ann.ivfAssign(centroidsDf, batch, idCol, vecCol)
-      .localCheckpoint(true) // assigned once; three frames below read it
+      .localCheckpoint(false)
     val bx = b.select(col("cid"), col("nn_id").as("id_b"),
       col("nn_vec").as("__vb"))
     val vsCorpus = posting
@@ -96,7 +98,9 @@ object SemDedup {
       iterations: Int = 2, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val (_, posting) = Ann.ivfBuild(embeddings, idCol, vecCol,
       nCentroids, iterations, dim, seed)
-    val p = posting.localCheckpoint(true) // built once; pairs join it twice
+    // lazy: built once (checkpoint-persist, block-locked), pairs join it
+    // twice; the caller's action materializes it instead of an extra job
+    val p = posting.localCheckpoint(false)
     val pairs = semDedupPairs(p, minCos)
     val drops =
       (if (transitive)

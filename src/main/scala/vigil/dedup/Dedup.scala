@@ -395,6 +395,19 @@ object Dedup {
         val sg = members.iterator.map(_._2.toArray).toArray
         val nw = members.iterator.map(_._3).toArray
         val n = ids.length
+        // per-member band hashes for the earlier bands, computed once per
+        // bucket member: the cross-band skip criterion IS bucket-key
+        // (band-hash) equality — buckets are keyed by bandHash, so an
+        // earlier band provably holds the pair iff the hashes match (a
+        // slice compare was strictly narrower than the actual bucket
+        // membership test, and cost rpb element compares per band where
+        // this is one long compare; the hash also feeds the cap lookup
+        // for free)
+        val bhs: Array[Array[Long]] =
+          if (doSkip && band > 0)
+            Array.tabulate(n)(i =>
+              Array.tabulate(band)(b => MinHash.bandHash(sg(i), b, rpb)))
+          else null
         (0 until n).iterator.flatMap { i =>
           ((i + 1) until n).iterator.flatMap { j =>
             if (newOnly && !nw(i) && !nw(j)) Iterator.empty
@@ -403,15 +416,12 @@ object Dedup {
               // cross-band skip: an earlier matching band emits this pair
               // unless its bucket was capped (pair may be sliced out there)
               var skip = false
-              if (doSkip) {
+              if (doSkip && band > 0) {
+                val bi = bhs(i); val bj = bhs(j)
                 var b = 0
                 while (!skip && b < band) {
-                  var r = b * rpb
-                  val end = r + rpb
-                  var eq = true
-                  while (eq && r < end) { if (a(r) != c(r)) eq = false; r += 1 }
-                  if (eq && (noCaps ||
-                      !cap.contains((b, MinHash.bandHash(a, b, rpb), blkv))))
+                  if (bi(b) == bj(b) && (noCaps ||
+                      !cap.contains((b, bi(b), blkv))))
                     skip = true
                   b += 1
                 }
@@ -502,70 +512,118 @@ object Dedup {
   def connectedComponents(
       nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // persist the (src, dst) graph ONCE: it is two long columns (tiny),
-    // but its lineage is the whole upstream dedup pipeline — without the
-    // persist every iteration's convergence probe re-runs LSH + verify
-    // (OOMed at sf0.1: 965k-pair graph, ~5 s verify per re-run)
-    val edges = pairs
+    // persist the CANONICAL one-direction pair list ONCE: it is two long
+    // columns (tiny), but its lineage is the whole upstream dedup
+    // pipeline — without the persist every iteration's convergence probe
+    // re-runs LSH + verify (OOMed at sf0.1: 965k-pair graph, ~5 s verify
+    // per re-run). Persisting the doubled (src,dst)∪(dst,src) union
+    // instead would evaluate that expensive lineage once PER UNION
+    // BRANCH while materializing the cache (exchange reuse dedups the
+    // shuffles, not the post-join verify projection); deriving both
+    // directions FROM the cache costs only a second cache scan per round.
+    val canonPairs = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("comp"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // min label over in-neighbors, folded with the own label via a left
-      // join + least (which skips nulls) — NOT a self-union: union
-      // children sharing attribute ids with the checkpointed labels frame
-      // break Catalyst's union constraint rewriting
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
-      // eager checkpoints: materialize AND truncate lineage (see scaladoc)
-      val m = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(labels("id").as("id"),
-          least(labels("comp"), col("nmin")).as("comp"))
-        .localCheckpoint(true)
-      // pointer jump (label-of-label): halves the remaining path length
-      // every round → O(log diameter) rounds instead of O(diameter).
-      // comp values are always node ids, so the inner self-join never
-      // drops a row.
-      val next = m.as("x").join(m.as("y"), col("x.comp") === col("y.id"))
-        .select(col("x.id").as("id"),
-          least(col("x.comp"), col("y.comp")).as("comp"))
-        .localCheckpoint(true)
-      val changed = next.join(
-          labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev")).limit(1).count()
-      labels = next // prior rounds' checkpoint blocks free via ContextCleaner
-      converged = changed == 0L
+    // Round 1 needs NO labels join: with comp(v) initialized to v, the
+    // neighbor-min fold is simply min(v, min Γ(v)) — one aggregation over
+    // the cached pair list. Later rounds then iterate on a CONTRACTED
+    // edge set (edges remapped through the current labels, self-loops
+    // dropped, duplicates merged): near-dup pair graphs are dense
+    // near-cliques, so the contracted set collapses to a few edges after
+    // one round and each subsequent round costs a trivial job instead of
+    // a full 2|pairs|-row join (the previous label-propagation loop
+    // re-joined the full edge list EVERY round — measured ~2.5 s/round
+    // × 6 rounds at sf0.1, see BENCH/BASELINE.md r7). Convergence =
+    // contracted edge set empty: every adjacent label pair has merged,
+    // so each component carries exactly one label — its minimum id
+    // (labels only decrease, and a component's min always maps to
+    // itself). The per-node mapping is a lazy chain of label-remap
+    // joins (node-count-sized, checkpoint-truncated) materialized once
+    // by the caller's action.
+    val comp0 = nodes
+      .select(col(idCol).cast("long").as("id"))
+      .join(canonPairs
+          .select(col("src").as("a"), col("dst").as("b"))
+          .unionByName(canonPairs.select(col("dst").as("a"), col("src").as("b")))
+          .groupBy(col("a")).agg(min(col("b")).as("nmin")),
+        col("id") === col("a"), "left")
+      .select(col("id"), least(col("id"), col("nmin")).as("comp"))
+      .localCheckpoint(false)
+    var mapping = comp0
+    var contracted = canonPairs
+      .join(comp0.as("ma"), canonPairs("src") === col("ma.id"))
+      .join(comp0.as("mb"), canonPairs("dst") === col("mb.id"))
+      .select(col("ma.comp").as("x"), col("mb.comp").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    // ONE action: materializes comp0 + the contracted edge set (and the
+    // pairs cache underneath them) and answers convergence
+    var nEdges = contracted.count()
+    var iter = 1
+    while (nEdges > 0L && iter < maxIter) {
+      // min-label hook over the contracted labels + one pointer jump
+      val nmin = contracted
+        .select(col("u").as("a"), col("v").as("b"))
+        .unionByName(contracted.select(col("v").as("a"), col("u").as("b")))
+        .groupBy(col("a")).agg(min(col("b")).as("nb"))
+      val f1 = nmin.select(col("a").as("lbl"),
+        least(col("a"), col("nb")).as("f1"))
+      val f = f1.as("x").join(f1.as("y"), col("x.f1") === col("y.lbl"), "left")
+        .select(col("x.lbl").as("lbl"),
+          least(col("x.f1"), coalesce(col("y.f1"), col("x.f1"))).as("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // remap nodes (labels without contracted edges keep their comp) —
+      // lazy: a node-count-sized join chain, materialized at the end
+      mapping = mapping.join(f, mapping("comp") === f("lbl"), "left")
+        .select(mapping("id").as("id"),
+          coalesce(col("f"), mapping("comp")).as("comp"))
+        .localCheckpoint(false)
+      // contract the edge set through f (inner joins: every contracted
+      // endpoint has an edge, so f covers it)
+      val next = contracted
+        .join(f.as("fu"), contracted("u") === col("fu.lbl"))
+        .join(f.as("fv"), contracted("v") === col("fv.lbl"))
+        .select(col("fu.f").as("x"), col("fv.f").as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .distinct()
+        .localCheckpoint(false)
+      nEdges = next.count()
+      f.unpersist(blocking = false)
+      contracted = next
       iter += 1
     }
+    val converged = nEdges == 0L
     if (!converged) {
       // adversarial-diameter fallback: with pointer jumping a path needs
       // ~log2(diameter) rounds, so landing here means diameter ≳ 2^maxIter
       // (or a hand-built chain corpus). Switch to the large-star/small-star
       // reshaping, which contracts ANY graph to stars in O(log² n) rounds
       // independent of how the label happened to propagate. The canonical
-      // edge frame is derived from the PERSISTED edges cache, so the
+      // edge frame is derived from the PERSISTED pair cache, so the
       // expensive pairs lineage (LSH + verify) is not re-run.
       System.err.println(
         s"[vigil] connectedComponents: no fixpoint in $maxIter label rounds" +
           " — falling back to large-star/small-star")
-      val canon = edges.filter(col("src") > col("dst"))
-        .select(col("src").as("u"), col("dst").as("v")).distinct()
+      val canon = canonPairs.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .distinct()
         .localCheckpoint(true)
       val out = starContract(nodes, idCol, canon)
-      edges.unpersist(blocking = false)
+      canonPairs.unpersist(blocking = false)
       return out
     }
-    // the fixpoint labels are checkpoint-backed (no lineage to re-run);
-    // the graph cache can go — a later eviction means recompute of the
-    // EDGES only, never of the iteration chain
-    edges.unpersist(blocking = false)
-    labels.select(col("id").as(idCol), col("comp").as("component"))
+    // the mapping chain is backed by materialized checkpoints (comp0 and
+    // every round's contracted edge frame); the pairs cache can go — a
+    // later eviction means recompute of the EDGES only, never of the
+    // iteration chain
+    canonPairs.unpersist(blocking = false)
+    mapping.select(col("id").as(idCol), col("comp").as("component"))
   }
 
   /** Connected components by alternating large-star/small-star edge
@@ -873,6 +931,31 @@ object Dedup {
     array_sort(array_distinct(gramArr))
   }
 
+  /** Hashed-token twin of [[sortedGramTokens]]: the same distinct gram set
+    * mapped through xxhash64 and sorted as LONGS — the shape the verify
+    * joins actually shuffle and merge-walk. An 8-byte hash replaces a
+    * ~20-30 byte gram string, so the candidate-pair join exchanges carry
+    * 3-4× fewer bytes and the per-pair merge walk compares raw longs
+    * instead of UTF8Strings (the per-candidate cost that dominates at 1M
+    * pairs). Set sizes and intersection counts — hence the emitted
+    * jaccard doubles — are IDENTICAL to the string twin unless two
+    * distinct grams collide in 64 bits (P ≈ n²/2⁶⁵; ~1e-7 even at 10⁹
+    * distinct grams per doc-pair universe), the same hash-keyed trade
+    * LineDedup and SpanDedup already make; DedupAnnSpec locks hashed ≡
+    * string-keyed output on the fixture corpus.
+    */
+  def sortedGramTokenHashes(text: Column, shingleK: Int): Column = {
+    val ws = filter(split(lower(text), " "), w => length(w) > 0)
+    val gramArr =
+      if (shingleK == 1) ws
+      else when(size(ws) >= shingleK,
+        transform(sequence(lit(1), size(ws) - (shingleK - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(shingleK)))))
+        .otherwise(when(size(ws) > 0, array(concat_ws(" ", ws)))
+          .otherwise(array().cast("array<string>")))
+    array_sort(transform(array_distinct(gramArr), g => xxhash64(g)))
+  }
+
   def neardupVerified(
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double, bands: Int = 24, rowsPerBand: Int = 6,
@@ -884,16 +967,24 @@ object Dedup {
       minEst = math.max(0.0, minJaccard - 0.2),
       maxBucketSize = maxBucketSize, blockCol = blockCol)
       .select("id_a", "id_b")
+    // hashed tokens through the join + merge walk (3-4× narrower shuffle
+    // rows, long compares) — see [[sortedGramTokenHashes]] for the
+    // equivalence argument and the spec that locks it
     val toks = df.select(
       col(idCol).as("id"),
-      sortedGramTokens(col(textCol), shingleK).as("toks"))
+      sortedGramTokenHashes(col(textCol), shingleK).as("toks"))
       .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
       col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),
       col("n").as(s"n_$suffix"))
     cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+      // threshold walk: sub-threshold candidates abort the merge early
+      // (inter = -1 → negative jaccard → filtered, exactly the rows the
+      // filter discarded before); surviving pairs complete the full walk,
+      // so their jaccard doubles are unchanged
       .withColumn("inter",
-        vigil.functions.sorted_intersect_size(col("toks_a"), col("toks_b")))
+        vigil.functions.sorted_intersect_size_ge(
+          col("toks_a"), col("toks_b"), minJaccard))
       .select(
         col("id_a"), col("id_b"),
         (col("inter").cast("double") /
@@ -947,14 +1038,16 @@ object Dedup {
     val toks = corpusText
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .unionByName(newBatch.select(col(idCol).as("id"), col(textCol).as("t")))
-      .select(col("id"), sortedGramTokens(col("t"), shingleK).as("toks"))
+      .select(col("id"), sortedGramTokenHashes(col("t"), shingleK).as("toks"))
       .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
       col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),
       col("n").as(s"n_$suffix"))
     cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
+      // threshold walk — same contract as in [[neardupVerified]]
       .withColumn("inter",
-        vigil.functions.sorted_intersect_size(col("toks_a"), col("toks_b")))
+        vigil.functions.sorted_intersect_size_ge(
+          col("toks_a"), col("toks_b"), minJaccard))
       .select(
         col("id_a"), col("id_b"),
         (col("inter").cast("double") /

@@ -546,26 +546,60 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * array_sort ∘ array_distinct projection guarantees it); null array →
   * null, null element → treated as smallest (array_sort order).
   */
-case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+case class SortedIntersectSizeExpr(left: Expression, right: Expression,
+    minJaccard: Double = -1.0)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
+
+  // element type decides the merge-walk comparator: array<string> is the
+  // normative token shape; array<long> is the hashed-token fast path
+  // (vigil.dedup.Dedup.sortedGramTokenHashes — raw 8-byte compares, no
+  // UTF8String materialization per element)
+  private lazy val longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var same = 0
-    while (i < nx && j < ny) {
-      val xi = x.getUTF8String(i); val yj = y.getUTF8String(j)
-      val c =
-        if (xi == null) { if (yj == null) 0 else -1 }
-        else if (yj == null) 1
-        else xi.compareTo(yj)
-      if (c == 0) { same += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    // threshold mode (minJaccard > 0): abort with -1 as soon as the best
+    // still-achievable intersection s + min(remaining) cannot reach
+    // J ≥ t, i.e. drops below t·(|A|+|B|)/(1+t) (J = s/(|A|+|B|-s) is
+    // monotone in s). The epsilon keeps a pair EXACTLY at threshold from
+    // a spurious abort; pairs that finish ≥ t always complete the full
+    // walk, so their emitted intersection (hence jaccard) is exact and
+    // unchanged — only provably-below-threshold pairs return the
+    // sentinel, and callers drop those behind the same `jaccard >= t`
+    // filter that discarded them before. At step 0 the bound equals the
+    // lossless length prefilter min(|A|,|B|) ≥ t·max(|A|,|B|).
+    val need: Double =
+      if (minJaccard > 0) minJaccard * (nx + ny) / (1.0 + minJaccard) - 1e-9
+      else -1.0
+    if (longElems) {
+      while (i < nx && j < ny) {
+        if (same + math.min(nx - i, ny - j) < need) return -1
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi == yj) { same += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        if (same + math.min(nx - i, ny - j) < need) return -1
+        val xi = x.getUTF8String(i); val yj = y.getUTF8String(j)
+        val c =
+          if (xi == null) { if (yj == null) 0 else -1 }
+          else if (yj == null) 1
+          else xi.compareTo(yj)
+        if (c == 0) { same += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     same
   }
@@ -1226,6 +1260,13 @@ object functions {
       expr(b.cast("array<double>"))))
   def sorted_intersect_size(a: Column, b: Column): Column =
     VigilShim.column(SortedIntersectSizeExpr(expr(a), expr(b)))
+  /** Threshold mode: exact intersection size when jaccard ≥ minJaccard
+    * can still hold, -1 (provably below threshold) otherwise — see
+    * [[SortedIntersectSizeExpr]].
+    */
+  def sorted_intersect_size_ge(a: Column, b: Column,
+      minJaccard: Double): Column =
+    VigilShim.column(SortedIntersectSizeExpr(expr(a), expr(b), minJaccard))
   def vector_sum(v: Column, dim: Int): Column =
     VigilShim.column(VectorSumAgg(expr(v.cast("array<double>")), dim)
       .toAggregateExpression())

@@ -1,0 +1,186 @@
+package vigil.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Instrumented per-query bench (the r6 VERDICT ask #1, kept OUT of the
+  * frozen graft.Bench harness): times SparkEntry queries exactly as
+  * graft.Bench does (same session config, noop-materialized) while a
+  * SparkListener accumulates per-query executor evidence — job count,
+  * task count, executor task time, GC time, shuffle read/write bytes —
+  * so an artifact-vs-warm wall-clock delta can be attributed: identical
+  * task/GC/shuffle totals with inflated wall is the host window; inflated
+  * task time or job count is the code.
+  *
+  * A 1-second single-thread CPU calibration loop (xorshift64 steps/ms)
+  * runs before and after the sweep — the same-window compute ceiling the
+  * scaling protocol uses (BENCH/BASELINE.md), so the output brackets how
+  * degraded the host was DURING the measurement.
+  *
+  * Usage: BenchExtra [sfDir] [queryName ...] [reps=N] — no names = all
+  * queries, bench order (name-sorted). Prints one JSON line per query and
+  * writes the full map to BENCH/bench_extra.json
+  * (SPARK_GRAFT_BENCH_EXTRA overrides).
+  */
+object BenchExtra {
+
+  private final class Acc extends SparkListener {
+    @volatile var jobs = 0
+    @volatile var tasks = 0
+    @volatile var taskTimeMs = 0L
+    @volatile var gcTimeMs = 0L
+    @volatile var shuffleReadB = 0L
+    @volatile var shuffleWriteB = 0L
+    // per-job attribution (stage -> job -> accumulated task time + site)
+    private val stageToJob = scala.collection.mutable.Map[Int, Int]()
+    private val jobSite = scala.collection.mutable.Map[Int, String]()
+    private val jobTime = scala.collection.mutable.Map[Int, Long]()
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      synchronized {
+        jobs += 1
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(j.stageInfos.lastOption.map(_.name.take(60)))
+          .getOrElse("?")
+        jobSite(j.jobId) = site
+        j.stageInfos.foreach(si => stageToJob(si.stageId) = j.jobId)
+      }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      tasks += 1
+      val m = t.taskMetrics
+      if (m != null) {
+        taskTimeMs += m.executorRunTime
+        gcTimeMs += m.jvmGCTime
+        shuffleReadB += m.shuffleReadMetrics.totalBytesRead
+        shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
+        stageToJob.get(t.stageId).foreach { jid =>
+          jobTime(jid) = jobTime.getOrElse(jid, 0L) + m.executorRunTime }
+      }
+    }
+    def snapshot(): (Int, Int, Long, Long, Long, Long) =
+      synchronized { (jobs, tasks, taskTimeMs, gcTimeMs, shuffleReadB, shuffleWriteB) }
+    /** Top-N jobs by task time, as "(jobId) site: seconds". */
+    def topJobs(n: Int): Seq[String] = synchronized {
+      jobTime.toSeq.sortBy(-_._2).take(n).map { case (jid, ms) =>
+        f"($jid) ${jobSite.getOrElse(jid, "?")}: ${ms / 1000.0}%.1f" }
+    }
+    def reset(): Unit = synchronized {
+      jobs = 0; tasks = 0; taskTimeMs = 0L; gcTimeMs = 0L
+      shuffleReadB = 0L; shuffleWriteB = 0L
+      stageToJob.clear(); jobSite.clear(); jobTime.clear()
+    }
+  }
+
+  /** Single-thread register-only calibration: xorshift64 steps per ms —
+    * the ScalingBench calib kernel at 1-second scale.
+    */
+  private def calibStepsPerMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var n = 0L
+    while (System.nanoTime() - t0 < 1000000000L) {
+      var i = 0
+      while (i < 1000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      n += 1000000
+    }
+    if (x == 42L) System.err.println("never") // keep the loop live
+    n / ((System.nanoTime() - t0) / 1e6)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.filter(a => new java.io.File(a).isDirectory)
+      .getOrElse("/root/testdata/sf0.1")
+    val rest: Seq[String] =
+      if (args.headOption.exists(a => new java.io.File(a).isDirectory))
+        args.drop(1).toSeq
+      else args.toSeq
+    val reps = rest.collectFirst { case s if s.startsWith("reps=") =>
+      s.stripPrefix("reps=").toInt }.getOrElse(2)
+    val names0 = rest.filterNot(_.startsWith("reps="))
+    val all = graft.SparkEntry.queries
+    names0.foreach(n => require(all.contains(n), s"unknown query '$n'"))
+    val names = if (names0.nonEmpty) names0 else all.keys.toSeq.sorted
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.vigil.decide.wavesPerCore", "1")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+
+    def cleanup(): Unit = {
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench-extra] cleanup: $e") }
+    }
+
+    val calibBefore = calibStepsPerMs()
+    // warmup: same flagship shape as graft.Bench
+    try vigil.Decide.decideWindowed(
+        vigil.Synth.corpusDF(spark, 5000),
+        vigil.Decide.Default.copy(targetLang = "pt"))
+      .write.format("noop").mode("overwrite").save()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench-extra] warmup: $e") }
+    cleanup()
+
+    val out = new StringBuilder("{")
+    var first = true
+    names.foreach { name =>
+      val fn = all(name)
+      val runs = (1 to reps).map { _ =>
+        // drain listener events from the previous run before resetting
+        org.apache.spark.VigilSparkShim.waitListenerBusEmpty(spark.sparkContext)
+        acc.reset()
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench-extra] $name: $e"); false }
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.VigilSparkShim.waitListenerBusEmpty(spark.sparkContext)
+        val (j, t, tt, gc, sr, sw) = acc.snapshot()
+        if (sys.env.get("SPARK_GRAFT_BENCH_EXTRA_JOBS").contains("1"))
+          System.err.println(s"[jobs] $name: " + acc.topJobs(12).mkString(" | "))
+        cleanup()
+        (wall, ok, j, t, tt, gc, sr, sw)
+      }
+      val good = runs.filter(_._2)
+      val best = (if (good.nonEmpty) good else runs).minBy(_._1)
+      val line =
+        f""""$name":{"wall":${best._1}%.3f,"jobs":${best._3},""" +
+          f""""tasks":${best._4},"task_time_ms":${best._5},""" +
+          f""""gc_ms":${best._6},"shuf_read_b":${best._7},""" +
+          f""""shuf_write_b":${best._8},""" +
+          s""""walls":[${runs.map(r => f"${r._1}%.3f").mkString(",")}]}"""
+      println(line)
+      if (!first) out.append(",")
+      out.append(line); first = false
+    }
+    val calibAfter = calibStepsPerMs()
+    out.append(f""","_calib_steps_per_ms":[$calibBefore%.0f,$calibAfter%.0f]}""")
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA",
+      "BENCH/bench_extra.json")
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, out.toString.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench-extra] write: $e") }
+    println(f"""{"calib_steps_per_ms":[$calibBefore%.0f,$calibAfter%.0f],"detail":"$path"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package vigil.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import vigil.dedup.Dedup
+
+/** Scratch profiler for connectedComponents internals: times the verify
+  * (edge materialization) and each iteration-round sub-shape separately,
+  * so the per-round task-time observed in BenchExtra can be attributed.
+  */
+object CcProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ccprofile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.neardupVerified(d, "text", "doc_id", minJaccard = 0.9)
+    val canonPairs = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = time("materialize verified pairs (count)") { canonPairs.count() }
+    println(s"[ccprofile] pairs: $nPairs")
+    val edges = canonPairs.unionByName(
+      canonPairs.select(col("dst").as("src"), col("src").as("dst")))
+
+    var labels = d
+      .select(col("doc_id").cast("long").as("id"), col("doc_id").cast("long").as("comp"))
+      .localCheckpoint(true)
+
+    (1 to 3).foreach { round =>
+      val nbrMin = time(s"r$round nbrMin agg only (count)") {
+        val x = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("nmin"))
+        x.write.format("noop").mode("overwrite").save(); x
+      }
+      val m = time(s"r$round m join (checkpoint eager)") {
+        labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+          .select(labels("id").as("id"),
+            least(labels("comp"), col("nmin")).as("comp"),
+            labels("comp").as("prev"))
+          .localCheckpoint(true)
+      }
+      val next = time(s"r$round pointer jump (checkpoint eager)") {
+        m.as("x").join(m.as("y"), col("x.comp") === col("y.id"))
+          .select(col("x.id").as("id"),
+            least(col("x.comp"), col("y.comp")).as("comp"),
+            col("x.prev").as("prev"))
+          .localCheckpoint(true)
+      }
+      val changed = time(s"r$round changed count") {
+        next.filter(col("comp") =!= col("prev")).count()
+      }
+      println(s"[ccprofile] round $round changed=$changed")
+      labels = next.select(col("id"), col("comp"))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package vigil.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Write `.explain("formatted")` output for named SparkEntry queries to
+  * `<outDir>/<query>_<suffix>.txt` — the before/after plan evidence the
+  * optimization rounds commit under plans/r0N/.
+  *
+  * Usage: runMain vigil.tools.DumpPlan <sfDir> <outDir> <suffix> <query...>
+  */
+object DumpPlan {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: DumpPlan <sfDir> <outDir> <suffix> <query> [query ...]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val suffix = args(2)
+    val names = args.drop(3)
+    names.foreach(n => require(graft.SparkEntry.queries.contains(n),
+      s"unknown query '$n'"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.vigil.decide.wavesPerCore", "1")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+      println(s"[dumpplan] wrote $outDir/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}
