@@ -12,4 +12,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object VigilShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the storage blocks behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries; a local
+    * checkpoint's blocks belong to the internal RDD wrapped in the plan's
+    * LogicalRDD and otherwise live until driver GC (the iterative
+    * operators' round-accumulation leak). Callers must guarantee the
+    * frame is never read again — checkpointed lineage is NOT
+    * recomputable.
+    */
+  def unpersistCheckpointed(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

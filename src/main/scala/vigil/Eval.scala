@@ -60,7 +60,16 @@ object Eval {
     val dash = "-" * 40
     val total = m.tp + m.tn + m.fp + m.fn
     val fnMark = if (m.fn > 0) "⚠️ CRÍTICO" else "✅"
-    def score(label: String, v: Double) = f"$label$v%.4f (${v * 100}%.2f%%)"
+    // Python's {:.4f} rounds the exact binary double half-to-even in the
+    // ROOT locale; the f-interpolator is default-locale HALF_UP, which
+    // diverges on exact decimal halves (5/32 = 0.15625 → '0.1562' vs
+    // '0.1563') and on decimal-comma locales (r6 ADVICE). BigDecimal over
+    // the exact binary value + HALF_EVEN reproduces Python bit-for-bit.
+    def fmt(x: Double, digits: Int): String =
+      new java.math.BigDecimal(x)
+        .setScale(digits, java.math.RoundingMode.HALF_EVEN).toPlainString
+    def score(label: String, v: Double) =
+      s"$label${fmt(v, 4)} (${fmt(v * 100, 2)}%)"
     Seq(
       "\n" + eq,
       "RELATÓRIO DE AVALIAÇÃO DO DETECTOR DE PII",

@@ -69,9 +69,10 @@ object SemDedup {
       centroidsDf: DataFrame, posting: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, minCos: Double = 0.99): DataFrame = {
     // lazy: assigned once (checkpoint implies persist; first consumer
-    // materializes under block locking), no separate eager job
-    val b = Ann.ivfAssign(centroidsDf, batch, idCol, vecCol)
-      .localCheckpoint(false)
+    // materializes under block locking), no separate eager job; honors
+    // spark.vigil.checkpoint.dir for cluster-reliable boundaries
+    val b = vigil.dedup.Dedup.iterBoundary(
+      Ann.ivfAssign(centroidsDf, batch, idCol, vecCol), eager = false)
     val bx = b.select(col("cid"), col("nn_id").as("id_b"),
       col("nn_vec").as("__vb"))
     val vsCorpus = posting
@@ -100,7 +101,7 @@ object SemDedup {
       nCentroids, iterations, dim, seed)
     // lazy: built once (checkpoint-persist, block-locked), pairs join it
     // twice; the caller's action materializes it instead of an extra job
-    val p = posting.localCheckpoint(false)
+    val p = vigil.dedup.Dedup.iterBoundary(posting, eager = false)
     val pairs = semDedupPairs(p, minCos)
     val drops =
       (if (transitive)

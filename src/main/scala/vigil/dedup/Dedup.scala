@@ -125,39 +125,94 @@ object Dedup {
       })
 
     def shingles(text: String, k: Int): Set[Long] = {
-      // single-space split (not \s+) so candidate tokenization is EXACTLY
-      // the verifier's split(lower(text), " ") — a corpus with tab/newline
-      // whitespace tokenizes identically in both stages (r2 advice)
+      val hs = shingleHashes(text, k)
+      val b = Set.newBuilder[Long]
+      hs.foreach(b += _)
+      b.result()
+    }
+
+    /** Sorted-distinct shingle hash array — the allocation-light shape
+      * [[signature]] folds over (identical VALUES to [[shingles]]; a
+      * sorted array instead of a boxed Set, and one reused StringBuilder
+      * instead of a String per window — min over a set is
+      * order-independent, so signatures are bit-identical).
+      *
+      * Single-space split (not \s+) so candidate tokenization is EXACTLY
+      * the verifier's split(lower(text), " ") — a corpus with tab/newline
+      * whitespace tokenizes identically in both stages (r2 advice).
+      */
+    def shingleHashes(text: String, k: Int): Array[Long] = {
       val words =
         text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
-      if (words.length < k) {
-        if (words.isEmpty) Set.empty
-        else Set(scala.util.hashing.MurmurHash3.stringHash(words.mkString(" ")).toLong)
-      } else
-        words.sliding(k).map(s =>
-          scala.util.hashing.MurmurHash3.stringHash(s.mkString(" ")).toLong).toSet
+      if (words.isEmpty) return Array.emptyLongArray
+      val raw =
+        if (words.length < k)
+          Array(scala.util.hashing.MurmurHash3
+            .stringHash(words.mkString(" ")).toLong)
+        else if (k == 1)
+          Array.tabulate(words.length)(i =>
+            scala.util.hashing.MurmurHash3.stringHash(words(i)).toLong)
+        else {
+          val n = words.length - k + 1
+          val out = new Array[Long](n)
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j))
+              j += 1
+            }
+            out(i) =
+              scala.util.hashing.MurmurHash3.stringHash(sb.toString).toLong
+            i += 1
+          }
+          out
+        }
+      java.util.Arrays.sort(raw)
+      // dedupe in place (sorted) — set semantics without the boxed Set
+      var w = 0
+      var r = 0
+      while (r < raw.length) {
+        if (w == 0 || raw(r) != raw(w - 1)) { raw(w) = raw(r); w += 1 }
+        r += 1
+      }
+      if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
     }
 
     def signature(text: String, numHashes: Int, k: Int, seed: Long): Array[Long] = {
       val cs = coeffs(numHashes, seed)
-      val sh = shingles(text, k)
+      val sh = shingleHashes(text, k)
       if (sh.isEmpty) return Array.fill(numHashes)(Long.MaxValue)
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      sh.foreach { x =>
-        val xp = java.lang.Long.remainderUnsigned(x, Prime)
+      var s = 0
+      while (s < sh.length) {
+        val x = sh(s)
+        // x (unsigned 64-bit) mod p, p = 2^61-1 Mersenne: 2^61 ≡ 1, so
+        // x ≡ (x >>> 61) + (x & p) — shifts and adds, no hw division
+        // (bit-identical to remainderUnsigned; the old divide-based fold
+        // was ~60 cycles per hash and dominated the signature pass)
+        var xp = (x >>> 61) + (x & Prime)
+        if (xp >= Prime) xp -= Prime
         var i = 0
         while (i < numHashes) {
-          // (a*x + b) mod p with p = 2^61-1: Math.multiplyHigh gives the
-          // exact 128-bit product (hi, lo), folded mod p by mod61
+          // (a*x + b) mod p: Math.multiplyHigh gives the exact 128-bit
+          // product (hi, lo); 2^64 ≡ 8 (mod p) and lo ≡ (lo >>> 61) +
+          // (lo & p), with hi < 2^58 so (hi << 3) cannot overflow
           val a = cs(i)._1; val b = cs(i)._2
           val hi = Math.multiplyHigh(a, xp)
           val lo = a * xp
-          // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod p
-          val h = Dedup.mod61(hi, lo) + b
+          var t = (hi << 3) + (lo >>> 61) + (lo & Prime)
+          t = (t >>> 61) + (t & Prime)
+          if (t >= Prime) t -= Prime
+          val h = t + b
           val v = if (h >= Prime) h - Prime else h
           if (v < sig(i)) sig(i) = v
           i += 1
         }
+        s += 1
       }
       sig
     }
@@ -469,6 +524,31 @@ object Dedup {
       .filter(size(col("members")) > 1)
   }
 
+  /** Iteration materialization boundary: `localCheckpoint` by default
+    * (fast, in-session), or a RELIABLE `checkpoint()` when
+    * `spark.vigil.checkpoint.dir` is set (r6 VERDICT ask #5) — local
+    * checkpoint blocks die with their executor, so on a real cluster an
+    * executor loss mid-iteration kills the job (non-recomputable
+    * truncated lineage); reliable checkpoints to a (HDFS/object-store)
+    * dir survive it. Same eager/lazy semantics either way; labels are
+    * spec-locked identical across both modes.
+    */
+  private[vigil] def iterBoundary(df: DataFrame, eager: Boolean): DataFrame =
+    df.sparkSession.conf.getOption("spark.vigil.checkpoint.dir")
+      .filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+
+  /** Chain-style sugar for [[iterBoundary]]. */
+  private[vigil] implicit class IterBoundaryOps(private val df: DataFrame) {
+    def iterBoundary(eager: Boolean): DataFrame =
+      Dedup.iterBoundary(df, eager)
+  }
+
   /** At most ONE signature cache lives per session. `Dataset.persist`
     * registers a strong reference in the session CacheManager that only
     * `unpersist` releases — the ContextCleaner does NOT free Dataset
@@ -548,7 +628,7 @@ object Dedup {
           .groupBy(col("a")).agg(min(col("b")).as("nmin")),
         col("id") === col("a"), "left")
       .select(col("id"), least(col("id"), col("nmin")).as("comp"))
-      .localCheckpoint(false)
+      .iterBoundary(false)
     var mapping = comp0
     var contracted = canonPairs
       .join(comp0.as("ma"), canonPairs("src") === col("ma.id"))
@@ -558,7 +638,7 @@ object Dedup {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint(false)
+      .iterBoundary(false)
     // ONE action: materializes comp0 + the contracted edge set (and the
     // pairs cache underneath them) and answers convergence
     var nEdges = contracted.count()
@@ -580,7 +660,7 @@ object Dedup {
       mapping = mapping.join(f, mapping("comp") === f("lbl"), "left")
         .select(mapping("id").as("id"),
           coalesce(col("f"), mapping("comp")).as("comp"))
-        .localCheckpoint(false)
+        .iterBoundary(false)
       // contract the edge set through f (inner joins: every contracted
       // endpoint has an edge, so f covers it)
       val next = contracted
@@ -591,7 +671,7 @@ object Dedup {
         .select(least(col("x"), col("y")).as("u"),
           greatest(col("x"), col("y")).as("v"))
         .distinct()
-        .localCheckpoint(false)
+        .iterBoundary(false)
       nEdges = next.count()
       f.unpersist(blocking = false)
       contracted = next
@@ -613,7 +693,7 @@ object Dedup {
         .select(greatest(col("src"), col("dst")).as("u"),
           least(col("src"), col("dst")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .iterBoundary(true)
       val out = starContract(nodes, idCol, canon)
       canonPairs.unpersist(blocking = false)
       return out
@@ -655,7 +735,7 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .iterBoundary(true)
     starContract(nodes, idCol, canon, maxIter)
   }
 
@@ -667,6 +747,11 @@ object Dedup {
       nodes: DataFrame, idCol: String, canonicalEdges: DataFrame,
       maxIter: Int = 50): DataFrame = {
     var edges = canonicalEdges
+    // checkpoint-block hygiene (r6 ADVICE): frames THIS loop checkpointed
+    // are released once the round that consumed them is over — an
+    // adversarial many-round graph otherwise accumulates O(rounds) block
+    // sets until driver GC. The caller's canonicalEdges is never touched.
+    var prevOwned: Option[DataFrame] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -680,7 +765,7 @@ object Dedup {
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), least(col("nmin"), col("a")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .iterBoundary(true)
       // small-star over the canonical edges: m = min(Γ⁻(u)); every smaller
       // neighbor v ≠ m re-links to m, and u itself links to m
       val smins = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -689,12 +774,17 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(smins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .iterBoundary(true)
       // exact fixpoint: the edge SET is unchanged (both difference
       // directions — counts alone can balance out a swap)
       converged =
         next.exceptAll(edges).limit(1).count() == 0L &&
           edges.exceptAll(next).limit(1).count() == 0L
+      // this round's intermediate and the PREVIOUS round's edges are now
+      // consumed for good — release their checkpoint blocks
+      org.apache.spark.sql.VigilShim.unpersistCheckpointed(large)
+      prevOwned.foreach(org.apache.spark.sql.VigilShim.unpersistCheckpointed)
+      prevOwned = Some(next)
       edges = next
       iter += 1
     }

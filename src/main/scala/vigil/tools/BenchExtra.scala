@@ -35,6 +35,8 @@ object BenchExtra {
     private val stageToJob = scala.collection.mutable.Map[Int, Int]()
     private val jobSite = scala.collection.mutable.Map[Int, String]()
     private val jobTime = scala.collection.mutable.Map[Int, Long]()
+    private val stageName = scala.collection.mutable.Map[Int, String]()
+    private val stageTime = scala.collection.mutable.Map[Int, Long]()
     override def onJobStart(j: SparkListenerJobStart): Unit =
       synchronized {
         jobs += 1
@@ -43,7 +45,10 @@ object BenchExtra {
           .orElse(j.stageInfos.lastOption.map(_.name.take(60)))
           .getOrElse("?")
         jobSite(j.jobId) = site
-        j.stageInfos.foreach(si => stageToJob(si.stageId) = j.jobId)
+        j.stageInfos.foreach { si =>
+          stageToJob(si.stageId) = j.jobId
+          stageName(si.stageId) = si.name.take(70)
+        }
       }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
       tasks += 1
@@ -55,6 +60,7 @@ object BenchExtra {
         shuffleWriteB += m.shuffleWriteMetrics.bytesWritten
         stageToJob.get(t.stageId).foreach { jid =>
           jobTime(jid) = jobTime.getOrElse(jid, 0L) + m.executorRunTime }
+        stageTime(t.stageId) = stageTime.getOrElse(t.stageId, 0L) + m.executorRunTime
       }
     }
     def snapshot(): (Int, Int, Long, Long, Long, Long) =
@@ -64,10 +70,16 @@ object BenchExtra {
       jobTime.toSeq.sortBy(-_._2).take(n).map { case (jid, ms) =>
         f"($jid) ${jobSite.getOrElse(jid, "?")}: ${ms / 1000.0}%.1f" }
     }
+    /** Top-N stages by task time, as "(stageId) name: seconds". */
+    def topStages(n: Int): Seq[String] = synchronized {
+      stageTime.toSeq.sortBy(-_._2).take(n).map { case (sid, ms) =>
+        f"($sid) ${stageName.getOrElse(sid, "?")}: ${ms / 1000.0}%.1f" }
+    }
     def reset(): Unit = synchronized {
       jobs = 0; tasks = 0; taskTimeMs = 0L; gcTimeMs = 0L
       shuffleReadB = 0L; shuffleWriteB = 0L
       stageToJob.clear(); jobSite.clear(); jobTime.clear()
+      stageName.clear(); stageTime.clear()
     }
   }
 
@@ -153,8 +165,10 @@ object BenchExtra {
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.VigilSparkShim.waitListenerBusEmpty(spark.sparkContext)
         val (j, t, tt, gc, sr, sw) = acc.snapshot()
-        if (sys.env.get("SPARK_GRAFT_BENCH_EXTRA_JOBS").contains("1"))
+        if (sys.env.get("SPARK_GRAFT_BENCH_EXTRA_JOBS").contains("1")) {
           System.err.println(s"[jobs] $name: " + acc.topJobs(12).mkString(" | "))
+          System.err.println(s"[stages] $name: " + acc.topStages(8).mkString(" | "))
+        }
         cleanup()
         (wall, ok, j, t, tt, gc, sr, sw)
       }

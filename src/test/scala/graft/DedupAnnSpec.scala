@@ -699,6 +699,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(largest > 100, s"largest component $largest — fixture changed?")
   }
 
+  test("connectedComponents: reliable-checkpoint mode produces identical labels") {
+    // spark.vigil.checkpoint.dir swaps the iteration's localCheckpoint
+    // for reliable checkpoint() (cluster deployments: local checkpoint
+    // blocks die with executors — r6 VERDICT ask #5). Same graph, both
+    // modes, identical labels.
+    val nodes = Seq(1L, 2L, 3L, 9L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 3L), (9L, 11L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("vigil_ckpt").toString
+    spark.conf.set("spark.vigil.checkpoint.dir", dir)
+    try {
+      val reliable = Dedup.connectedComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local, reliable.toString)
+      // the reliable path actually wrote checkpoint data to the dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        s"no reliable checkpoint data under $dir — mode did not engage")
+    } finally spark.conf.unset("spark.vigil.checkpoint.dir")
+  }
+
   test("connectedComponentsStar: path graph with diameter >> 25, fallback, dense-graph equality") {
     // adversarial shape for label propagation: one long PATH. Node ids are
     // a deterministic permutation of 0..n-1 (the component min sits at a

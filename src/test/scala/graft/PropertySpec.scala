@@ -151,6 +151,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("minhash signature equals BigInt (a*x+b) mod 2^61-1 fold") {
+    // locks the division-free Mersenne fold in MinHash.signature to the
+    // exact mathematical (a*x + b) mod p it replaced (r7): recompute the
+    // whole signature with BigInt arithmetic over the same shingle
+    // hashes and coefficients, and require bit equality
+    val p = BigInt(Dedup.MinHash.Prime)
+    check(Prop.forAll(text, Gen.chooseNum(1L, 1L << 62)) { (t, seed) =>
+      val nh = 8
+      val cs = Dedup.MinHash.coeffs(nh, seed)
+      val sh = Dedup.MinHash.shingleHashes(t, 3)
+      val expected =
+        if (sh.isEmpty) Array.fill(nh)(Long.MaxValue)
+        else Array.tabulate(nh) { i =>
+          val a = BigInt(cs(i)._1); val b = BigInt(cs(i)._2)
+          sh.map { x =>
+            val xu = BigInt(java.lang.Long.toUnsignedString(x))
+            ((a * (xu mod p) + b) mod p).toLong
+          }.min
+        }
+      Dedup.MinHash.signature(t, nh, 3, seed).sameElements(expected)
+    })
+  }
+
   test("simhash hamming distance is symmetric and zero on self") {
     check(Prop.forAll(text, text) { (a, b) =>
       val fa = Dedup.SimHash.fingerprint(a)

@@ -97,4 +97,30 @@ class ReviewSpec extends AnyFunSuite {
     assert(cons.count(_._2 == "Athos Bulcão Mendes") == 1)
     assert(cons.find(_._2 == "Athos Bulcão Mendes").get._3 == "contexto_artistico")
   }
+
+  test("no documents-fixture text matches any context family regex (raw)") {
+    // q_review_triage's oracle pairing plants EXACTLY ONE Portuguese
+    // context sentence per doc and relies on the English fixture text
+    // never firing a family regex by itself (r6 ADVICE: patterns like
+    // (?i)\bin:\s+[A-Z] could plausibly match English). Lock that
+    // invariant here so regenerated fixtures fail fast with a pointed
+    // message instead of silently breaking the oracle at the gate.
+    val fams = Seq(
+      "artistic" -> Review.ArtisticRe,
+      "academic" -> Review.AcademicRe,
+      "journalistic" -> Review.JournalisticRe,
+      "public_official" -> Review.PublicOfficialRe,
+      "legal" -> Review.LegalRe,
+      "authorship" -> Review.AuthorshipRe)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      fams.foreach { case (name, re) =>
+        val hits = d.filter(col("text").rlike(re)).count()
+        assert(hits == 0L,
+          s"$hits $sf docs match the $name context family on RAW text — " +
+            "q_review_triage's oracle planting rule is no longer sound " +
+            "for this fixture")
+      }
+    }
+  }
 }
