@@ -486,7 +486,12 @@ object Ann {
     pairIds
       .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      // eval_once: without the barrier the `cos >= minCos` filter pushes
+      // into the payload join condition and the projection re-evaluates
+      // the 64-dim fold for every survivor (2 folds per emitted pair —
+      // guide §4.4); value and row set are unchanged, only eval count
+      .withColumn("cos", vigil.functions.eval_once(
+        cosine(col("va"), col("vb"))))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
@@ -556,7 +561,12 @@ object Ann {
     pairIds
       .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      // eval_once: without the barrier the `cos >= minCos` filter pushes
+      // into the payload join condition and the projection re-evaluates
+      // the 64-dim fold for every survivor (2 folds per emitted pair —
+      // guide §4.4); value and row set are unchanged, only eval count
+      .withColumn("cos", vigil.functions.eval_once(
+        cosine(col("va"), col("vb"))))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }

@@ -440,7 +440,7 @@ object Dedup {
       struct(col("id"), col("sig"), col("is_new")), maxBucketSize)
 
     import spark.implicits._
-    grouped
+    val raw = grouped
       .select(col("band"), col("blk"), col("members"))
       .as[(Int, String, Seq[(Long, Seq[Long], Boolean)])]
       .flatMap { case (band, blkv, members) =>
@@ -492,10 +492,19 @@ object Dedup {
         }
       }
       .toDF("id_a", "id_b", "est_jaccard")
-      // dedup across bands: with the skip active a pair is emitted once
-      // unless an earlier matching band was capped; without it, once per
-      // colliding band — either way the grouping collapses duplicates
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+    // dedup across bands: with the skip active AND no capped bucket, band
+    // b emits a pair iff NO earlier band's hashes match — exactly the
+    // first colliding band emits, so each pair appears ONCE and the
+    // groupBy dedup is a no-op full exchange of the candidate stream
+    // (~5M rows at sf0.1): elide it. `capped` is driver-known before
+    // planning. With caps (a pair may be sliced out of the earlier
+    // band's bucket and re-emitted later) or without the skip (once per
+    // colliding band), the grouping still collapses duplicates; the est
+    // value is a function of the two full signatures only, so max over
+    // duplicates equals the single-emission value — identical output
+    // either way (DedupAnnSpec's cap/skip matrix locks it).
+    if (doSkip && capped.isEmpty) raw
+    else raw.groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** THE capped-bucket member shape, shared by every bucketed candidate
@@ -1046,40 +1055,56 @@ object Dedup {
     array_sort(transform(array_distinct(gramArr), g => xxhash64(g)))
   }
 
+  /** Partition count for the verify-join candidate rebalance: the
+    * session's configured shuffle parallelism (the scale-adaptive knob
+    * clusters already size), passed as an EXPLICIT repartition count so
+    * byte-based AQE coalescing cannot fold the narrow-bytes, fat-compute
+    * merge-walk stage into a single wave (the r4 decideWindowed lesson).
+    */
+  private def verifyPartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
   def neardupVerified(
       df: DataFrame, textCol: String, idCol: String,
       minJaccard: Double, bands: Int = 24, rowsPerBand: Int = 6,
       seed: Long = 42L, maxBucketSize: Int = 100000,
       blockCol: Option[String] = None,
       shingleK: Int = 1): DataFrame = {
+    // narrow (16-byte-row) rebalance of the candidate stream: the fused
+    // est-flatMap stage is partitioned by BUCKET key, and near-clique
+    // buckets make the downstream join+walk straggler-bound if it stays
+    // fused there (measured: task time down but wall UP without this).
+    // hash(id_a) is also exactly the distribution a sort-merge pair join
+    // needs at cluster scale, and the exchange's shuffle files are reused
+    // by any later sampling/sort pass instead of re-running the est stage.
+    // EXPLICIT count (r4 lesson): byte-based AQE coalescing would fold
+    // this narrow-bytes / fat-compute stage into one straggler wave
     val cands = minhashLsh(df, textCol, idCol, bands, rowsPerBand,
       shingleK = shingleK, seed = seed,
       minEst = math.max(0.0, minJaccard - 0.2),
       maxBucketSize = maxBucketSize, blockCol = blockCol)
       .select("id_a", "id_b")
+      .repartition(verifyPartitions(df), col("id_a"))
     // hashed tokens through the join + merge walk (3-4× narrower shuffle
     // rows, long compares) — see [[sortedGramTokenHashes]] for the
     // equivalence argument and the spec that locks it
     val toks = df.select(
       col(idCol).as("id"),
       sortedGramTokenHashes(col(textCol), shingleK).as("toks"))
-      .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
-      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),
-      col("n").as(s"n_$suffix"))
+      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"))
     cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
-      // threshold walk: sub-threshold candidates abort the merge early
-      // (inter = -1 → negative jaccard → filtered, exactly the rows the
-      // filter discarded before); surviving pairs complete the full walk,
-      // so their jaccard doubles are unchanged
-      .withColumn("inter",
-        vigil.functions.sorted_intersect_size_ge(
+      // ONE fused threshold walk per candidate pair (sub-threshold pairs
+      // abort to -1.0 and are filtered — the rows the filter discarded
+      // before; survivors complete the walk, bit-identical jaccard). The
+      // expr is non-deterministic-flagged so the filter below cannot be
+      // pushed into the join condition, which had been re-evaluating the
+      // walk 2-3× per pair — see SortedJaccardGeExpr
+      .withColumn("jaccard",
+        vigil.functions.sorted_jaccard_ge(
           col("toks_a"), col("toks_b"), minJaccard))
-      .select(
-        col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Incremental verified near-dup: [[minhashLshIncremental]] candidates
@@ -1121,28 +1146,27 @@ object Dedup {
     val newSigs = persistSigs(computeSignatures(newBatch, textCol, idCol,
       bands, rowsPerBand, shingleK = shingleK, seed = seed,
       blockCol = blockCol))
+    // same narrow candidate rebalance as [[neardupVerified]] (skew +
+    // sampling-reuse + explicit-count rationale documented there)
     val cands = minhashLshIncremental(corpusSigs, newSigs, bands,
       rowsPerBand, minEst = math.max(0.0, minJaccard - 0.2),
       maxBucketSize = maxBucketSize)
       .select("id_a", "id_b")
+      .repartition(verifyPartitions(newBatch), col("id_a"))
     val toks = corpusText
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .unionByName(newBatch.select(col(idCol).as("id"), col(textCol).as("t")))
       .select(col("id"), sortedGramTokenHashes(col("t"), shingleK).as("toks"))
-      .withColumn("n", size(col("toks")))
     def side(suffix: String) = toks.select(
-      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"),
-      col("n").as(s"n_$suffix"))
+      col("id").as(s"id_$suffix"), col("toks").as(s"toks_$suffix"))
     cands.join(side("a"), Seq("id_a")).join(side("b"), Seq("id_b"))
-      // threshold walk — same contract as in [[neardupVerified]]
-      .withColumn("inter",
-        vigil.functions.sorted_intersect_size_ge(
+      // one fused threshold walk per pair — same contract and
+      // duplication-blocking rationale as in [[neardupVerified]]
+      .withColumn("jaccard",
+        vigil.functions.sorted_jaccard_ge(
           col("toks_a"), col("toks_b"), minJaccard))
-      .select(
-        col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   // ---------- exact n-gram Jaccard (verifier / oracle-pairable) ----------
@@ -1169,12 +1193,15 @@ object Dedup {
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
           lit(minJaccard) * greatest(col("a.n"), col("b.n")))
-      .withColumn("inter",
-        vigil.functions.sorted_intersect_size(col("a.toks"), col("b.toks")))
+      // one fused threshold walk per length-compatible pair (was: the
+      // jaccard filter pushed the unthresholded walk into the join
+      // condition twice plus the projection — see SortedJaccardGeExpr;
+      // survivors' doubles are bit-identical, sub-threshold pairs abort
+      // to -1.0 behind the same filter that dropped them before)
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (col("inter").cast("double") /
-          (col("a.n") + col("b.n") - col("inter"))).as("jaccard"))
+        vigil.functions.sorted_jaccard_ge(
+          col("a.toks"), col("b.toks"), minJaccard).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -609,6 +609,105 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Fused threshold jaccard: the [[SortedIntersectSizeExpr]] merge walk and
+  * the |A∩B| / (|A|+|B|-|A∩B|) division in ONE expression, returning the
+  * jaccard DOUBLE (or -1.0 when the walk proves J < minJaccard, or when
+  * both sets are empty — |A∪B| = 0 divided to NaN before, equally dropped
+  * by the callers' `jaccard >= t` filter; null input → null as before).
+  * Survivor arithmetic is bit-identical to the unfused shape: the walk
+  * completes for every pair that can reach t, and
+  * `same.toDouble / (nx+ny-same).toDouble` is the same int-exact division
+  * Catalyst ran on the separate columns.
+  *
+  * Deliberately REPORTED non-deterministic (the function is pure): the
+  * verify pipelines alias this walk and filter on `jaccard >= t`, and the
+  * optimizer pushes that filter through the pair join, inlining the walk
+  * into the join CONDITION — numerator and denominator separately, plus
+  * the output projection = 2-3 full merge walks per candidate pair
+  * (measured in the r7 plans: `sorted_intersect_size` appeared twice in
+  * the BroadcastHashJoin condition and once in the Project above it; the
+  * guide's §4.4 expensive-expression duplication, in Catalyst rather than
+  * Python). Marking it non-deterministic keeps the alias in a single
+  * Project above the join — exactly ONE walk per candidate pair — at the
+  * cost of blocking filter pushdown through that projection, which is
+  * precisely the point. The value is identical either way; only plan
+  * shape changes (DedupAnnSpec locks fused ≡ unfused output).
+  */
+case class SortedJaccardGeExpr(left: Expression, right: Expression,
+    minJaccard: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard_ge"
+  override lazy val deterministic: Boolean = false
+
+  private lazy val longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var same = 0
+    // identical threshold-walk bound as SortedIntersectSizeExpr (see the
+    // abort-soundness argument there); at step 0 it is the lossless
+    // length prefilter
+    val need: Double =
+      if (minJaccard > 0) minJaccard * (nx + ny) / (1.0 + minJaccard) - 1e-9
+      else -1.0
+    if (longElems) {
+      while (i < nx && j < ny) {
+        if (same + math.min(nx - i, ny - j) < need) return -1.0
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi == yj) { same += 1; i += 1; j += 1 }
+        else if (xi < yj) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        if (same + math.min(nx - i, ny - j) < need) return -1.0
+        val xi = x.getUTF8String(i); val yj = y.getUTF8String(j)
+        val c =
+          if (xi == null) { if (yj == null) 0 else -1 }
+          else if (yj == null) 1
+          else xi.compareTo(yj)
+        if (c == 0) { same += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    val union = nx + ny - same
+    if (union == 0) -1.0 else same.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedJaccardGeExpr =
+    copy(left = l, right = r)
+}
+
+/** Pass-through wrapper that REPORTS non-determinism (the child stays
+  * pure): value, type and nullability are exactly the child's. Wrapping an
+  * expensive aliased expression stops the optimizer pushing a filter on
+  * the alias through the projection (and into a join condition), which
+  * would re-evaluate the child once in the condition and again in the
+  * output projection — the guide's §4.4 duplicate-evaluation trap. Use it
+  * where the child is genuinely expensive per row (a vector fold, a merge
+  * walk) and the filter it blocks is the `col >= t` on its own alias;
+  * cheap prunable predicates should stay pushable.
+  */
+case class EvalOnceExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "eval_once"
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def withNewChildInternal(c: Expression): EvalOnceExpr =
+    copy(child = c)
+}
+
 /** Element-wise sum of fixed-dim array<double> vectors — one
   * TypedImperativeAggregate with a flat-loop update instead of `dim`
   * separate avg/sum columns (the IVF centroid step aggregated 64 avg
@@ -1267,6 +1366,16 @@ object functions {
   def sorted_intersect_size_ge(a: Column, b: Column,
       minJaccard: Double): Column =
     VigilShim.column(SortedIntersectSizeExpr(expr(a), expr(b), minJaccard))
+  /** One-walk fused jaccard (threshold-aborting; -1.0 below threshold,
+    * reported non-deterministic to stop join-condition duplication) — see
+    * [[SortedJaccardGeExpr]].
+    */
+  def sorted_jaccard_ge(a: Column, b: Column, minJaccard: Double): Column =
+    VigilShim.column(SortedJaccardGeExpr(expr(a), expr(b), minJaccard))
+  /** Pushdown-blocking pass-through for expensive aliased expressions —
+    * see [[EvalOnceExpr]].
+    */
+  def eval_once(c: Column): Column = VigilShim.column(EvalOnceExpr(expr(c)))
   def vector_sum(v: Column, dim: Int): Column =
     VigilShim.column(VectorSumAgg(expr(v.cast("array<double>")), dim)
       .toAggregateExpression())

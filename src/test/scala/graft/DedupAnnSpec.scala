@@ -548,6 +548,29 @@ class DedupAnnSpec extends AnyFunSuite {
         phys.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("plan: verify runs ONE fused walk per pair, outside the join condition," +
+      " and the uncapped skip path has no pair-dedup exchange") {
+    // r7: the `jaccard >= t` filter used to push through the verify join,
+    // inlining the merge walk into the join condition twice (numerator +
+    // denominator) plus once in the output projection — 2-3 walks per
+    // candidate pair. The fused non-deterministic sorted_jaccard_ge must
+    // appear exactly ONCE in the plan and the joins must carry NO
+    // condition; and with the cross-band skip active and no capped bucket
+    // each pair is emitted exactly once, so no (id_a, id_b)-keyed dedup
+    // exchange may remain between the pair stream and the verify join.
+    val verified = Dedup.neardupVerified(corpus, "text", "doc_id",
+      minJaccard = 0.8)
+    val phys = verified.queryExecution.executedPlan.toString
+    // exactly one occurrence total ⇒ one eval per pair, and necessarily
+    // none inlined into a join condition (which would add occurrences)
+    val walks = "sorted_jaccard_ge".r.findAllIn(phys).size
+    assert(walks == 1, s"expected exactly 1 fused walk in the plan, saw $walks:\n$phys")
+    val pairDedup = "hashpartitioning\\(id_a#\\d+L?, id_b".r.findAllIn(phys).size
+    assert(pairDedup == 0,
+      s"expected no (id_a, id_b) dedup exchange on the uncapped skip path:\n" +
+        phys.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("sf0.1 density gate: no LSH bucket approaches the cap on real data") {
     // the exactness contract is "exact while no bucket exceeds the cap" —
     // the r2 regression (61% of true pairs silently dropped) was exactly

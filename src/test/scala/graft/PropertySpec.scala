@@ -187,7 +187,7 @@ class PropertySpec extends AnyFunSuite {
 
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.Literal
-  import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
   private val tokenSet: Gen[Seq[String]] = Gen.chooseNum(0, 40)
     .flatMap(n => Gen.listOfN(n, word))
@@ -201,6 +201,50 @@ class PropertySpec extends AnyFunSuite {
         Literal.create(a, ArrayType(StringType)),
         Literal.create(b, ArrayType(StringType)))
       e.eval(InternalRow.empty) == (a.toSet & b.toSet).size
+    })
+  }
+
+  private val hashSet: Gen[Seq[Long]] = Gen.chooseNum(0, 40)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    .map(_.distinct.sorted)
+
+  test("sorted_jaccard_ge: survivors bit-identical to the unfused division," +
+      " sub-threshold pairs sentineled (property, long + string branches)") {
+    // the fused one-walk verify expr must emit EXACTLY the double the
+    // unfused shape computed — cast(inter)/cast(na+nb-inter) over exact
+    // ints — whenever jaccard >= t, and a negative sentinel (or the
+    // empty-vs-empty case, previously 0/0 = NaN) otherwise: callers gate
+    // both behind the same `jaccard >= t` filter, so the emitted row set
+    // and every surviving double are unchanged by the fusion
+    val t = 0.8
+    def refJaccard(ia: Int, na: Int, nb: Int): Double =
+      ia.toDouble / (na + nb - ia).toDouble
+    check(Prop.forAll(hashSet, hashSet) { (a, b) =>
+      val fused = vigil.SortedJaccardGeExpr(
+        Literal.create(a, ArrayType(LongType)),
+        Literal.create(b, ArrayType(LongType)), t)
+        .eval(InternalRow.empty).asInstanceOf[Double]
+      val inter = (a.toSet & b.toSet).size
+      val union = a.size + b.size - inter
+      if (union == 0) fused == -1.0
+      else {
+        val ref = refJaccard(inter, a.size, b.size)
+        if (ref >= t) fused == ref   // bit-identical survivor
+        else fused < t               // sentinel or exact value, both filtered
+      }
+    })
+    check(Prop.forAll(tokenSet, tokenSet) { (a, b) =>
+      val fused = vigil.SortedJaccardGeExpr(
+        Literal.create(a, ArrayType(StringType)),
+        Literal.create(b, ArrayType(StringType)), t)
+        .eval(InternalRow.empty).asInstanceOf[Double]
+      val inter = (a.toSet & b.toSet).size
+      val union = a.size + b.size - inter
+      if (union == 0) fused == -1.0
+      else {
+        val ref = refJaccard(inter, a.size, b.size)
+        if (ref >= t) fused == ref else fused < t
+      }
     })
   }
 
