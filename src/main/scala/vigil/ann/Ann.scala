@@ -399,6 +399,24 @@ object Ann {
       .select("query_id", "rank", "nn_id", "cos")
   }
 
+  /** Shared exact-cosine verify tail of [[cosineNearDupPairs]] /
+    * [[cosineNearDupPairsIncremental]]: rejoin the vectors onto the
+    * candidate id pairs and keep cos ≥ minCos. eval_once: without the
+    * barrier the `cos >= minCos` filter pushes into the payload join
+    * condition and the projection re-evaluates the 64-dim fold for every
+    * survivor (2 folds per emitted pair — guide §4.4); value and row set
+    * are unchanged, only eval count. `vecs` must carry (vid, v).
+    */
+  private def verifyCos(
+      pairIds: DataFrame, vecs: DataFrame, minCos: Double): DataFrame =
+    pairIds
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos", vigil.functions.eval_once(
+        cosine(col("va"), col("vb"))))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+
   /** Embedding-cosine near-duplicate pairs (corpus×corpus) via the same
     * band trick: pairs sharing a band, kept when cosine ≥ minCos.
     *
@@ -483,17 +501,7 @@ object Ann {
       .toDF("id_a", "id_b")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__n")).drop("__n")
     val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
-    pairIds
-      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      // eval_once: without the barrier the `cos >= minCos` filter pushes
-      // into the payload join condition and the projection re-evaluates
-      // the 64-dim fold for every survivor (2 folds per emitted pair —
-      // guide §4.4); value and row set are unchanged, only eval count
-      .withColumn("cos", vigil.functions.eval_once(
-        cosine(col("va"), col("vb"))))
-      .filter(col("cos") >= minCos)
-      .select("id_a", "id_b", "cos")
+    verifyCos(pairIds, vecs, minCos)
   }
 
   /** Incremental embedding near-dup: a NEW batch against an existing
@@ -558,16 +566,6 @@ object Ann {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__n")).drop("__n")
     val vecs = corpusVecs.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .unionByName(newBatch.select(col(idCol).as("vid"), col(vecCol).as("v")))
-    pairIds
-      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      // eval_once: without the barrier the `cos >= minCos` filter pushes
-      // into the payload join condition and the projection re-evaluates
-      // the 64-dim fold for every survivor (2 folds per emitted pair —
-      // guide §4.4); value and row set are unchanged, only eval count
-      .withColumn("cos", vigil.functions.eval_once(
-        cosine(col("va"), col("vb"))))
-      .filter(col("cos") >= minCos)
-      .select("id_a", "id_b", "cos")
+    verifyCos(pairIds, vecs, minCos)
   }
 }

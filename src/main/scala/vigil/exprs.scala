@@ -546,8 +546,7 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * array_sort ∘ array_distinct projection guarantees it); null array →
   * null, null element → treated as smallest (array_sort order).
   */
-case class SortedIntersectSizeExpr(left: Expression, right: Expression,
-    minJaccard: Double = -1.0)
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
   override def dataType: DataType = IntegerType
@@ -556,7 +555,10 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression,
   // element type decides the merge-walk comparator: array<string> is the
   // normative token shape; array<long> is the hashed-token fast path
   // (vigil.dedup.Dedup.sortedGramTokenHashes — raw 8-byte compares, no
-  // UTF8String materialization per element)
+  // UTF8String materialization per element). The threshold-aborting
+  // variant of this walk lives in [[SortedJaccardGeExpr]] (which also
+  // fuses the jaccard division); this expression is the unthresholded
+  // normative twin the specs brute-compare against.
   private lazy val longElems: Boolean = left.dataType match {
     case ArrayType(LongType, _) => true
     case _ => false
@@ -567,22 +569,8 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression,
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var same = 0
-    // threshold mode (minJaccard > 0): abort with -1 as soon as the best
-    // still-achievable intersection s + min(remaining) cannot reach
-    // J ≥ t, i.e. drops below t·(|A|+|B|)/(1+t) (J = s/(|A|+|B|-s) is
-    // monotone in s). The epsilon keeps a pair EXACTLY at threshold from
-    // a spurious abort; pairs that finish ≥ t always complete the full
-    // walk, so their emitted intersection (hence jaccard) is exact and
-    // unchanged — only provably-below-threshold pairs return the
-    // sentinel, and callers drop those behind the same `jaccard >= t`
-    // filter that discarded them before. At step 0 the bound equals the
-    // lossless length prefilter min(|A|,|B|) ≥ t·max(|A|,|B|).
-    val need: Double =
-      if (minJaccard > 0) minJaccard * (nx + ny) / (1.0 + minJaccard) - 1e-9
-      else -1.0
     if (longElems) {
       while (i < nx && j < ny) {
-        if (same + math.min(nx - i, ny - j) < need) return -1
         val xi = x.getLong(i); val yj = y.getLong(j)
         if (xi == yj) { same += 1; i += 1; j += 1 }
         else if (xi < yj) i += 1
@@ -590,7 +578,6 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression,
       }
     } else {
       while (i < nx && j < ny) {
-        if (same + math.min(nx - i, ny - j) < need) return -1
         val xi = x.getUTF8String(i); val yj = y.getUTF8String(j)
         val c =
           if (xi == null) { if (yj == null) 0 else -1 }
@@ -651,9 +638,14 @@ case class SortedJaccardGeExpr(left: Expression, right: Expression,
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var same = 0
-    // identical threshold-walk bound as SortedIntersectSizeExpr (see the
-    // abort-soundness argument there); at step 0 it is the lossless
-    // length prefilter
+    // threshold abort (sound): with s matched so far, the best final
+    // intersection is s + min(remaining); J = s/(|A|+|B|-s) is monotone
+    // in s, so J ≥ t is impossible once that bound drops below
+    // t·(|A|+|B|)/(1+t). The epsilon keeps a pair EXACTLY at threshold
+    // from a spurious abort; pairs that finish ≥ t always complete the
+    // full walk (exact output), only provably-below-threshold pairs get
+    // the sentinel. At step 0 the bound equals the lossless length
+    // prefilter min(|A|,|B|) ≥ t·max(|A|,|B|).
     val need: Double =
       if (minJaccard > 0) minJaccard * (nx + ny) / (1.0 + minJaccard) - 1e-9
       else -1.0
@@ -692,10 +684,15 @@ case class SortedJaccardGeExpr(left: Expression, right: Expression,
   * expensive aliased expression stops the optimizer pushing a filter on
   * the alias through the projection (and into a join condition), which
   * would re-evaluate the child once in the condition and again in the
-  * output projection — the guide's §4.4 duplicate-evaluation trap. Use it
-  * where the child is genuinely expensive per row (a vector fold, a merge
-  * walk) and the filter it blocks is the `col >= t` on its own alias;
-  * cheap prunable predicates should stay pushable.
+  * output projection — the guide's §4.4 duplicate-evaluation trap.
+  *
+  * CAVEAT: a projection containing this blocks pushdown of EVERY
+  * predicate through it, including cheap ones a downstream caller
+  * filters by (PushPredicateThroughNonJoin requires the whole projection
+  * deterministic). Place cheap prunable predicates BELOW the wrapped
+  * projection yourself (e.g. jaccardPairs keeps its length prefilter in
+  * the join condition), and only wrap where the child is genuinely
+  * expensive per row (a vector fold, a merge walk).
   */
 case class EvalOnceExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -1359,13 +1356,6 @@ object functions {
       expr(b.cast("array<double>"))))
   def sorted_intersect_size(a: Column, b: Column): Column =
     VigilShim.column(SortedIntersectSizeExpr(expr(a), expr(b)))
-  /** Threshold mode: exact intersection size when jaccard ≥ minJaccard
-    * can still hold, -1 (provably below threshold) otherwise — see
-    * [[SortedIntersectSizeExpr]].
-    */
-  def sorted_intersect_size_ge(a: Column, b: Column,
-      minJaccard: Double): Column =
-    VigilShim.column(SortedIntersectSizeExpr(expr(a), expr(b), minJaccard))
   /** One-walk fused jaccard (threshold-aborting; -1.0 below threshold,
     * reported non-deterministic to stop join-condition duplication) — see
     * [[SortedJaccardGeExpr]].

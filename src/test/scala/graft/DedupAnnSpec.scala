@@ -457,6 +457,19 @@ class DedupAnnSpec extends AnyFunSuite {
         s"cap=$cap: skip-on ${on.size} pairs != skip-off ${off.size}; " +
           s"missing=${(off -- on).take(3)} extra=${(on -- off).take(3)}")
     }
+    // MULTIPLICITY lock (r7): with the skip on and no bucket capped, the
+    // pair-dedup groupBy is ELIDED on the claim that each pair is emitted
+    // exactly once (first colliding band only). A .toSet compare would
+    // silently collapse a duplicate-emission regression — assert row
+    // multiplicity directly, since duplicates would now flow straight
+    // into every downstream consumer.
+    val rows = Dedup.minhashLsh(docs, "text", "doc_id", bands = 24,
+      rowsPerBand = 6, shingleK = 1, minEst = 0.7,
+      maxBucketSize = 100000, crossBandSkip = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dups = rows.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty,
+      s"uncapped skip path emitted duplicate pairs: ${dups.take(3).toList}")
   }
 
   test("randomized exactness: neardupVerified equals brute on fuzz corpora") {
